@@ -1,0 +1,58 @@
+"""Test-table catalog: typed loaders for the driver-generated fixtures.
+
+The reference engine's only schema notion is a single header line
+prepended per partition (ExecutorMapper.java:142-145, sourced at
+Driver.java:91-108). Here schema is a first-class ``StructType`` that
+travels with the DataFrame; the parquet footer is the header.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with type normalization.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the parquet footer; with
+    ``nanosAsLong`` it scans as a raw long which we truncate to
+    microseconds via integer division (``ts div 1000`` — NOT ``ts/1000``,
+    which goes through double and loses precision above 2^53 ns) and
+    rebind as a proper TimestampType. The fixture has no sub-microsecond
+    components, so this matches the oracle's value exactly.
+    """
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every fixture as a temp view (for the SQL API surface)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

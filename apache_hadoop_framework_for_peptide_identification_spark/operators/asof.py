@@ -1,0 +1,74 @@
+"""As-of join — latest right-row at-or-before each left row, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). This composes one
+from a union + running ``last(ignorenulls)`` window, which costs exactly
+ONE shuffle on the join keys — the same cost as the sort-merge join a
+native implementation would do, so it scales like any keyed join:
+
+- 100 TB path: both sides shuffle-partition on ``on`` keys; state per
+  partition is one running value per right column (no buffering of the
+  whole group). Skewed keys behave like any skewed SMJ — AQE skew-join
+  does not apply to window ops, so pre-salt hot keys if a key exceeds
+  a partition budget.
+- Tie semantics: a right row with ts == left ts IS matched (inclusive,
+  "at or before"), matching DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+  If the right side has duplicate (key, ts) rows the result is
+  nondeterministic — pre-aggregate the right side to one row per
+  (key, ts), as a native asof would too.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (strictly < when inclusive=False)
+    within the same ``on`` key group. Unmatched left rows keep nulls.
+
+    Returns all left columns plus the right payload columns
+    (right columns minus keys and ``right_ts``).
+    """
+    on = list(on)
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    lpay = [c for c in left.columns if c not in on and c != left_ts]
+
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c) for c in payload],
+    )
+    # At equal __ts the right row must sort before the left row for
+    # inclusive semantics (and after it for exclusive).
+    order = [F.col("__ts").asc(), F.col("__is_left").asc() if inclusive else F.col("__is_left").desc()]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    filled = lt.unionByName(rt).select(
+        *on,
+        "__ts",
+        "__is_left",
+        *[F.col(c) for c in lpay],
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out = filled.filter(F.col("__is_left") == 1).withColumnRenamed("__ts", left_ts)
+    return out.drop("__is_left").select(*left.columns, *payload)

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-bounded (no all-pairs comparison anywhere):
+
+- exact_dedup:        content-hash groupBy. One shuffle keyed on a
+                      64/256-bit hash; at 100 TB shuffle bytes are
+                      O(rows * hash_width), not O(text).
+- ngram_jaccard_pairs: exact shingle-overlap join — the ground truth
+                      for tuning the approximate tiers. Cost is bounded
+                      by shingle-posting-list sizes (quadratic in the
+                      hottest shingle), so cap/skip stop-shingles at
+                      scale.
+- minhash_lsh:        MinHash signatures + banded LSH. Candidate pairs
+                      only where a band bucket collides; recall is
+                      1-(1-s^r)^b for Jaccard s. All hashing JVM-side
+                      (xxhash64 via higher-order functions) — no Python
+                      in the hot path.
+- simhash:            64-bit SimHash via an Arrow-vectorized pandas UDF;
+                      near-dups collide on prefix bands.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative (min id) per distinct value of ``cols``.
+
+    Equivalent to the reference's nothing (it has no dedup); declared in
+    SURVEY.md §2B LLM group. groupBy on the content hash, not the
+    content: at scale this shuffles 8-byte keys instead of documents.
+    """
+    h = F.xxhash64(*[F.col(c) for c in cols]).alias("__h")
+    keeper = df.select(h, F.col(id_col)).groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return df.join(keeper, on=id_col, how="left_semi")
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM lambdas)."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    inter(a,b) via a self-equi-join on shingle; |a|,|b| joined back;
+    J = inter / (|a| + |b| - inter). Returns (id_a, id_b, jaccard),
+    id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(text_col, num_hashes: int = 64, shingle_n: int = 3):
+    """MinHash signature as array<bigint>, computed entirely JVM-side:
+    hash_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
+    """
+    sh = shingles(text_col, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i.cast("string")))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    bands=16 over 64 hashes → rows-per-band r=4; pair survives if any
+    band's 4-hash slice matches. Shuffle is keyed on (band, band_hash):
+    at 100 TB the only hotspot is a degenerate bucket (e.g. empty docs)
+    — cap bucket size or pre-filter boilerplate.
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (Arrow-vectorized; numpy inner
+    loop). Near-duplicate texts differ in O(few) bits."""
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split(" "):
+            h = np.int64(np.uint64(hash_token(tok)))
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        bits_out = (acc > 0).astype(np.uint64)
+        out[row] = np.int64(np.sum(bits_out << np.arange(64, dtype=np.uint64)).astype(np.uint64))
+    return pd.Series(out)
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a (process-independent, unlike Python's
+    builtin hash which is salted per process)."""
+    h = 0xCBF29CE484222325
+    for b in tok.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidates: bucket on the top ``prefix_bits`` of
+    the signature (one of the 4 rotations of the classic multi-table
+    scheme; tests use exact hamming verification on candidates)."""
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim"))
+    bucketed = sig.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("sim"), 64 - prefix_bits)
+    )
+    x = bucketed.alias("x")
+    y = bucketed.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim"))).alias("hamming"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata structs.
+
+The Spark-side contract is real and tested — schema, Arrow batching,
+partitioning, UDF signatures. The actual codec work is STUBBED (the
+image/audio libraries are not in this container): ``decode_image``
+raises NotImplementedError unless ``fake=True``, in which case it
+produces a deterministic fake decode derived from the payload hash, so
+pipelines exercise realistic shapes end-to-end.
+
+100 TB layout note: payloads stay as BinaryType columns only up to a
+few MB each; beyond that store pointer structs (uri, offset, length)
+and resolve in mapInPandas at the consumer — the metadata/feature
+pipeline below is identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METADATA_SCHEMA = "doc_id long, n_bytes long, sha1 string, magic string"
+DECODE_SCHEMA = "doc_id long, width int, height int, n_channels int"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha1 string"
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test-fixture helper: materialize a binary payload column (UTF-8
+    bytes of the text) — stand-in for image/audio bytes."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Typed metadata per payload via mapInPandas (real, not stubbed):
+    byte length, sha1, magic-byte sniff. One Arrow pass, no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                    "sha1": payloads.map(
+                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    ),
+                    "magic": payloads.map(lambda b: (b or b"")[:4].hex()),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, METADATA_SCHEMA)
+
+
+def decode_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode image payloads to (width, height, channels).
+
+    STUB: real decoding needs Pillow/opencv, absent here. With
+    ``fake=True`` dimensions are derived deterministically from the
+    payload sha1 so downstream plumbing (schema, joins, filters) is
+    exercised with realistic value distributions.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires Pillow/opencv (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            digests = pdf[payload_col].map(lambda b: hashlib.sha1(b or b"").digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": digests.map(lambda d: 64 + d[0] % 192).astype("int32"),
+                    "height": digests.map(lambda d: 64 + d[1] % 192).astype("int32"),
+                    "n_channels": digests.map(lambda d: 1 + (d[2] % 2) * 2).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, DECODE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 3,
+) -> DataFrame:
+    """Sample N "frames" per payload (video frame-sampling shape: one
+    input row → N output rows). Deterministic fake frames (sha1 of
+    payload+idx); a real implementation swaps only the inner lambda."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i in range(n_frames):
+                    digest = hashlib.sha1((payload or b"") + bytes([i])).hexdigest()
+                    rows.append((doc_id, i, digest))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha1"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FRAME_SCHEMA)

@@ -1,0 +1,81 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All built-in-function expressions —
+zero Python in the hot path, so they ride whole-stage codegen at any
+scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "in", "to")
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def marker_hits(text_col: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the marker set (JVM lambda filter)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language guess: argmax of marker-token hits, 'und' when
+    no marker occurs. Deterministic and SQL-expressible (oracle parity);
+    swap in a model-based scorer via pandas UDF when accuracy matters."""
+    hits = {lang: marker_hits(text_col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed() so earlier languages win ties, matching the SQL CASE order.
+    for lang in reversed(list(hits)):
+        expr = F.when((hits[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def token_count_ws(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def token_count_bpe_ish(text_col: Column) -> Column:
+    """BPE-ish token estimate: alnum runs + any other non-space char
+    each count as one token (regex extraction, JVM-side)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)).cast(
+        "bigint"
+    )
+
+
+def stopword_ratio(text_col: Column) -> Column:
+    return marker_hits(text_col, STOPWORDS) / token_count_ws(text_col)
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality score in [0,1]: length band + mean token length
+    band + stopword presence. Mirrors the shape of C4-style quality
+    filters (arbitrary but deterministic weights)."""
+    n_tok = token_count_ws(text_col)
+    mean_tok_len = (F.length(text_col) - (n_tok - 1)) / n_tok
+    score = (
+        F.when((n_tok >= 20) & (n_tok <= 1000), 0.4).otherwise(0.0)
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 0.3).otherwise(0.0)
+        + F.when(stopword_ratio(text_col) > 0.01, 0.3).otherwise(0.0)
+    )
+    return score.cast("double")
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted token
+    multiset. Shuffle-friendly 128-bit key for clustering reorderings
+    of the same content."""
+    return F.md5(F.concat_ws(" ", F.sort_array(tokens(text_col))))

@@ -1,0 +1,269 @@
+"""LLM-data-pipeline queries: dedup (exact / Jaccard / MinHash-LSH /
+SimHash), similarity search (brute-force + LSH ANN), text analysis
+(lang-id, quality, token counts, fingerprints), multimodal binary
+columns. SURVEY.md §2B last table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, similarity
+from ..operators import text as T
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------- dedup
+@query(
+    "q40_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper_doc_id
+""",
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative per byte-identical text. Scale:
+    group on the 128-bit hash → shuffle carries hashes, not documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+@query(
+    "q41_ngram_jaccard",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+ORDER BY id_a, id_b
+""",
+)
+def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs on a bounded doc subset (the
+    ground truth the LSH tiers are tuned against)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q42_dedup_minhash_lsh", oracle=None)
+def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (xxhash64 signatures are
+    Spark-specific → rows-only driver check; recall vs exact Jaccard is
+    asserted in tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+@query("q43_dedup_simhash", oracle=None)
+def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures per doc (FNV-1a token hashes via Arrow-batched
+    pandas UDF — deterministic, but not SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+# -------------------------------------------------------- similarity
+@query(
+    "q44_ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])) AS cos_sim
+  FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+SELECT q_id, n_id, cos_sim, rn FROM (
+  SELECT q_id, n_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+  FROM scored)
+WHERE rn <= 5 ORDER BY q_id, rn
+""",
+)
+def q44_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors: broadcast queries,
+    JVM zip_with/aggregate dot products, per-query heap rank. One corpus
+    scan, zero corpus shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
+    ).orderBy("q_id", "rn")
+
+
+@query("q45_ann_lsh", oracle=None)
+def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (bucketed candidates + exact
+    re-rank). Recall vs brute force asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
+    ).orderBy("q_id", "rn")
+
+
+# ------------------------------------------------------ text analysis
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{arr}], t))) AS BIGINT)"
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = {lang: _marker_hits_sql(m) for lang, m in T.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in hits) + ")"
+    cases = " ".join(
+        f"WHEN h_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in hits
+    )
+    hit_cols = ", ".join(f"{sql} AS h_{lang}" for lang, sql in hits.items())
+    return f"""
+WITH h AS (SELECT doc_id, lang, {hit_cols} FROM documents)
+SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS lang_guess
+FROM h ORDER BY doc_id
+"""
+
+
+@query("q46_lang_id", oracle=_lang_id_oracle())
+def q46_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-lexicon argmax) next to the ground-
+    truth lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("lang_guess")).orderBy(
+        "doc_id"
+    )
+
+
+_STOP_SQL = _marker_hits_sql(T.STOPWORDS)
+
+
+@query(
+    "q47_quality_score",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         {_STOP_SQL} AS n_stop
+  FROM documents)
+SELECT doc_id, n_tok,
+       CAST(n_chars_m - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len,
+       CAST(n_stop AS DOUBLE) / n_tok                  AS stop_ratio,
+       CAST(
+         (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END) +
+         (CASE WHEN CAST(n_chars_m - (n_tok - 1) AS DOUBLE) / n_tok BETWEEN 3 AND 10
+               THEN 0.3 ELSE 0.0 END) +
+         (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok > 0.01 THEN 0.3 ELSE 0.0 END)
+       AS DOUBLE) AS quality
+FROM s ORDER BY doc_id
+""",
+)
+def q47_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering features + composite score (C4-style bands)."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tok = T.token_count_ws(text)
+    mean_len = (F.length(text).cast("bigint") - (n_tok - 1)) / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        mean_len.alias("mean_tok_len"),
+        T.stopword_ratio(text).alias("stop_ratio"),
+        T.quality_score(text).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q48_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+         AS n_bpe_ish
+FROM documents ORDER BY doc_id
+""",
+)
+def q48_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        T.token_count_bpe_ish(F.col("text")).alias("n_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q49_fingerprint",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp
+  FROM documents)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+FROM fp ORDER BY doc_id
+""",
+)
+def q49_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted token
+    multiset) + per-fingerprint cluster size."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    return fp.withColumn(
+        "n_same_fp", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------- multimodal
+@query(
+    "q54_multimodal_bytes",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text)                                  AS payload_md5
+FROM documents ORDER BY doc_id
+""",
+)
+def q54_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text → binary payload + typed
+    metadata. The decode/feature steps are Pandas-UDF stubs in
+    operators/multimodal.py (image/audio libs absent in this container);
+    the binary schema/partitioning path here is real."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,610 @@
+"""Relational core — SURVEY.md §2B tables: projection/filter, joins
+(inner/outer/semi/anti/cross/theta/range/as-of), aggregation (stats,
+distinct, rollup/cube/grouping-sets, collect, pivot), set ops, sampling.
+
+Every query here is pure DataFrame API → Catalyst owns the physical
+strategy (broadcast vs SMJ, partial agg, pushdown). Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.topk import top_k_per_group
+from . import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- B1
+@query(
+    "q01_scan_filter_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                          AS sum_qty,
+       sum(l_extendedprice)                                     AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))                  AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))    AS sum_charge,
+       avg(l_quantity)                                          AS avg_qty,
+       avg(l_extendedprice)                                     AS avg_price,
+       avg(l_discount)                                          AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q01_scan_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (flagship): pushed-down scan filter, hash agg with
+    map-side partials, tiny ordered result. Scale: the only shuffle is
+    the 6-group aggregate exchange — bytes shuffled ~ O(groups), not rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- B2
+@query(
+    "q02_join_revenue_topk",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+def q02_join_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-10. Scale: nation/customer are dimensions →
+    broadcast (no shuffle); lineitem⋈orders is the one big shuffle and
+    both sides hash on the same orderkey. Top-10 plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- B3
+@query(
+    "q03_window_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def q03_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders via window rank. Scale: one shuffle on
+    o_custkey; AQE coalesces post-shuffle partitions. Deterministic
+    tie-break on o_orderkey so the oracle agrees row-for-row."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(
+        o,
+        group=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).orderBy("o_custkey", "rn")
+
+
+# ---------------------------------------------------------------- B4
+@query(
+    "q04_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, user_id,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q04_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling 1-hour window on events (nanos-ts ingest path).
+    F.window buckets are epoch-aligned so window.start == date_trunc."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "sum_value")
+        .orderBy("window_start", "user_id")
+    )
+
+
+# ------------------------------------------------- projection / filter
+@query(
+    "q05_project_expressions",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END                                   AS size_class,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN')            AS status_norm,
+       greatest(o_totalprice, 150000.0)                        AS gte,
+       least(o_totalprice, 150000.0)                           AS lte,
+       CAST(floor(o_totalprice) AS BIGINT)                     AS price_floor,
+       o_totalprice * 0.9                                      AS discounted
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def q05_project_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conditional expressions: CASE WHEN, coalesce/nullif,
+    greatest/least, cast. All JVM-side, whole-stage-codegen'd."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_norm"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("gte"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("lte"),
+        F.floor("o_totalprice").alias("price_floor"),
+        (F.col("o_totalprice") * 0.9).alias("discounted"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q06_filter_predicates",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus LIKE 'F%'
+  AND regexp_matches(l_returnflag, '^[AR]$')
+  AND l_discount IS NOT NULL
+  AND NOT (l_tax < 0)
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q06_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate surface: between/in/like/rlike/null checks/boolean ops —
+    all pushed into the parquet scan where parquet stats allow."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_linestatus").like("F%")
+            & F.col("l_returnflag").rlike("^[AR]$")
+            & F.col("l_discount").isNotNull()
+            & ~(F.col("l_tax") < 0)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q07_distinct",
+    oracle="""
+SELECT DISTINCT o_orderstatus, o_orderpriority
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct == groupBy all cols; map-side partial dedup then one
+    shuffle keyed on the distinct columns."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+# ------------------------------------------------------------- joins
+@query(
+    "q08_join_left_outer",
+    oracle="""
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+       coalesce(sum(o.o_totalprice), 0.0) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def q08_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (count=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q09_join_full_outer",
+    oracle="""
+WITH big_spenders AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 500000),
+rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+SELECT coalesce(b.o_custkey, r.c_custkey) AS custkey,
+       b.spend, r.c_acctbal,
+       (b.o_custkey IS NOT NULL) AS is_big_spender,
+       (r.c_custkey IS NOT NULL) AS is_rich
+FROM big_spenders b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey
+ORDER BY custkey
+""",
+)
+def q09_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-extension on both sides (HAVING via
+    post-agg filter)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 500000)
+    )
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "full")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            "spend",
+            "c_acctbal",
+            F.col("o_custkey").isNotNull().alias("is_big_spender"),
+            F.col("c_custkey").isNotNull().alias("is_rich"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q10_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+)
+def q10_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): no payload from the right, no row
+    multiplication — Catalyst keeps only the existence probe."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q11_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q11_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q12_join_theta_pairs",
+    oracle="""
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+FROM nation n1 JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+ORDER BY regionkey, nation_a, nation_b
+""",
+)
+def q12_join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (regionkey) drives the hash join, the
+    inequality is a residual filter — no cartesian blow-up."""
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+            F.col("n1.n_regionkey").alias("regionkey"),
+        )
+        .orderBy("regionkey", "nation_a", "nation_b")
+    )
+
+
+@query(
+    "q13_range_join",
+    oracle="""
+SELECT b.bucket, count(*) AS n_items, sum(l.l_extendedprice) AS sum_price
+FROM lineitem l
+JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 1000.0, 'big'))
+     b(lo, hi, bucket)
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.bucket
+ORDER BY b.bucket
+""",
+)
+def q13_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join against a tiny bounds table. Scale: broadcast
+    the bounds → BroadcastNestedLoopJoin evaluates the band predicate
+    per row with zero shuffle; for large bounds tables bucketize the
+    range key and equi-join on bucket id instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 1000.0, "big")],
+        "lo double, hi double, bucket string",
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum("l_extendedprice").alias("sum_price"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q14_asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.value, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
+)
+def q14_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before
+    it per user (operators.asof_join — union + running-last window; one
+    shuffle, same cost class as a native ASOF merge join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return joined.select("event_id", "user_id", "value", "click_value").orderBy("event_id")
+
+
+# -------------------------------------------------------- aggregation
+@query(
+    "q15_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       stddev_samp(l_quantity)                 AS sd_qty,
+       var_samp(l_quantity)                    AS var_qty,
+       corr(l_quantity, l_extendedprice)       AS corr_qty_price,
+       covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+       min(l_extendedprice)                    AS min_price,
+       max(l_extendedprice)                    AS max_price,
+       avg(l_extendedprice)                    AS avg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q15_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — all partial-aggregatable (Spark computes
+    moments map-side, merges centrally)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_quantity").alias("sd_qty"),
+            F.var_samp("l_quantity").alias("var_qty"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.avg("l_extendedprice").alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       sum(DISTINCT l_quantity)                  AS sum_distinct_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q16_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates — Catalyst rewrites multi-distinct via expand;
+    at scale prefer approx_count_distinct (q30) when exactness is not
+    required."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q17_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-grain aggregation with grouping_id."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(F.col("gid"), F.col("l_returnflag"), F.col("l_linestatus"))
+    )
+
+
+@query(
+    "q18_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n, sum(o_totalprice) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+)
+def q18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping grains in one pass (expand + single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(F.col("gid"), F.col("o_orderstatus"), F.col("o_orderpriority"))
+    )
+
+
+@query(
+    "q19_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n
+""",
+)
+def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (same Catalyst plan as rollup/cube)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n
+        """
+    )
+
+
+@query(
+    "q20_collect_agg",
+    oracle="""
+SELECT l_returnflag,
+       (SELECT string_agg(s, ',' ORDER BY s)
+        FROM (SELECT DISTINCT l2.l_linestatus AS s FROM lineitem l2
+              WHERE l2.l_returnflag = l.l_returnflag)) AS statuses,
+       count(*) AS n
+FROM lineitem l GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q20_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined to a canonical string (arrays are
+    order-nondeterministic across partitions; sort_array restores
+    determinism)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q21_pivot",
+    oracle="""
+SELECT l_returnflag,
+       sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_open,
+       sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_filled
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for
+    distinct values at scale — that is an extra pass over the data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )

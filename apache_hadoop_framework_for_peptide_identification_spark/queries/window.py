@@ -1,0 +1,266 @@
+"""Window functions, sort/limit/top-k, set ops, sampling, approx aggs
+(SURVEY.md §2B tables 4-6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q22_window_ranking",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       row_number()   OVER w AS rn,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       ntile(4)       OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderstatus, rn
+""",
+)
+def q22_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family. Deterministic order spec (tie-break on
+    o_orderkey) so rank == row_number and the oracle agrees exactly."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    ).orderBy("o_orderstatus", "rn")
+
+
+@query(
+    "q23_window_analytic",
+    oracle="""
+SELECT event_id, user_id,
+       lag(value)  OVER w                                           AS prev_value,
+       lead(value) OVER w                                           AS next_value,
+       first_value(value) OVER w                                    AS first_val,
+       last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)            AS last_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+""",
+)
+def q23_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family: lag/lead/first_value/last_value (full-frame
+    last_value needs the unbounded-following frame in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(wfull).alias("last_val"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q24_window_running",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       sum(o_totalprice)   OVER w AS running_spend,
+       count(*)            OVER w AS running_n,
+       avg(o_totalprice)   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""",
+)
+def q24_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving aggregates over ROWS frames — streaming per
+    partition, constant memory per frame."""
+    o = _t(spark, sf_dir, "orders")
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w3 = base.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.avg("o_totalprice").over(w3).alias("moving_avg_3"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q25_window_range",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_in_band
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def q25_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs ROWS physical) — peers within a
+    10k price band."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q26_sort_nulls",
+    oracle="""
+SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null, o_totalprice
+FROM orders
+ORDER BY status_or_null DESC NULLS LAST, o_totalprice DESC, o_orderkey
+""",
+)
+def q26_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+        "o_totalprice",
+    ).orderBy(
+        F.col("status_or_null").desc_nulls_last(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    )
+
+
+@query(
+    "q27_global_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""",
+)
+def q27_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject — per-partition
+    k-heaps merged on the driver; no full sort at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@query(
+    "q28_set_ops",
+    oracle="""
+WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+UNION ALL
+SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+UNION ALL
+SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+ORDER BY op, k
+""",
+)
+def q28_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except (distinct variants) tagged into one result."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    b = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    tagged = (
+        a.unionByName(b).distinct().select(F.lit("union").alias("op"), "k")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "k"))
+    )
+    return tagged.orderBy("op", "k")
+
+
+@query(
+    "q29_systematic_sample",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_orderkey % 20 = 3
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q29_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (key mod N) — reproducible across
+    engines, unlike seeded bernoulli sampling which is RNG-specific
+    (df.sample(fraction, seed) is exercised in unit tests instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 20 == 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query("q30_approx_aggs", oracle=None)
+def q30_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest-style quantiles).
+    Sketch values are engine-specific → rows-only driver check; the unit
+    test bounds the HLL error vs the exact count instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q31_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)       AS median_qty,
+       quantile_cont(l_extendedprice, 0.9)  AS p90_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q31_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use linear
+    interpolation — matches to float precision)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,106 @@
+"""Structured Streaming operators (SURVEY.md §2B streaming table).
+
+The events fixture replays as a file stream; every operator here is a
+standard streaming transformation, so on a real cluster the same code
+runs against Kafka/files with checkpointed, incremental state. Local
+tests drive them synchronously with availableNow + a memory sink.
+
+Watermarks bound state: a 1-hour watermark on a 1-hour window keeps at
+most ~2 hours of window state per key regardless of total data volume —
+that, not the window itself, is what makes these safe at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+
+# Raw schema of events.parquet under nanosAsLong (ts arrives as long ns).
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream with the same ts normalization as
+    the batch catalog (long ns → timestamp via integer division)."""
+    configure(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "sum_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — state holds
+    only keys newer than the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Enrich a stream with a static dimension (broadcast per micro-batch)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a streaming frame to completion synchronously (availableNow
+    trigger + memory sink) and return the result as a batch DataFrame.
+    Local-test harness only — production sinks are files/foreachBatch."""
+    spark = stream_df.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

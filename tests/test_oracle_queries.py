@@ -1,0 +1,42 @@
+"""The primary correctness gate: every registered query runs through
+BOTH the engine (PySpark) and DuckDB over the same parquet, canonical
+value-hash compared — exactly what the verification driver does at
+sf0.01 (here at TEST_ORACLE_SF_DIR, default sf0.001, for speed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare
+
+from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+WEAK_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, SF_ORACLE).toPandas()
+    duck_pdf = duck.execute(q.oracle).df()
+    report = compare(spark_pdf, duck_pdf)
+    assert report["match"], f"{name}: {report}"
+
+
+@pytest.mark.parametrize("name", WEAK_QUERIES)
+def test_weak_query_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_ORACLE)
+    rows = df.count()
+    assert rows >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
