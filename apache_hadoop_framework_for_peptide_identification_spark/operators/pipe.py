@@ -82,6 +82,47 @@ def _tmp_path(memo: dict[str, str], placeholder: str, workdir: str) -> None:
         memo[placeholder] = path
 
 
+def _parse_fields(schema: str) -> list[tuple[str, str]]:
+    """Split a DDL schema string into (name, type) pairs, respecting
+    parenthesized types like decimal(10,2)."""
+    fields: list[str] = []
+    depth, cur = 0, ""
+    for ch in schema:
+        if ch == "," and depth == 0:
+            fields.append(cur)
+            cur = ""
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur += ch
+    fields.append(cur)
+    out = []
+    for f in fields:
+        parts = f.strip().split(None, 1)
+        out.append((parts[0], parts[1].lower() if len(parts) > 1 else "string"))
+    return out
+
+
+def _coerce_to_schema(out: pd.DataFrame, fields: list[tuple[str, str]]) -> pd.DataFrame:
+    """Coerce the tool's text output to the DECLARED schema — external
+    tools emit text; the declared contract, not pandas inference,
+    decides the types (else an int-looking string column breaks the
+    Arrow boundary)."""
+    for name, typ in fields:
+        s = out[name]
+        if typ in ("int", "integer", "smallint", "tinyint", "bigint", "long"):
+            out[name] = pd.to_numeric(s.replace("", None)).astype("Int64")
+        elif typ in ("float", "double", "real") or typ.startswith("decimal"):
+            out[name] = pd.to_numeric(s.replace("", None)).astype("float64")
+        elif typ == "boolean":
+            out[name] = s.str.lower().map(
+                {"true": True, "false": False, "1": True, "0": False}
+            ).astype("boolean")
+        elif typ in ("timestamp", "date"):
+            out[name] = pd.to_datetime(s.replace("", None))
+    return out
+
+
 def run_chain(
     df: DataFrame,
     spec: ChainSpec,
@@ -132,9 +173,14 @@ def run_chain(
                         f"stderr: {proc.stderr[-2000:]}"
                     )
             # R7: collect outputs as engine rows (commit-safe).
-            names = [c.split()[0] for c in output_schema.split(",")]
+            fields = _parse_fields(output_schema)
+            names = [n for n, _ in fields]
             if os.path.exists(out_path) and os.path.getsize(out_path) > 0:
-                out = pd.read_csv(out_path, sep=sep, header=None, names=names)
+                out = pd.read_csv(
+                    out_path, sep=sep, header=None, names=names,
+                    dtype=str, keep_default_na=False,
+                )
+                out = _coerce_to_schema(out, fields)
             else:
                 out = pd.DataFrame({n: pd.Series(dtype="object") for n in names})
             yield out

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method mirrors BASELINE.md: 1 warm-up run per query, then best of
+N_RUNS (default 3) measured as full collect() latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
+
+# B1-B4 (BASELINE.md) + the LLM-pipeline + E-PIPE headliners.
+HEADLINE = [
+    "q01_scan_filter_agg",
+    "q02_join_revenue_topk",
+    "q03_window_topk_per_group",
+    "q04_tumbling_hourly",
+    "q40_dedup_exact",
+    "q42_dedup_minhash_lsh",
+    "q44_ann_cosine_topk",
+    "q50_pipe_tokens",
+]
+
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
