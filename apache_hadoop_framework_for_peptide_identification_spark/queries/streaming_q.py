@@ -9,7 +9,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..streaming.windows import events_stream, run_to_memory, stream_dedup, tumbling_agg
+from ..streaming.windows import (
+    events_stream,
+    run_foreach_batch,
+    run_to_memory,
+    sliding_agg,
+    stateful_user_totals,
+    stream_dedup,
+    stream_static_join,
+    tumbling_agg,
+)
 from . import query
 
 
@@ -84,4 +93,97 @@ def q53_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q55_stream_sliding",
+    oracle="""
+WITH offs AS (SELECT unnest([0,1,2,3]) AS k)
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15*k) AS window_start,
+       event_type, count(*) AS n_events
+FROM events, offs
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q55_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute window over the file stream, complete
+    mode: every event lands in exactly 4 overlapping windows — the
+    oracle reconstructs them by cross-joining 4 slide offsets."""
+    ev = events_stream(spark, sf_dir)
+    agg = sliding_agg(ev, "1 hour", "15 minutes")
+    return run_to_memory(agg, output_mode="complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "q56_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       sum(e.value) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q56_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrich: events stream joined to the customer
+    dimension (broadcast per micro-batch), rolled up by market segment.
+    At scale the dim is broadcast once per batch — no stream shuffle."""
+    ev = events_stream(spark, sf_dir).withColumnRenamed("user_id", "c_custkey")
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(ev, dim, "c_custkey").filter(F.col("c_mktsegment").isNotNull())
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("segment")
+
+
+@query(
+    "q57_foreach_batch_sink",
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q57_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: stream micro-batches land via the batch
+    parquet writer, then the landed files are read back and verified
+    against the batch rollup — proves no rows lost or duplicated
+    across the sink boundary."""
+    import shutil
+    import tempfile
+
+    ev = events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="fb_out_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    shutil.rmtree(out_dir)  # writer creates it
+    run_foreach_batch(ev, out_dir, ckpt)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q58_stateful_running_totals",
+    oracle="""
+SELECT user_id, count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q58_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key operator (applyInPandasWithState):
+    running (count, sum) per user; the final cumulative emission per
+    user must equal the batch group-by. Emissions are cumulative per
+    micro-batch, so take the max per key — batch-count invariant."""
+    ev = events_stream(spark, sf_dir)
+    out = run_to_memory(stateful_user_totals(ev), output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
+        .orderBy("user_id")
     )

@@ -85,6 +85,57 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom per-key stateful operator (applyInPandasWithState): keeps
+    a running (count, sum) per user across micro-batches and emits the
+    cumulative totals each batch. The §2B 'stateful per-key logic' row.
+
+    State is two scalars per key — O(distinct keys), not O(rows); at
+    100 TB the state store holds one tiny tuple per user regardless of
+    event volume. transformWithStateInPandas is the newer API; this is
+    the stable one (SURVEY.md §7 risk 6).
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_foreach_batch(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """foreachBatch sink: reuse the batch parquet writer per micro-batch
+    (the §2B foreachBatch row). Exactly-once via the checkpoint +
+    batch-id contract — a replayed batch overwrites idempotently on
+    real sinks; append is fine for availableNow replay tests."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str | None = None,
