@@ -57,3 +57,4 @@ from . import scalar_funcs  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import epipe  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import udf_surface  # noqa: E402,F401

@@ -1,0 +1,200 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B UDF table): one
+oracle-verified query per extension-point row. These exist to prove
+the Python extension boundary end-to-end — schema declaration, Arrow
+batch transfer, worker-side package shipping — NOT as the recommended
+way to compute these particular answers (each docstring notes the
+built-in that would beat the UDF; the hot path belongs JVM-side).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q60_scalar_udf",
+    oracle="""
+SELECT CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS band,
+       count(*) AS n, sum(l_extendedprice) AS sum_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def q60_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (the discouraged path — shown
+    for surface completeness; q61 is the vectorized form and
+    F.when the JVM form that should win at scale)."""
+
+    @F.udf("string")
+    def band(d):
+        return "high" if d is not None and d >= 0.05 else "low"
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(band("l_discount").alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("sum_price"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "q61_pandas_udf_charge",
+    oracle="""
+SELECT l_returnflag,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def q61_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow batch transfer): charge =
+    price*(1-disc)*(1+tax) computed on pandas Series. ~10-100x the
+    row-at-a-time form; still loses to pure column arithmetic."""
+
+    @pandas_udf("double")
+    def charge(p: pd.Series, d: pd.Series, t: pd.Series) -> pd.Series:
+        return p * (1 - d) * (1 + t)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("c", charge("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("c").alias("sum_charge"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q62_grouped_map_zscore",
+    oracle="""
+WITH z AS (
+  SELECT l_returnflag, l_linestatus,
+         (l_quantity - avg(l_quantity) OVER w) / stddev_samp(l_quantity) OVER w AS z
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_returnflag, l_linestatus))
+SELECT l_returnflag, l_linestatus, max(abs(z)) AS max_abs_z, count(*) AS n
+FROM z GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q62_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per (returnflag, linestatus) group,
+    z-score l_quantity with pandas then reduce to max|z| per group.
+    Shuffles the whole group to one worker — correct only because
+    group cardinality is bounded (window functions are the unbounded
+    alternative, see the oracle)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        z = (pdf.l_quantity - pdf.l_quantity.mean()) / pdf.l_quantity.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf.l_returnflag.iloc[0]],
+                "l_linestatus": [pdf.l_linestatus.iloc[0]],
+                "max_abs_z": [float(z.abs().max())],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus", "l_quantity")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(
+            zscore,
+            "l_returnflag string, l_linestatus string, max_abs_z double, n bigint",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q63_grouped_agg_udaf",
+    oracle="""
+SELECT l_returnflag,
+       sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def q63_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: quantity-weighted average price per
+    return flag. NOTE the scale caveat — a grouped-agg pandas UDF has
+    no partial aggregation (full group data crosses to Python);
+    the sum()/sum() decomposition in the oracle is the 100 TB form."""
+
+    @pandas_udf("double")
+    def wavg(p: pd.Series, q: pd.Series) -> float:
+        return float((p * q).sum() / q.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q64_map_in_pandas",
+    oracle="""
+SELECT count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS sum_rev
+FROM lineitem
+WHERE l_extendedprice * (1 - l_discount) > 2000
+""",
+)
+def q64_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-batch transform: per Arrow batch, compute
+    revenue and pre-filter/pre-aggregate IN PYTHON, emitting one
+    partial row per batch that the JVM combines — the map-side-combine
+    discipline that keeps a Python stage viable at scale."""
+
+    def per_batch(batches):
+        for pdf in batches:
+            rev = pdf.l_extendedprice * (1 - pdf.l_discount)
+            keep = rev[rev > 2000]
+            yield pd.DataFrame({"pn": [len(keep)], "ps": [float(keep.sum())]})
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_discount")
+    partials = li.mapInPandas(per_batch, "pn bigint, ps double")
+    return partials.agg(F.sum("pn").alias("n"), F.sum("ps").alias("sum_rev"))
+
+
+@query(
+    "q65_python_udtf",
+    oracle="""
+SELECT t.w AS word, count(*) AS n
+FROM (SELECT text FROM documents WHERE doc_id < 20) d,
+     unnest(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS t(w)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q65_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, row → rows): tokenize document
+    text via a lateral join. The built-in equivalent is
+    explode(split(...)) — the UDTF exists for logic too imperative
+    for SQL lambdas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string")
+    class Words:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("words_udtf", Words)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).select("text")
+    docs.createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT t.word, count(*) AS n
+        FROM docs_udtf_v, LATERAL words_udtf(text) t
+        GROUP BY 1 ORDER BY 1
+        """
+    )
