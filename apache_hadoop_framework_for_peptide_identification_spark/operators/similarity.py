@@ -67,6 +67,182 @@ def cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold.
+
+    This is the CORRECTNESS BASELINE — an all-pairs self-join,
+    inherently quadratic. Use it for validation corpora; the 100 TB
+    path is embedding_neardup_lsh below (bucket-bounded shuffle,
+    identical per-pair math, recall controlled by bits/bands)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("vec_a")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vec_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (l2_norm(F.col("vec_a")) * l2_norm(F.col("vec_b")))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH banding generates
+    candidate pairs (equi-join on (band, bucket) — shuffle bounded by
+    bucket sizes, never all-pairs), then the EXACT cosine filter keeps
+    only true near-dups. Precision is exact by construction; recall is
+    the LSH collision probability (1-θ/π per bit), tuned via
+    bits/bands for the target threshold."""
+    bits_per_band = bits // bands
+    sig_schema = f"{id_col} long, embedding array<float>, lsh_sig long"
+    sig = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
+        _hyperplane_signature_udf(dim, bits, seed), sig_schema
+    )
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("lsh_sig"), b * bits_per_band)
+                            % (1 << bits_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vec", "bb.band", "bb.bucket")
+    other = banded.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "bucket"
+    )
+    cands = (
+        banded.join(other, ["band", "bucket"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b", F.col("vec").alias("vec_a"), "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        (
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (l2_norm(F.col("vec_a")) * l2_norm(F.col("vec_b")))
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine: the §2B 'IVF variant as the
+    scale path' row.
+
+    - Coarse quantizer: n_cells centroids chosen as a deterministic
+      seeded sample of corpus vectors (normalized). One tiny broadcast.
+    - Assign: each corpus vector goes to its nearest centroid — one
+      Arrow-batched numpy pass, output is (id, vec, cell).
+    - Probe: each query scans only its n_probe nearest cells — the
+      candidate equi-join shuffles on `cell`, never the full corpus.
+    - Exact cosine re-rank inside probed cells.
+
+    At 100 TB the corpus would be written PARTITIONED BY cell so a
+    probe prunes files at scan time; recall is n_probe/n_cells-tunable.
+    """
+    import numpy as np
+
+    cvecs = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(F.pmod(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.lit(10**9)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cvecs])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign(n_top: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                    continue
+                mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = mat @ cents.T  # (n, n_cells)
+                top = np.argsort(-sims, axis=1)[:, :n_top]  # (n, n_top)
+                out = pdf.loc[pdf.index.repeat(n_top)].reset_index(drop=True)
+                out["cell"] = top.ravel().astype("int32")
+                yield out
+
+        return fn
+
+    c_schema = f"{id_col} long, embedding array<float>, cell int"
+    assigned = corpus.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
+        assign(1), c_schema
+    )
+    probed = queries.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
+        assign(n_probe), c_schema
+    )
+    q = probed.select(
+        F.col(id_col).alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+        "cell",
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("n_vec")))
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def _hyperplane_signature_udf(dim: int, bits: int, seed: int):
     """mapInPandas fn adding a packed LSH signature column: sign bits of
     dot(v, plane_j) for ``bits`` seeded random hyperplanes."""

@@ -267,3 +267,51 @@ def q54_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("bigint").alias("n_bytes"),
         F.md5("text").alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q66_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def q66_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT baseline (all-pairs
+    self-join — validation corpora only; q67 is the LSH scale path).
+    Threshold 0.4 because the synthetic fixture has no true dups
+    (max pairwise cos ~0.51)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("q67_embedding_neardup_lsh", oracle=None)
+def q67_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH banding + exact cosine
+    filter — candidate shuffle bounded by bucket sizes, never
+    all-pairs. Precision exact by construction; recall vs q66 asserted
+    in tests/test_similarity.py on perturbed-duplicate data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, bits=32, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@query("q68_ann_ivf", oracle=None)
+def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-5 (seeded coarse quantizer, n_probe cells per
+    query, exact in-cell re-rank). Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=16, n_probe=8)
+    return out.select(
+        "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
+    ).orderBy("q_id", "rn")

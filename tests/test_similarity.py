@@ -1,0 +1,87 @@
+"""Similarity/ANN operator tests: recall of the approximate paths
+(hyperplane-LSH, IVF-Flat) against exact brute force, measured on data
+with GENUINE near-duplicates (the synthetic fixture embeddings are
+random — max pairwise cos ~0.51 — so true-dup recall is built here by
+perturbing copies)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity
+
+DIM = 64
+N_BASE = 200
+N_DUPS = 40
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """N_BASE random unit vectors + N_DUPS slightly-perturbed copies of
+    the first N_DUPS (cos(original, copy) > 0.99). Copy ids are
+    original_id + 10_000."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # ||noise|| ~ 0.01*sqrt(64) = 0.08 → cos(orig, copy) ~ 0.997
+    noise = 0.01 * rng.standard_normal((N_DUPS, DIM))
+    dups = base[:N_DUPS] + noise
+    rows = [(i, base[i].astype(float).tolist()) for i in range(N_BASE)] + [
+        (10_000 + i, dups[i].astype(float).tolist()) for i in range(N_DUPS)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_exact_neardup_finds_planted_dups(dup_corpus):
+    got = _pairs(
+        similarity.embedding_neardup_pairs(dup_corpus, threshold=0.95)
+    )
+    expected = {(i, 10_000 + i) for i in range(N_DUPS)}
+    assert expected <= got
+    # and nothing else — random pairs sit far below 0.95
+    assert got == expected
+
+
+def test_lsh_neardup_recall_and_precision(dup_corpus):
+    exact = _pairs(similarity.embedding_neardup_pairs(dup_corpus, threshold=0.95))
+    approx = _pairs(
+        similarity.embedding_neardup_lsh(
+            dup_corpus, threshold=0.95, bits=32, bands=16, dim=DIM
+        )
+    )
+    # Precision exact by construction (candidates pass the exact filter)
+    assert approx <= exact
+    # Recall: 16 bands x 2 bits at cos>=0.99 collide with prob ~1
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"LSH near-dup recall {recall}"
+
+
+def test_ivf_recall_vs_brute_force(dup_corpus):
+    queries = dup_corpus.filter("vec_id >= 10000")  # the perturbed copies
+    exact = similarity.cosine_topk(dup_corpus, queries, k=1).collect()
+    approx = similarity.ivf_topk(
+        dup_corpus, queries, k=1, n_cells=16, n_probe=8
+    ).collect()
+    # For a perturbed copy, the true nearest neighbor is its original.
+    exact_nn = {r["q_id"]: r["n_id"] for r in exact}
+    assert exact_nn == {10_000 + i: i for i in range(N_DUPS)}
+    approx_nn = {r["q_id"]: r["n_id"] for r in approx}
+    hits = sum(approx_nn.get(q) == n for q, n in exact_nn.items())
+    assert hits / len(exact_nn) >= 0.9, f"IVF recall@1 {hits / len(exact_nn)}"
+
+
+def test_lsh_ann_recall_vs_brute_force(dup_corpus):
+    queries = dup_corpus.filter("vec_id >= 10000")
+    exact = similarity.cosine_topk(dup_corpus, queries, k=1).collect()
+    approx = similarity.lsh_ann_topk(
+        dup_corpus, queries, k=1, bits=16, bands=8, dim=DIM
+    ).collect()
+    exact_nn = {r["q_id"]: r["n_id"] for r in exact}
+    approx_nn = {r["q_id"]: r["n_id"] for r in approx}
+    hits = sum(approx_nn.get(q) == n for q, n in exact_nn.items())
+    assert hits / len(exact_nn) >= 0.9, f"LSH ANN recall@1 {hits / len(exact_nn)}"
