@@ -58,3 +58,4 @@ from . import llm  # noqa: E402,F401
 from . import epipe  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
+from . import sources_q  # noqa: E402,F401

@@ -1,0 +1,131 @@
+"""Source/sink queries (SURVEY.md §2B sources table): every format the
+engine reads/writes proven by a write→read-back roundtrip whose final
+aggregate the DuckDB oracle checks against the ORIGINAL parquet — a
+roundtrip that loses or mangles rows cannot match.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import multimodal
+from ..sources import readers
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q70_parquet_partitioned_sink",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS sum_price
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def q70_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + scan-back: orders written
+    PARTITIONED BY o_orderpriority, read back, re-aggregated. At scale
+    partitionBy is what makes `WHERE o_orderpriority = ...` a
+    partition-pruned scan instead of a full read."""
+    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    orders = _t(spark, sf_dir, "orders")
+    readers.write_parquet(orders, out, partition_by=["o_orderpriority"])
+    back = readers.read_parquet(spark, out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q71_csv_roundtrip",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal
+FROM customer GROUP BY 1 ORDER BY 1
+""",
+)
+def q71_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headered CSV sink + schema'd scan-back (the typed replacement
+    for the reference's DATA_HEADER text contract, Driver.java:91-108)."""
+    out = tempfile.mkdtemp(prefix="sink_csv_")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    readers.write_csv(cust, out)
+    back = readers.read_csv(
+        spark, out, schema="c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_acctbal").alias("sum_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q72_json_roundtrip",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY 1 ORDER BY 1
+""",
+)
+def q72_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited JSON sink + schema'd scan-back."""
+    out = tempfile.mkdtemp(prefix="sink_json_")
+    nation = _t(spark, sf_dir, "nation")
+    readers.write_json(nation, out)
+    back = readers.read_json(
+        spark, out, schema="n_nationkey long, n_name string, n_regionkey long"
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.sum("n_nationkey").alias("key_sum"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q73_text_scan",
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(sum(len(replace(text, chr(10), ' '))) AS BIGINT) AS total_chars
+FROM documents
+""",
+)
+def q73_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-line text sink + scan (the reference's TextInputFormat
+    semantics, ExecutorMapper.java:38): one `value: string` column,
+    one row per line. Newlines flattened on write so line count ==
+    doc count."""
+    out = tempfile.mkdtemp(prefix="sink_text_")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", "\n", " ").alias("value")
+    )
+    docs.write.mode("overwrite").text(out)
+    back = readers.read_text(spark, out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+    )
+
+
+@query("q69_multimodal_decode", oracle=None)
+def q69_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + frame-sample plumbing over binary payloads
+    (deterministic fake decode — codec libs absent; see
+    operators/multimodal.py): payload → (width, height, channels) and
+    3 sampled frames per doc, joined on doc_id. Schema/batch shapes
+    are the real contract; determinism asserted in
+    tests/test_multimodal.py."""
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    with_payload = multimodal.attach_payload(docs)
+    decoded = multimodal.decode_image(with_payload, fake=True)
+    frames = multimodal.frame_sample(with_payload, n_frames=3)
+    frame_counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return decoded.join(frame_counts, "doc_id").orderBy("doc_id")
