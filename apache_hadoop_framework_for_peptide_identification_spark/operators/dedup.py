@@ -102,12 +102,23 @@ def minhash_signatures(
     hashes are cheap long→long rehashes computed as H plain min()
     aggregates — so partial aggregation runs map-side and the shuffle
     carries only H longs per document. The naive nested-lambda form
-    (re-deriving the shingle array per hash function) is 60-100x
-    slower at sf0.1 and would melt at scale.
+    (re-deriving the shingle array per hash function, or running the
+    H rehash+min passes inside interpreted array lambdas) measured
+    2-4x slower at sf0.1 and would melt at scale.
+
+    The explicit repartition spreads the explode+hash work across the
+    full cluster regardless of input file layout — a single fat input
+    file must not serialize the hashing into one task. (Explicit count,
+    not repartition(col): AQE would coalesce a small column-repartition
+    back to one partition.)
     """
-    base = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).select("id", F.xxhash64("sh").alias("h"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(parallelism)
+        .select("id", F.explode(shingles(F.col("t"), shingle_n)).alias("sh"))
+        .select("id", F.xxhash64("sh").alias("h"))
+    )
     return base.groupBy("id").agg(
         *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     )
