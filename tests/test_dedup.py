@@ -1,0 +1,108 @@
+"""Dedup operator tests (referenced from q42's docstring): MinHash-LSH
+recall against exact n-gram Jaccard on planted near-duplicate texts,
+SimHash locality, and exact-dedup keeper semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+# Vocabulary large enough that two random docs share few tokens —
+# otherwise every doc is genuinely similar in bag-of-words space and
+# locality tests can't separate planted dups from background.
+WORDS = [f"w{i:04d}" for i in range(5000)]
+
+
+def _doc(rng: random.Random, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _perturb(rng: random.Random, text: str, n_edits: int = 3) -> str:
+    """Edit a few words — keeps 3-gram Jaccard high (> ~0.7)."""
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """100 random docs + 20 lightly-edited copies (ids 1000+i of doc i)."""
+    rng = random.Random(11)
+    base = [_doc(rng) for _ in range(100)]
+    rows = [(i, base[i]) for i in range(100)] + [
+        (1000 + i, _perturb(rng, base[i])) for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    rows = [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "bb"), (6, "cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df, ["text"], "doc_id").collect())
+    assert kept == [1, 2, 6]
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(dup_docs):
+    """Every pair with true Jaccard >= 0.6 must surface as an LSH
+    candidate (recall at b=16, r=4 for s=0.6 is 1-(1-0.6^4)^16 ~ 0.90;
+    the planted pairs sit well above 0.6 so empirical recall is ~1)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(dup_docs, "doc_id", "text", n=3, threshold=0.6)
+        .collect()
+    }
+    planted = {p for p in exact if p[1] >= 1000}
+    assert len(planted) >= 15, "perturbation too strong — fixture broken"
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            dup_docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+        ).collect()
+    }
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall} over {len(exact)} true pairs"
+
+
+def test_minhash_partition_invariance(dup_docs):
+    a = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(dup_docs.repartition(1), "doc_id", "text")
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(dup_docs.repartition(13), "doc_id", "text")
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_simhash_locality(dup_docs):
+    """Planted near-dups land within small Hamming distance; random
+    pairs concentrate near 32 bits."""
+    sims = {
+        r["doc_id"]: r["sh"]
+        for r in dup_docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    dup_dists = [_hamming(sims[i], sims[1000 + i]) for i in range(20)]
+    rand_dists = [_hamming(sims[i], sims[(i + 37) % 100]) for i in range(50)]
+    assert max(dup_dists) <= 16, f"near-dup simhash too far: {dup_dists}"
+    assert sum(rand_dists) / len(rand_dists) >= 24, f"random pairs too close: {rand_dists}"

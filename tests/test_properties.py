@@ -1,0 +1,94 @@
+"""Property-based spot checks (SURVEY.md §5.2 item 5): random small
+frames through engine operators vs pandas reference semantics.
+max_examples kept low — each example is a Spark job; these are
+structure probes, not fuzzing marathons."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),  # key
+        st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),  # v
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),  # x
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@given(rows=rows_strategy, threshold=st.integers(min_value=-5, max_value=5))
+@SETTINGS
+def test_filter_count_matches_pandas(sess, rows, threshold):
+    df = sess.createDataFrame(rows, "k int, v long, x double") if rows else None
+    if df is None:
+        return
+    got = df.filter(F.col("k") > threshold).count()
+    pdf = pd.DataFrame(rows, columns=["k", "v", "x"])
+    assert got == int((pdf.k > threshold).sum())
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_groupby_sum_matches_pandas_null_semantics(sess, rows):
+    """SQL sum skips NULLs and returns NULL for all-NULL groups —
+    pandas sum(min_count=1) reproduces that."""
+    if not rows:
+        return
+    df = sess.createDataFrame(rows, "k int, v long, x double")
+    got = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"))
+        .collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v", "x"])
+    for k, grp in pdf.groupby("k"):
+        s = grp.v.sum(min_count=1)
+        expected = (None if pd.isna(s) else int(s), int(grp.v.notna().sum()))
+        assert got[k] == expected, (k, got[k], expected)
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_topk_is_sorted_prefix(sess, rows, k):
+    if not rows:
+        return
+    df = sess.createDataFrame(rows, "k int, v long, x double")
+    got = [r["x"] for r in df.orderBy(F.col("x").desc()).limit(k).collect()]
+    expected = sorted((r[2] for r in rows), reverse=True)[:k]
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert math.isclose(g, e, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_distinct_union_roundtrip(sess, rows):
+    """unionByName(df, df).distinct() == df.distinct() — set semantics."""
+    if not rows:
+        return
+    df = sess.createDataFrame(rows, "k int, v long, x double")
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    a = sorted(map(tuple, df.unionByName(df).distinct().collect()), key=nullsafe)
+    b = sorted(map(tuple, df.distinct().collect()), key=nullsafe)
+    assert a == b

@@ -1,0 +1,122 @@
+"""Streaming semantics tests (SURVEY.md §5.2 item 4): watermark /
+late-data behavior that the oracle queries can't express — a late row
+arriving after the watermark passed its window must be DROPPED, and
+append mode must emit a window only once its watermark closes.
+
+Technique: one checkpointed query driven in successive availableNow
+runs; each run appends new files to the source dir, so watermark state
+carries across runs exactly as across micro-batches in production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def stream_env(spark, tmp_path):
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return spark, str(src), str(ckpt)
+
+
+def _append_events(spark, src, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    df.coalesce(1).write.mode("append").parquet(src)
+
+
+def _drive(stream_df, ckpt):
+    """Drive one availableNow pass through a checkpointed foreachBatch
+    sink (memory sink can't recover from a checkpoint) and return the
+    rows emitted during THIS run."""
+    emitted = []
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, bid: emitted.extend(bdf.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return emitted
+
+
+def _run_once(spark, src, ckpt, name):
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return {r["window_start"].isoformat(): r["n"] for r in _drive(agg, ckpt)}
+
+
+def test_watermark_drops_late_rows_and_append_emits_once(stream_env):
+    from datetime import datetime as dt
+
+    spark, src, ckpt = stream_env
+
+    # Run 1: two rows in the 10:00 window, one at 11:30 that pushes the
+    # watermark to 11:00. availableNow finishes with a no-data batch
+    # that finalizes the watermark, so the closed 10:00 window emits
+    # within this run already — once, with n=2.
+    _append_events(
+        spark,
+        src,
+        [
+            (1, dt(2024, 1, 1, 10, 5), 1),
+            (2, dt(2024, 1, 1, 10, 10), 1),
+            (3, dt(2024, 1, 1, 11, 30), 1),
+        ],
+    )
+    out1 = _run_once(spark, src, ckpt, "late_run1")
+    assert out1 == {"2024-01-01T10:00:00": 2}, f"10:00 window wrong: {out1}"
+
+    # Run 2: a LATE row for the already-closed 10:00 window (10:20 <
+    # watermark 11:00) must be DROPPED — no re-emission, no update.
+    # The 12:30 row advances the watermark to 12:00, closing the 11:00
+    # window (event 3 only).
+    _append_events(
+        spark,
+        src,
+        [
+            (4, dt(2024, 1, 1, 10, 20), 1),  # late -> dropped
+            (5, dt(2024, 1, 1, 12, 30), 1),
+        ],
+    )
+    out2 = _run_once(spark, src, ckpt, "late_run2")
+    assert out2 == {"2024-01-01T11:00:00": 1}, (
+        f"late row must be dropped and 10:00 never re-emitted: {out2}"
+    )
+
+    # Run 3: 13:30 advances the watermark past 13:00 -> the 12:00
+    # window (event 5) closes with n=1.
+    _append_events(spark, src, [(6, dt(2024, 1, 1, 13, 30), 1)])
+    out3 = _run_once(spark, src, ckpt, "late_run3")
+    assert out3 == {"2024-01-01T12:00:00": 1}, f"wrong 12:00 window: {out3}"
+
+
+def test_stream_dedup_drops_duplicate_ids_across_batches(stream_env):
+    from datetime import datetime as dt
+
+    spark, src, ckpt = stream_env
+    _append_events(spark, src, [(1, dt(2024, 1, 1, 10, 0), 1), (2, dt(2024, 1, 1, 10, 1), 1)])
+
+    def run(name):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+        return sorted(r["event_id"] for r in _drive(deduped, ckpt))
+
+    assert run("dd_run1") == [1, 2]
+    # Batch 2 re-sends event 2 (within the watermark horizon) — state
+    # remembers it; only the new id 3 survives.
+    _append_events(spark, src, [(2, dt(2024, 1, 1, 10, 1), 1), (3, dt(2024, 1, 1, 10, 2), 1)])
+    assert run("dd_run2") == [3]
