@@ -608,3 +608,61 @@ def q21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_filled")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q74_salted_agg",
+    oracle="""
+SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q74_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): events has
+    few event_type values — exactly the hot-key shape where a plain
+    groupBy funnels everything into a handful of reducers at scale.
+    Salting on event_id spreads phase 1 over 32 buckets; phase 2
+    merges partials. Must equal the plain group-by bit-for-bit."""
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", "event_id", "n"),
+            ("sum", "value", "sum_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        salt_cols=["event_id"],
+        buckets=32,
+    ).orderBy("event_type")
+
+
+@query(
+    "q75_salted_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n, sum(o.o_totalprice) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q75_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py): big side salted
+    per-row on o_orderkey, small side replicated buckets x, equi-join
+    on (custkey, salt). Must equal the plain join exactly."""
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    joined = salted_join(o, c, on=["o_custkey"], salt_cols=["o_orderkey"], buckets=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sum_price"))
+        .orderBy("segment")
+    )
