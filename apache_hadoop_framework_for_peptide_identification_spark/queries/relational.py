@@ -666,3 +666,53 @@ def q75_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("sum_price"))
         .orderBy("segment")
     )
+
+
+@query(
+    "q76_declarative_plan",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_orders,
+       sum(o.o_totalprice) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 50000
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q76_declarative_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative JSON plan spec (plans/relational_spec.py) — the
+    reference's config-driven job model (properties.json,
+    Driver.java:66-85) generalized to relational plans. Expressions go
+    through F.expr, so Catalyst optimizes the spec'd plan identically
+    to the coded one."""
+    from ..plans.relational_spec import build_plan
+
+    spec = {
+        "source": {"table": "orders"},
+        "ops": [
+            {"op": "filter", "condition": "o_totalprice > 50000"},
+            {
+                "op": "join",
+                "right": {
+                    "source": {"table": "customer"},
+                    "ops": [
+                        {"op": "select", "exprs": ["c_custkey AS o_custkey", "c_mktsegment"]}
+                    ],
+                },
+                "on": ["o_custkey"],
+                "broadcast": True,
+            },
+            {
+                "op": "groupBy",
+                "keys": ["c_mktsegment"],
+                "aggs": [
+                    {"expr": "count(*)", "alias": "n_orders"},
+                    {"expr": "sum(o_totalprice)", "alias": "sum_price"},
+                ],
+            },
+            {"op": "withColumn", "name": "segment", "expr": "c_mktsegment"},
+            {"op": "select", "exprs": ["segment", "n_orders", "sum_price"]},
+            {"op": "orderBy", "keys": ["segment"]},
+        ],
+    }
+    return build_plan(spark, sf_dir, spec)

@@ -247,3 +247,26 @@ def q38_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2(F.col("text"), 256).alias("text_sha256"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q39_try_cast",
+    oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS INTEGER)                       AS lang_as_int,
+       TRY_CAST(CAST(doc_id AS VARCHAR) AS INTEGER)    AS id_roundtrip,
+       TRY_CAST(substr(text, 1, 1) AS DOUBLE)          AS first_char_num
+FROM documents ORDER BY doc_id
+""",
+)
+def q39_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casts: the engine pins spark.sql.ansi.enabled=true
+    (session.RUNTIME_CONFS), so a bad CAST errors; try_cast is the
+    explicit NULL-on-failure opt-out, matching DuckDB TRY_CAST."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("doc_id").cast("string").try_cast("int").alias("id_roundtrip"),
+        F.substring("text", 1, 1).try_cast("double").alias("first_char_num"),
+    ).orderBy("doc_id")

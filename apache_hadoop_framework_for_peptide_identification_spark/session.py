@@ -28,6 +28,10 @@ from pyspark.sql import SparkSession
 # session at runtime — all of these are runtime-settable SQL confs.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Pinned, not defaulted (SURVEY.md §7 risk 2): ANSI errors on
+    # overflow/bad casts keep engine semantics aligned with the DuckDB
+    # oracle; try_* variants are the explicit opt-out (q39).
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
