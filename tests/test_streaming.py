@@ -120,3 +120,25 @@ def test_stream_dedup_drops_duplicate_ids_across_batches(stream_env):
     # remembers it; only the new id 3 survives.
     _append_events(spark, src, [(2, dt(2024, 1, 1, 10, 1), 1), (3, dt(2024, 1, 1, 10, 2), 1)])
     assert run("dd_run2") == [3]
+
+
+def test_rate_micro_batch_source(spark, tmp_path):
+    """The deterministic rate source (§2B 'rate source for tests'):
+    rate-micro-batch emits exactly rowsPerBatch rows per micro-batch
+    with monotonically increasing values."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 5)
+        .option("numPartitions", 2)
+        .load()
+    )
+    emitted = []
+    q = (
+        stream.writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    values = sorted(r["value"] for r in emitted)
+    assert values == list(range(len(values))) and len(values) >= 5
