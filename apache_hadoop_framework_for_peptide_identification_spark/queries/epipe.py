@@ -56,3 +56,22 @@ def q50_pipe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = run_chain(d, TOKEN_CHAIN, "doc_id long, n_tokens long")
     return out.orderBy("doc_id")
+
+
+@query(
+    "q77_pipe_lines",
+    oracle="""
+SELECT text AS value FROM documents
+WHERE text LIKE '%the%' ORDER BY value
+""",
+)
+def q77_pipe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipe_lines (§2B E-PIPE table): the simpler stdin/stdout
+    line-streaming variant of the external-process operator — document
+    lines piped through a grep filter, stdout lines back as rows. One
+    external process per partition, zero shuffle until the
+    presentation sort."""
+    from ..operators.pipe import pipe_lines
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return pipe_lines(d, ["grep", "the"]).orderBy("value")
