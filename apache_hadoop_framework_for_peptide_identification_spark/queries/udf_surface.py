@@ -198,3 +198,32 @@ def q65_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@query(
+    "q78_windowed_udaf",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       sum(o_totalprice) OVER (PARTITION BY o_custkey) / count(*) OVER (PARTITION BY o_custkey)
+           AS cust_avg_price
+FROM orders WHERE o_custkey < 50 ORDER BY o_orderkey
+""",
+)
+def q78_windowed_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF applied OVER A WINDOW (the §2B
+    'usable over windows' clause): per-customer mean attached to every
+    row without collapsing the frame."""
+    from pyspark.sql import Window
+
+    @pandas_udf("double")
+    def mean_udaf(v: pd.Series) -> float:
+        return float(v.mean())
+
+    w = Window.partitionBy("o_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        mean_udaf("o_totalprice").over(w).alias("cust_avg_price"),
+    ).orderBy("o_orderkey")
