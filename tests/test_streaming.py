@@ -142,3 +142,55 @@ def test_rate_micro_batch_source(spark, tmp_path):
     q.awaitTermination()
     values = sorted(r["value"] for r in emitted)
     assert values == list(range(len(values))) and len(values) >= 5
+
+
+def test_streaming_session_window_emits_after_watermark(stream_env):
+    """Streaming-mode session_window (q53 runs it in batch mode): a
+    gap-based session finalizes only once the watermark passes
+    session_end + gap, emitting exactly one row per session."""
+    from datetime import datetime as dt
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import session_agg
+
+    spark, src, ckpt = stream_env
+    # Session A: user 1, events 10:00/10:10 (gap 30m -> ends 10:40).
+    _append_events(
+        spark, src, [(1, dt(2024, 1, 1, 10, 0), 1), (2, dt(2024, 1, 1, 10, 10), 1)]
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        agg = session_agg(stream.withColumn("value", F.lit(0.0)), gap="30 minutes",
+                          watermark="30 minutes")
+        return {
+            (r["user_id"], r["session_start"].isoformat()): r["n_events"]
+            for r in _drive(agg, ckpt)
+        }
+
+    assert run() == {}, "session emitted before watermark passed its end"
+    # A much later event pushes the watermark past 10:40 -> session A
+    # emits with n=2; the new event's own session stays open.
+    _append_events(spark, src, [(3, dt(2024, 1, 1, 13, 0), 1)])
+    assert run() == {(1, "2024-01-01T10:00:00"): 2}
+
+
+def test_map_in_arrow_batch_transform(spark):
+    """mapInArrow (§2B map-partitions row): pyarrow RecordBatch in,
+    RecordBatch out — the lowest-overhead Python boundary."""
+    import pyarrow as pa
+
+    def double_vals(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            out = tbl.set_column(
+                tbl.schema.get_field_index("v"),
+                "v",
+                pa.compute.multiply(tbl["v"], pa.scalar(2.0)),
+            )
+            yield from out.to_batches()
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    got = df.mapInArrow(double_vals, "id long, v double").agg(F.sum("v")).first()[0]
+    assert got == sum(2.0 * i for i in range(100))
