@@ -219,3 +219,58 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, prefix_bits: i
             F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim"))).alias("hamming"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over candidate-pair edges → (id, cluster_id)
+    with cluster_id = min node id in the component. This is the step
+    that turns near-dup PAIRS into dedup CLUSTERS (keep min id per
+    cluster, drop the rest).
+
+    Hash-min label propagation as iterative DataFrame joins
+    (GraphFrames-free): each round every node takes the min label among
+    itself and its neighbors; converges in O(component diameter)
+    rounds. The driver loop iterates over PLANS, not data — per round
+    one shuffle keyed on node id, and localCheckpoint() truncates the
+    lineage so plan size stays constant. Near-dup graphs have tiny
+    diameters (dup clusters are cliques-ish), so rounds ~ 2-3 in
+    practice; for adversarial long-chain graphs at 100 TB switch to
+    the large-star/small-star variant (O(log n) rounds, same join
+    shape).
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

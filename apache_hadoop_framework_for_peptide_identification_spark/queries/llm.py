@@ -315,3 +315,47 @@ def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
     ).orderBy("q_id", "rn")
+
+
+@query(
+    "q79_dedup_clusters",
+    oracle="""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node ORDER BY doc_id
+""",
+)
+def q79_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: exact n-gram Jaccard edges (same threshold as
+    q41) fed through iterative hash-min connected components
+    (operators/dedup.py). cluster_id = min doc in the component — the
+    keeper under keep-min dedup. Oracle reconstructs components with a
+    recursive CTE. The LSH scale path swaps only the edge generator
+    (minhash_lsh_candidates), the clustering is identical."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    edges = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return (
+        dedup.connected_components(edges)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )

@@ -106,3 +106,35 @@ def test_simhash_locality(dup_docs):
     rand_dists = [_hamming(sims[i], sims[(i + 37) % 100]) for i in range(50)]
     assert max(dup_dists) <= 16, f"near-dup simhash too far: {dup_dists}"
     assert sum(rand_dists) / len(rand_dists) >= 24, f"random pairs too close: {rand_dists}"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A long chain (worst-case diameter) plus separate islands all
+    resolve to min-id labels."""
+    chain = [(i, i + 1) for i in range(20)]          # one 21-node chain
+    islands = [(100, 101), (200, 201), (201, 202)]
+    edges = spark.createDataFrame(chain + islands, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert all(got[i] == 0 for i in range(21))
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == got[202] == 200
+    # nodes not in any edge are absent by contract (singletons are
+    # their own cluster implicitly)
+    assert set(got) == set(range(21)) | {100, 101, 200, 201, 202}
+
+
+def test_cluster_keeper_dedup_end_to_end(dup_docs):
+    """pairs -> components -> keep min per cluster: every planted copy
+    (id 1000+i) maps to its original's cluster and is dropped by
+    keep-min."""
+    edges = dedup.minhash_lsh_candidates(dup_docs, "doc_id", "text")
+    cc = dedup.connected_components(edges)
+    labels = {r["id"]: r["cluster_id"] for r in cc.collect()}
+    hits = sum(
+        1 for i in range(20)
+        if labels.get(1000 + i) is not None and labels.get(1000 + i) == labels.get(i)
+    )
+    assert hits >= 18, f"only {hits}/20 copies clustered with their originals"
