@@ -194,3 +194,41 @@ def test_map_in_arrow_batch_transform(spark):
     df = spark.range(100).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
     got = df.mapInArrow(double_vals, "id long, v double").agg(F.sum("v")).first()[0]
     assert got == sum(2.0 * i for i in range(100))
+
+
+def test_update_mode_emits_only_changed_groups(stream_env):
+    """Update output mode (§2B stream sink row): each run re-emits
+    ONLY groups whose aggregate changed in that run."""
+    from datetime import datetime as dt
+
+    spark, src, ckpt = stream_env
+    _append_events(
+        spark, src, [(1, dt(2024, 1, 1, 10, 0), 1), (2, dt(2024, 1, 1, 10, 1), 1)]
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        emitted = []
+        q = (
+            agg.writeStream.foreachBatch(lambda bdf, bid: emitted.extend(bdf.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: r["n"] for r in emitted}
+
+    assert run() == {1: 2}
+    # user 1 gains an event, user 2 appears; user 1's NEW total and
+    # user 2's first total are emitted — nothing for unchanged groups.
+    _append_events(
+        spark, src, [(3, dt(2024, 1, 1, 10, 2), 1), (4, dt(2024, 1, 1, 10, 3), 2)]
+    )
+    assert run() == {1: 3, 2: 1}
+    # A batch touching only user 2 must not re-emit user 1.
+    _append_events(spark, src, [(5, dt(2024, 1, 1, 10, 4), 2)])
+    assert run() == {2: 2}
