@@ -236,22 +236,31 @@ def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_join_left_outer",
     oracle="""
 SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-       coalesce(sum(o.o_totalprice), 0.0) AS total_spend
+       coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+           AS total_spend
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 ORDER BY c.c_custkey
 """,
 )
 def q08_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with no orders (count=0)."""
+    """Left outer join preserving customers with no orders (count=0).
+
+    Money sums run in DECIMAL then convert to double ONCE: per-group
+    double sums are summation-order-dependent, and with 1500+ output
+    groups a 6th-significant-digit flip against the oracle becomes
+    near-certain as rows grow (observed at sf0.1 — SURVEY.md §7
+    risk 3). Decimal aggregation is exact, so both engines converge
+    bit-for-bit regardless of partitioning."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+            F.coalesce(spend, F.lit(0.0)).alias("total_spend"),
         )
         .orderBy("c_custkey")
     )
@@ -261,8 +270,9 @@ def q08_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_join_full_outer",
     oracle="""
 WITH big_spenders AS (
-  SELECT o_custkey, sum(o_totalprice) AS spend
-  FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 500000),
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+  HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 500000),
 rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
 SELECT coalesce(b.o_custkey, r.c_custkey) AS custkey,
        b.spend, r.c_acctbal,
@@ -279,7 +289,12 @@ def q09_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (
         o.groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("spend"))
+        .agg(
+            # Decimal-exact sum, one final double conversion (see q08).
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
         .filter(F.col("spend") > 500000)
     )
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
@@ -613,7 +628,8 @@ def q21_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q74_salted_agg",
     oracle="""
-SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1 ORDER BY 1
 """,
@@ -626,19 +642,28 @@ def q74_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges partials. Must equal the plain group-by bit-for-bit."""
     from ..operators.skew import salted_agg
 
-    ev = _t(spark, sf_dir, "events")
-    return salted_agg(
-        ev,
-        keys=["event_type"],
-        aggs=[
-            ("count", "event_id", "n"),
-            ("sum", "value", "sum_value"),
-            ("min", "value", "min_value"),
-            ("max", "value", "max_value"),
-        ],
-        salt_cols=["event_id"],
-        buckets=32,
-    ).orderBy("event_type")
+    # Decimal-exact sum (order-independent; doubles flip the 6th
+    # significant digit vs the oracle at scale — see q08), min/max
+    # stay on the raw double (order statistics have no such issue).
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,6)")
+    )
+    return (
+        salted_agg(
+            ev,
+            keys=["event_type"],
+            aggs=[
+                ("count", "event_id", "n"),
+                ("sum", "value_d", "sum_value"),
+                ("min", "value", "min_value"),
+                ("max", "value", "max_value"),
+            ],
+            salt_cols=["event_id"],
+            buckets=32,
+        )
+        .withColumn("sum_value", F.col("sum_value").cast("double"))
+        .orderBy("event_type")
+    )
 
 
 @query(
