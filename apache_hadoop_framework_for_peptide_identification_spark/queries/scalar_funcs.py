@@ -71,7 +71,11 @@ SELECT o_orderkey,
        date_trunc('month', o_orderdate)                                AS order_month_start,
        CAST(epoch(o_orderdate) AS BIGINT)                              AS epoch_s,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)            AS month_end,
-       CAST(dayofweek(o_orderdate) AS BIGINT)                          AS dow_sun0
+       CAST(dayofweek(o_orderdate) AS BIGINT)                          AS dow_sun0,
+       CAST(date_diff('month', date_trunc('month', o_orderdate),
+                      DATE '1998-12-01') AS BIGINT)                    AS months_to_cutoff,
+       strftime(make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000),
+                '%Y-%m-%d %H:%M:%S')                                   AS ts_str
 FROM orders ORDER BY o_orderkey
 """,
 )
@@ -93,6 +97,10 @@ def q33_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
         F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
         (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow_sun0"),
+        F.months_between(
+            F.lit("1998-12-01").cast("date"), F.date_trunc("month", "o_orderdate")
+        ).cast("bigint").alias("months_to_cutoff"),
+        F.from_unixtime(F.unix_timestamp("o_orderdate")).alias("ts_str"),
     ).orderBy("o_orderkey")
 
 
@@ -183,7 +191,10 @@ SELECT event_id,
          map(['type', 'bucket'],
              [event_type, CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END])), ',') AS vals_str,
        CAST(cardinality(map(['type', 'bucket'],
-             [event_type, CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END])) AS BIGINT) AS n_entries
+             [event_type, CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END])) AS BIGINT) AS n_entries,
+       array_to_string(map_keys(map_concat(
+             map(['type'], [event_type]), map(['src'], ['engine']))), ',') AS concat_keys,
+       map(['type'], [event_type])['type'][1]                              AS type_val
 FROM events ORDER BY event_id
 """,
 )
@@ -202,6 +213,18 @@ def q36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(m), ",").alias("keys_str"),
         F.array_join(F.map_values(m), ",").alias("vals_str"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_entries"),
+        F.array_join(
+            F.map_keys(
+                F.map_concat(
+                    F.create_map(F.lit("type"), F.col("event_type")),
+                    F.create_map(F.lit("src"), F.lit("engine")),
+                )
+            ),
+            ",",
+        ).alias("concat_keys"),
+        F.element_at(F.create_map(F.lit("type"), F.col("event_type")), "type").alias(
+            "type_val"
+        ),
     ).orderBy("event_id")
 
 
@@ -211,7 +234,8 @@ def q36_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        json_extract_string(props, '$.k')            AS k_str,
        CAST(json_extract(props, '$.k') AS BIGINT)   AS k_int,
-       to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT))) AS k_roundtrip
+       to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT))) AS k_roundtrip,
+       json_extract_string(props, '$.k')            AS k_tuple
 FROM events ORDER BY event_id
 """,
 )
@@ -225,6 +249,7 @@ def q37_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_int"),
         F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("k_roundtrip"),
+        F.json_tuple(F.col("props"), "k").alias("k_tuple"),
     ).orderBy("event_id")
 
 
@@ -270,3 +295,35 @@ def q39_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").try_cast("int").alias("id_roundtrip"),
         F.substring("text", 1, 1).try_cast("double").alias("first_char_num"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q80_posexplode_zip",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok,
+       CAST(length(toks[i]) AS BIGINT) AS tok_len
+FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+ORDER BY doc_id, pos
+""",
+)
+def q80_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + arrays_zip: tokens zipped with their lengths, then
+    position-exploded (1 row -> N rows with ordinal). The oracle
+    reconstructs ordinals with a range unnest (DuckDB lacks
+    WITH ORDINALITY)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split("text", " ")
+    zipped = F.arrays_zip(
+        toks.alias("tok"), F.transform(toks, lambda x: F.length(x).cast("bigint")).alias("len")
+    )
+    return (
+        d.select("doc_id", F.posexplode(zipped).alias("pos", "z"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint"),
+            F.col("z.tok").alias("tok"),
+            F.col("z.len").alias("tok_len"),
+        )
+        .orderBy("doc_id", "pos")
+    )

@@ -22,7 +22,8 @@ SELECT o_orderkey, o_orderstatus,
        rank()         OVER w AS rnk,
        dense_rank()   OVER w AS drnk,
        ntile(4)       OVER w AS quartile,
-       percent_rank() OVER w AS pct_rank
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cum_dist
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_orderstatus, rn
@@ -41,6 +42,7 @@ def q22_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
     ).orderBy("o_orderstatus", "rn")
 
 
@@ -184,11 +186,21 @@ UNION ALL
 SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
 UNION ALL
 SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+UNION ALL
+SELECT 'intersect_all' AS op, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'except_all' AS op, k FROM (
+  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
 ORDER BY op, k
 """,
 )
 def q28_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """union/intersect/except (distinct variants) tagged into one result."""
+    """union/intersect/except plus INTERSECT ALL / EXCEPT ALL multiset\n    variants, tagged into one result."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     a = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
@@ -197,10 +209,15 @@ def q28_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
+    # Multisets (duplicates preserved) for the _all variants.
+    ma = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("k"))
+    mb = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     tagged = (
         a.unionByName(b).distinct().select(F.lit("union").alias("op"), "k")
         .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "k"))
         .unionByName(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "k"))
+        .unionByName(ma.intersectAll(mb).select(F.lit("intersect_all").alias("op"), "k"))
+        .unionByName(ma.exceptAll(mb).select(F.lit("except_all").alias("op"), "k"))
     )
     return tagged.orderBy("op", "k")
 
