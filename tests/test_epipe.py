@@ -192,3 +192,14 @@ def test_cli_usage_exit_2():
     )
     assert proc.returncode == 2
     assert "usage" in proc.stderr
+
+
+def test_cli_header_argument_selects_columns(spark, cli_spec, cranker_bin, tmp_path):
+    """The optional header argument (DATA_HEADER analog,
+    Driver.java:91-101) declares the staged column order — staging
+    must honor it."""
+    spec = spec_mod.load_spec(cli_spec[0])
+    out = spec_mod.run_algorithm(
+        spark, spec, "CRANKER", header=["doc_id", "body"], write=False
+    ).toPandas()
+    assert sorted(out.body) == ["ALPHA", "BETA"]
