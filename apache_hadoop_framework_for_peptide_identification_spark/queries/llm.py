@@ -359,3 +359,20 @@ def q79_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+@query("q81_embed_text", oracle=None)
+def q81_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-embedding pipe (operators/embed.py): Arrow-batched hashed
+    n-gram embeddings per document, then near-dup text pairs recovered
+    from EMBEDDING cosine — the full text -> vector -> similarity
+    pipeline in one plan. Determinism + near-dup-recovery asserted in
+    tests/test_embed.py (hash embeddings are engine-specific ->
+    rows-only driver check)."""
+    from ..operators.embed import embed_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = embed_text(d, "doc_id", "text", dim=64)
+    return similarity.embedding_neardup_pairs(emb, "doc_id", "embedding", 0.8).orderBy(
+        "id_a", "id_b"
+    )
