@@ -66,3 +66,21 @@ def test_spec_nested_join_and_limit(spark):
 def test_unknown_op_raises(spark):
     with pytest.raises(PlanSpecError, match="unknown op"):
         build_plan(spark, SF, {"source": {"table": "region"}, "ops": [{"op": "pivot3d"}]})
+
+
+def test_catalog_load_all_and_register_views(spark):
+    """Catalog helpers: load_all returns every fixture table; the SQL
+    surface works against registered views (events ts normalized)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import (
+        TABLES,
+        load_all,
+        register_views,
+    )
+
+    tables = load_all(spark, SF)
+    assert set(tables) == set(TABLES)
+    register_views(spark, SF, suffix="_v")
+    n = spark.sql("SELECT count(*) AS n FROM lineitem_v").first()["n"]
+    assert n == tables["lineitem"].count() > 0
+    ts_type = dict(spark.sql("SELECT ts FROM events_v").dtypes)["ts"]
+    assert ts_type == "timestamp"
