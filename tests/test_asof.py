@@ -1,0 +1,60 @@
+"""As-of join edge cases (SURVEY.md §7 risk 4): inclusive vs exclusive
+tie semantics, no-match nulls, per-key isolation."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 5, "L1a"),   # before any right row for key 1
+            (1, 10, "L1b"),  # exactly at right ts 10
+            (1, 25, "L1c"),  # after right 10 and 20
+            (2, 15, "L2a"),  # key 2 only has right at 12
+            (3, 99, "L3a"),  # key 3 has no right rows at all
+        ],
+        "k long, lts long, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "R10"), (1, 20, "R20"), (2, 12, "R12"), (4, 1, "R_unused")],
+        "k long, rts long, rval string",
+    )
+    return left, right
+
+
+def _result(df):
+    return {(r["k"], r["lts"]): r["rval"] for r in df.collect()}
+
+
+def test_inclusive_matches_at_or_before(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    assert _result(out) == {
+        (1, 5): None,     # nothing at or before 5
+        (1, 10): "R10",   # tie -> matched (inclusive)
+        (1, 25): "R20",   # latest at-or-before
+        (2, 15): "R12",
+        (3, 99): None,    # key never seen on the right
+    }
+    assert out.count() == left.count()  # left-join semantics: no row loss
+
+
+def test_exclusive_skips_ties(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", inclusive=False
+    )
+    got = _result(out)
+    assert got[(1, 10)] is None   # tie excluded under strict <
+    assert got[(1, 25)] == "R20"  # strictly-before still matches
+
+
+def test_right_key_without_left_rows_is_dropped(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    assert not [r for r in out.collect() if r["k"] == 4]
