@@ -203,3 +203,59 @@ def test_cli_header_argument_selects_columns(spark, cli_spec, cranker_bin, tmp_p
         spark, spec, "CRANKER", header=["doc_id", "body"], write=False
     ).toPandas()
     assert sorted(out.body) == ["ALPHA", "BETA"]
+
+
+def test_run_algorithm_parquet_input(spark, cranker_bin, tmp_path):
+    """input_format=parquet: the chain stages typed parquet rows as a
+    headered TSV transparently."""
+    in_dir = str(tmp_path / "pq_in")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id bigint, body string"
+    ).write.parquet(in_dir)
+    spec = {
+        "env": {"MCR_CACHE_ROOT": "/tmp/mcr_cache_test"},
+        "algorithms": [
+            {
+                "name": "PQ",
+                "binary_dir": cranker_bin,
+                "executables": [
+                    {"command": "read.sh %INPUT_FILE% %TMP_FILE_1%"},
+                    {"command": "solve.sh %TMP_FILE_1% %TMP_FILE_2%"},
+                    {"command": "write.sh %TMP_FILE_1% %TMP_FILE_2% %OUTPUT_FILE%"},
+                ],
+                "in_dir": in_dir,
+                "out_dir": str(tmp_path / "pq_out"),
+                "output_schema": OUT_SCHEMA,
+                "input_format": "parquet",
+            }
+        ],
+    }
+    out = spec_mod.run_algorithm(spark, spec, "PQ", write=False).toPandas()
+    assert sorted(out.body) == ["ALPHA", "BETA"]
+
+
+def test_run_algorithm_text_input(spark, tmp_path):
+    """input_format=text: raw lines flow through a line-oriented chain
+    (one `value` column, the reference's TextInputFormat shape)."""
+    in_dir = tmp_path / "txt_in"
+    in_dir.mkdir()
+    (in_dir / "lines.txt").write_text("aaa\nbb\nc\n")
+    upper = _script(
+        tmp_path / "upper.sh",
+        "awk 'NR==1{next} {print toupper($0)}' \"$1\" > \"$2\"\n",
+    )
+    spec = {
+        "algorithms": [
+            {
+                "name": "TXT",
+                "binary_dir": "",
+                "executables": [{"command": f"{upper} %INPUT_FILE% %OUTPUT_FILE%"}],
+                "in_dir": str(in_dir),
+                "out_dir": str(tmp_path / "txt_out"),
+                "output_schema": "value string",
+                "input_format": "text",
+            }
+        ],
+    }
+    out = spec_mod.run_algorithm(spark, spec, "txt", write=False).toPandas()
+    assert sorted(out.value) == ["AAA", "BB", "C"]
