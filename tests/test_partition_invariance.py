@@ -1,0 +1,44 @@
+"""Partition-setting invariance: a distributed engine's results must
+not depend on spark.sql.shuffle.partitions (or any physical layout
+knob). Representative queries from every operator family run under two
+very different settings; canonical value-hashes must agree — this is
+the invariant that makes local[32] results transfer to a
+1000-executor cluster."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import value_hash
+
+from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# One per family: agg, join+topk, window, set-ops, dedup, similarity,
+# E-PIPE, salted, clusters.
+REPRESENTATIVE = [
+    "q01_scan_filter_agg",
+    "q02_join_revenue_topk",
+    "q03_window_topk_per_group",
+    "q28_set_ops",
+    "q40_dedup_exact",
+    "q44_ann_cosine_topk",
+    "q50_pipe_tokens",
+    "q74_salted_agg",
+    "q79_dedup_clusters",
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    fn = REGISTRY[name].fn
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        h3 = value_hash(fn(spark, SF).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        h31 = value_hash(fn(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert h3 == h31, f"{name} result depends on shuffle partitioning"
