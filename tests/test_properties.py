@@ -92,3 +92,68 @@ def test_distinct_union_roundtrip(sess, rows):
     a = sorted(map(tuple, df.unionByName(df).distinct().collect()), key=nullsafe)
     b = sorted(map(tuple, df.distinct().collect()), key=nullsafe)
     assert a == b
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=30),
+)
+@SETTINGS
+def test_inner_join_multiset_matches_pandas(sess, left, right):
+    """Inner equi-join is a multiset product per key — row multiplicity
+    must match pandas merge exactly."""
+    if not left or not right:
+        return
+    l = sess.createDataFrame(left, "k int, a long")
+    r = sess.createDataFrame(right, "k int, b long")
+    got = sorted(map(tuple, l.join(r, "k").select("k", "a", "b").collect()))
+    lp = pd.DataFrame(left, columns=["k", "a"])
+    rp = pd.DataFrame(right, columns=["k", "b"])
+    expected = sorted(map(tuple, lp.merge(rp, on="k")[["k", "a", "b"]].itertuples(index=False)))
+    assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=30),
+)
+@SETTINGS
+def test_left_anti_join_matches_set_difference(sess, left, right):
+    if not left:
+        return
+    l = sess.createDataFrame(left, "k int, a long")
+    r = (
+        sess.createDataFrame(right, "k int, b long")
+        if right
+        else sess.createDataFrame([], "k int, b long")
+    )
+    got = sorted(map(tuple, l.join(r, "k", "left_anti").collect()))
+    right_keys = {k for k, _ in right}
+    expected = sorted((k, a) for k, a in left if k not in right_keys)
+    assert got == expected
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(-100, 100)), max_size=40))
+@SETTINGS
+def test_row_number_matches_pandas_rank(sess, rows):
+    """row_number over (partition, order with tie-break) must equal the
+    pandas first-method rank on the same deterministic key."""
+    if not rows:
+        return
+    from pyspark.sql import Window
+
+    df = sess.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v long, uid long"
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("uid"))
+    got = {
+        r["uid"]: r["rn"]
+        for r in df.select("uid", F.row_number().over(w).alias("rn")).collect()
+    }
+    pdf = pd.DataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], columns=["k", "v", "uid"]
+    )
+    pdf = pdf.sort_values(["k", "v", "uid"], ascending=[True, False, True])
+    pdf["rn"] = pdf.groupby("k").cumcount() + 1
+    expected = dict(zip(pdf.uid, pdf.rn))
+    assert got == expected
