@@ -46,12 +46,15 @@ def cosine_topk(
     Returns (q_id, n_id, cos_sim, rn) with rn = 1..k per query,
     deterministic tie-break on neighbor id. Self-matches excluded.
     """
+    # Norms are per-ROW quantities: hoist them out of the join so each
+    # is computed once per vector, not once per (query, corpus) pair —
+    # at n_queries x corpus pairs that's the dominant HOF cost.
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
-    )
+    ).withColumn("n_norm", l2_norm(F.col("n_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .select(
@@ -59,7 +62,7 @@ def cosine_topk(
             "n_id",
             (
                 _dot(F.col("q_vec"), F.col("n_vec"))
-                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("n_vec")))
+                / (F.col("q_norm") * F.col("n_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -82,10 +85,10 @@ def embedding_neardup_pairs(
     identical per-pair math, recall controlled by bits/bands)."""
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("vec_a")
-    )
+    ).withColumn("norm_a", l2_norm(F.col("vec_a")))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vec_b")
-    )
+    ).withColumn("norm_b", l2_norm(F.col("vec_b")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
@@ -93,7 +96,7 @@ def embedding_neardup_pairs(
             "id_b",
             (
                 _dot(F.col("vec_a"), F.col("vec_b"))
-                / (l2_norm(F.col("vec_a")) * l2_norm(F.col("vec_b")))
+                / (F.col("norm_a") * F.col("norm_b"))  # norms hoisted per-row
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -124,6 +127,7 @@ def embedding_neardup_lsh(
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.col("embedding").cast("array<double>").alias("vec"),
+        l2_norm(F.col("embedding").cast("array<double>")).alias("norm"),
         F.explode(
             F.array(
                 *[
@@ -138,22 +142,32 @@ def embedding_neardup_lsh(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
+    ).select("id", "vec", "norm", "bb.band", "bb.bucket")
     other = banded.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band", "bucket"
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        "band",
+        "bucket",
     )
     cands = (
         banded.join(other, ["band", "bucket"])
         .filter(F.col("id") < F.col("id_b"))
-        .select(F.col("id").alias("id_a"), "id_b", F.col("vec").alias("vec_a"), "vec_b")
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            F.col("vec").alias("vec_a"),
+            "vec_b",
+            F.col("norm").alias("norm_a"),
+            "norm_b",
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return cands.select(
         "id_a",
         "id_b",
         (
-            _dot(F.col("vec_a"), F.col("vec_b"))
-            / (l2_norm(F.col("vec_a")) * l2_norm(F.col("vec_b")))
+            _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
@@ -220,12 +234,12 @@ def ivf_topk(
         F.col(id_col).alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_vec"),
         "cell",
-    )
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     c = assigned.select(
         F.col(id_col).alias("n_id"),
         F.col("embedding").cast("array<double>").alias("n_vec"),
         "cell",
-    )
+    ).withColumn("n_norm", l2_norm(F.col("n_vec")))
     scored = (
         q.join(c, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
@@ -234,7 +248,7 @@ def ivf_topk(
             "n_id",
             (
                 _dot(F.col("q_vec"), F.col("n_vec"))
-                / (l2_norm(F.col("q_vec")) * l2_norm(F.col("n_vec")))
+                / (F.col("q_norm") * F.col("n_norm"))  # norms hoisted per-row
             ).alias("cos_sim"),
         )
         .dropDuplicates(["q_id", "n_id"])
@@ -290,6 +304,7 @@ def lsh_ann_topk(
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col("embedding").cast("array<double>").alias(f"{prefix}_vec"),
+            l2_norm(F.col("embedding").cast("array<double>")).alias(f"{prefix}_norm"),
             F.explode(
                 F.array(
                     *[
@@ -304,22 +319,22 @@ def lsh_ann_topk(
                     ]
                 )
             ).alias("bb"),
-        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+        ).select(f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm", "bb.band", "bb.bucket")
 
     qb = banded(with_sig(queries), "q")
     cb = banded(with_sig(corpus), "n")
     cands = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_vec", "n_vec")
-        .distinct()
+        .select("q_id", "n_id", "q_vec", "n_vec", "q_norm", "n_norm")
+        .dropDuplicates(["q_id", "n_id"])
     )
     scored = cands.select(
         "q_id",
         "n_id",
         (
             _dot(F.col("q_vec"), F.col("n_vec"))
-            / (l2_norm(F.col("q_vec")) * l2_norm(F.col("n_vec")))
+            / (F.col("q_norm") * F.col("n_norm"))  # norms hoisted per-row
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
