@@ -71,3 +71,32 @@ def test_schema_of_json(spark):
         F.schema_of_json(F.lit('{"k": 1, "s": "x"}')).alias("sch")
     ).first()["sch"]
     assert "k" in got and "BIGINT" in got.upper() and "STRING" in got.upper()
+
+
+def test_approx_aggs_bounded_error(spark):
+    """q30's rows-only promise: HLL distinct within ~3x the configured
+    rsd; approx percentile within 2% of exact."""
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50e"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+    assert abs(row["p50a"] - row["p50e"]) / row["p50e"] < 0.02
+
+
+def test_df_sample_seeded_deterministic(spark):
+    """Seeded bernoulli sample is reproducible for a fixed partitioning
+    (the §2B sample row; q29 uses the partitioning-independent
+    systematic variant for oracle comparability)."""
+    df = spark.range(10_000).repartition(4)
+    a = sorted(r["id"] for r in df.sample(0.1, seed=7).collect())
+    b = sorted(r["id"] for r in df.sample(0.1, seed=7).collect())
+    c = sorted(r["id"] for r in df.sample(0.1, seed=8).collect())
+    assert a == b
+    assert a != c
+    assert 700 < len(a) < 1300  # fraction is approximate by design
