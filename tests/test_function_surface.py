@@ -90,10 +90,12 @@ def test_approx_aggs_bounded_error(spark):
 
 
 def test_df_sample_seeded_deterministic(spark):
-    """Seeded bernoulli sample is reproducible for a fixed partitioning
-    (the §2B sample row; q29 uses the partitioning-independent
-    systematic variant for oracle comparability)."""
-    df = spark.range(10_000).repartition(4)
+    """Seeded bernoulli sample is reproducible for a DETERMINISTIC
+    lineage (the §2B sample row). Note: through a round-robin
+    repartition it is NOT (row->partition order varies per job) —
+    which is exactly why q29 uses the hash-systematic variant for
+    oracle comparability."""
+    df = spark.range(10_000)
     a = sorted(r["id"] for r in df.sample(0.1, seed=7).collect())
     b = sorted(r["id"] for r in df.sample(0.1, seed=7).collect())
     c = sorted(r["id"] for r in df.sample(0.1, seed=8).collect())
