@@ -95,10 +95,12 @@ def test_df_sample_seeded_deterministic(spark):
     repartition it is NOT (row->partition order varies per job) —
     which is exactly why q29 uses the hash-systematic variant for
     oracle comparability."""
+    # Keyword args matter: positional sample(0.1, seed=7) hits the
+    # withReplacement overload slot and the seed is NOT honored.
     df = spark.range(10_000)
-    a = sorted(r["id"] for r in df.sample(0.1, seed=7).collect())
-    b = sorted(r["id"] for r in df.sample(0.1, seed=7).collect())
-    c = sorted(r["id"] for r in df.sample(0.1, seed=8).collect())
+    a = sorted(r["id"] for r in df.sample(fraction=0.1, seed=7).collect())
+    b = sorted(r["id"] for r in df.sample(fraction=0.1, seed=7).collect())
+    c = sorted(r["id"] for r in df.sample(fraction=0.1, seed=8).collect())
     assert a == b
     assert a != c
     assert 700 < len(a) < 1300  # fraction is approximate by design
