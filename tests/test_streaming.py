@@ -232,3 +232,31 @@ def test_update_mode_emits_only_changed_groups(stream_env):
     # A batch touching only user 2 must not re-emit user 1.
     _append_events(spark, src, [(5, dt(2024, 1, 1, 10, 4), 2)])
     assert run() == {2: 2}
+
+
+def test_native_parquet_stream_sink(spark, tmp_path):
+    """The native files sink (writeStream.format('parquet')): append
+    stream lands as committed parquet readable by the batch engine —
+    no foreachBatch indirection."""
+    from datetime import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _append_events(
+        spark, src, [(i, dt(2024, 1, 1, 10, i), i % 3) for i in range(30)]
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 30
+    assert sorted(r["event_id"] for r in back.collect()) == list(range(30))
