@@ -243,7 +243,7 @@ def test_native_parquet_stream_sink(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     _append_events(
-        spark, src, [(i, dt(2024, 1, 1, 10, i), i % 3) for i in range(30)]
+        spark, str(src), [(i, dt(2024, 1, 1, 10, i), i % 3) for i in range(30)]
     )
     stream = spark.readStream.schema(
         "event_id long, ts timestamp, user_id long"
