@@ -267,6 +267,41 @@ def q08_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q82_join_right_outer",
+    oracle="""
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+       coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+           AS total_spend
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+""",
+)
+def q82_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving the build side (customers with no
+    orders survive null-extended) — completes the J2 left/right/full
+    family (SURVEY.md §2B joins row; round-1 VERDICT gap #2).
+
+    Semantically the mirror of q08 with the join direction flipped:
+    orders is the probe side, customer the preserved side.  Spark's
+    planner will swap a right outer into a left outer with the sides
+    exchanged — same plan, so no perf caveat.  Decimal-exact money sum
+    as in q08."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(spend, F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
     "q09_join_full_outer",
     oracle="""
 WITH big_spenders AS (
