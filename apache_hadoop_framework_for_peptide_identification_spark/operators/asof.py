@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def asof_join(
@@ -44,20 +45,29 @@ def asof_join(
     on = list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
     lpay = [c for c in left.columns if c not in on and c != left_ts]
+    if not payload:
+        return left
 
+    # The right payload travels as ONE struct, so the matched row is
+    # carried atomically — its NULL fields stay NULL instead of being
+    # back-filled per-column from older right rows (a native ASOF join
+    # returns the matched row whole; per-column last(ignorenulls) can
+    # stitch different right rows together when payload columns are
+    # sparse).
+    pay_type = StructType([right.schema[c] for c in payload])
     lt = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(pay_type).alias("__rpay"),
     )
     rt = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__rpay"),
     )
     # At equal __ts the right row must sort before the left row for
     # inclusive semantics (and after it for exclusive).
@@ -68,7 +78,9 @@ def asof_join(
         "__ts",
         "__is_left",
         *[F.col(c) for c in lpay],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(F.col("__rpay"), ignorenulls=True).over(w).alias("__rpay"),
     )
     out = filled.filter(F.col("__is_left") == 1).withColumnRenamed("__ts", left_ts)
-    return out.drop("__is_left").select(*left.columns, *payload)
+    return out.select(
+        *left.columns, *[F.col(f"__rpay.{c}").alias(c) for c in payload]
+    )

@@ -34,6 +34,7 @@ reference's map-only topology (Driver.java:128 setNumReduceTasks(0)).
 from __future__ import annotations
 
 import os
+import shlex
 import subprocess
 import tempfile
 from collections.abc import Iterator, Sequence
@@ -84,7 +85,8 @@ def _tmp_path(memo: dict[str, str], placeholder: str, workdir: str) -> None:
 
 def _parse_fields(schema: str) -> list[tuple[str, str]]:
     """Split a DDL schema string into (name, type) pairs, respecting
-    parenthesized types like decimal(10,2)."""
+    both parenthesized types like decimal(10,2) and angle-bracketed
+    complex types like map<string,int> / array<struct<x:int,y:int>>."""
     fields: list[str] = []
     depth, cur = 0, ""
     for ch in schema:
@@ -92,8 +94,8 @@ def _parse_fields(schema: str) -> list[tuple[str, str]]:
             fields.append(cur)
             cur = ""
         else:
-            depth += ch == "("
-            depth -= ch == ")"
+            depth += ch in "(<"
+            depth -= ch in ")>"
             cur += ch
     fields.append(cur)
     out = []
@@ -200,5 +202,10 @@ def pipe_lines(df: DataFrame, command: Sequence[str] | str, env: dict[str, str] 
         raise ValueError("pipe_lines expects a single string column")
     spark = df.sparkSession
     rdd = df.rdd.map(lambda r: "" if r[0] is None else str(r[0]))
-    piped = rdd.pipe(command if isinstance(command, str) else " ".join(command), env=env or {})
+    # RDD.pipe re-tokenizes its command string with shlex.split, so a
+    # list argv must be shlex-QUOTED per token — a bare " ".join would
+    # split tokens containing spaces/quotes, the exact whitespace-split
+    # defect this module documents against ExecutorMapper.java:243.
+    cmd = command if isinstance(command, str) else shlex.join(command)
+    piped = rdd.pipe(cmd, env=env or {})
     return spark.createDataFrame(piped.map(lambda line: (line,)), "value string")

@@ -84,7 +84,20 @@ def salted_join(
     small side once per salt value, join on (on..., __salt).
 
     Result columns = big ∪ small minus duplicate join keys (like a
-    plain `big.join(small, on, how)`)."""
+    plain `big.join(small, on, how)`).
+
+    Only big-side-preserving joins are supported: the small side is
+    replicated ``buckets``x, so any join that null-extends or emits
+    unmatched SMALL-side rows (right/full outer, right_semi) would
+    surface each unmatched small row once per salt copy — silent row
+    multiplication. Those modes need a different strategy (AQE skew
+    join or broadcast)."""
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only {sorted(supported)}; "
+            f"got {how!r} — unmatched small-side rows would be emitted once per salt bucket"
+        )
     b = big.withColumn("__salt", _salt(salt_cols, buckets))
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

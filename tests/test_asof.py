@@ -58,3 +58,30 @@ def test_right_key_without_left_rows_is_dropped(frames):
     left, right = frames
     out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
     assert not [r for r in out.collect() if r["k"] == 4]
+
+
+def test_matched_row_carried_atomically_nulls_preserved(spark):
+    """The as-of MATCHED row's NULL payload fields must stay NULL — not
+    be back-filled per-column from older right rows (ADVICE round 1:
+    per-column last(ignorenulls) stitched different right rows together
+    when payload columns are sparse; a native ASOF join returns the
+    matched row whole)."""
+    left = spark.createDataFrame([(1, 25, "L")], "k long, lts long, lval string")
+    right = spark.createDataFrame(
+        [(1, 10, "A10", None), (1, 20, None, "B20")],
+        "k long, rts long, a string, b string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    row = out.collect()[0]
+    # matched row is ts=20 -> (a=None, b='B20'); the old per-column fill
+    # leaked a='A10' from the ts=10 row.
+    assert row["a"] is None
+    assert row["b"] == "B20"
+
+
+def test_empty_right_payload_returns_left(spark):
+    left = spark.createDataFrame([(1, 5, "x")], "k long, lts long, lval string")
+    right = spark.createDataFrame([(1, 3)], "k long, rts long")
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    assert out.columns == left.columns
+    assert out.count() == 1

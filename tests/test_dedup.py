@@ -48,6 +48,56 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 2, 6]
 
 
+def test_exact_dedup_null_vs_empty_and_multicol(spark):
+    # The 128-bit JSON-encoded key must distinguish NULL from empty
+    # string and must not concatenation-collide across columns
+    # (("ab","c") vs ("a","bc")).
+    rows = [
+        (1, None, "x"),
+        (2, "", "x"),
+        (3, "ab", "c"),
+        (4, "a", "bc"),
+        (5, "ab", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    kept = sorted(
+        r["doc_id"] for r in dedup.exact_dedup(df, ["a", "b"], "doc_id").collect()
+    )
+    assert kept == [1, 2, 3, 4]
+
+
+def test_simhash_vectorized_matches_scalar_reference(spark):
+    """The batch-vectorized FNV path must be bit-identical to the scalar
+    hash_token reference implementation (determinism contract)."""
+    texts = [
+        "the quick brown fox",
+        "",
+        None,
+        "héllo wörld 中文 字",
+        "single",
+        "a a a repeated tokens a",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", dedup.simhash64(F.col("t")).alias("sh")).collect()
+    }
+
+    def scalar_simhash(text):
+        if not text:
+            return 0
+        acc = [0] * 64
+        for tok in text.split(" "):
+            h = dedup.hash_token(tok)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if acc[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for i, t in enumerate(texts):
+        assert got[i] == scalar_simhash(t), f"row {i} ({t!r})"
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(dup_docs):
     """Every pair with true Jaccard >= 0.6 must surface as an LSH
     candidate (recall at b=16, r=4 for s=0.6 is 1-(1-0.6^4)^16 ~ 0.90;

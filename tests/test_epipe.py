@@ -122,6 +122,29 @@ def test_parse_fields_nested_types():
     ]
 
 
+def test_parse_fields_angle_bracket_types():
+    # ADVICE round 1: parameterized complex types must not split at
+    # their INNER commas.
+    assert _parse_fields("m map<string,int>, a array<struct<x:int,y:int>>, z string") == [
+        ("m", "map<string,int>"),
+        ("a", "array<struct<x:int,y:int>>"),
+        ("z", "string"),
+    ]
+
+
+def test_pipe_lines_spaced_argv(spark):
+    """A list argv token containing spaces must survive pipe_lines
+    (ADVICE round 1: RDD.pipe re-tokenizes with shlex.split, so tokens
+    need shlex quoting — the ExecutorMapper.java:243 defect class)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.pipe import pipe_lines
+
+    df = spark.createDataFrame(
+        [("foo bar",), ("foo baz",), ("nope",)], "value string"
+    )
+    out = pipe_lines(df, ["grep", "foo bar"]).collect()
+    assert sorted(r["value"] for r in out) == ["foo bar"]
+
+
 def test_coerce_to_schema_types():
     import pandas as pd
 

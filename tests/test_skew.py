@@ -76,3 +76,13 @@ def test_salted_join_left_outer(spark, skewed):
     out = salted_join(skewed, dim, on=["k"], salt_cols=["id"], buckets=4, how="left")
     assert out.count() == skewed.count()
     assert out.filter(F.col("dim_val").isNotNull()).count() == skewed.filter(F.col("k") == "cold_1").count()
+
+
+@pytest.mark.parametrize("how", ["right", "full", "outer", "right_outer"])
+def test_salted_join_rejects_small_side_preserving_modes(spark, skewed, how):
+    """ADVICE round 1: right/full outer would emit each unmatched
+    small-side row once per salt bucket (silent row multiplication) —
+    the operator must refuse, not corrupt."""
+    dim = spark.createDataFrame([("cold_1", 7)], "k string, dim_val int")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(skewed, dim, on=["k"], salt_cols=["id"], how=how)
