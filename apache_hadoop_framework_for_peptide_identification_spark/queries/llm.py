@@ -296,11 +296,31 @@ def q66_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q67_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH banding + exact cosine
     filter — candidate shuffle bounded by bucket sizes, never
-    all-pairs. Precision exact by construction; recall vs q66 asserted
-    in tests/test_similarity.py on perturbed-duplicate data."""
+    all-pairs. Precision exact by construction; recall vs exact
+    all-pairs asserted in tests/test_similarity.py.
+
+    The synthetic fixture has no true near-dups (max pairwise cos
+    ~0.51), so the query plants one deterministic perturbed TWIN per
+    corpus vector (JVM transform, id offset 10^6) and runs the
+    operator at a real near-dup threshold (0.9) with real scale
+    parameters (8-bit bands: a random pair collides in a band with
+    p=2^-8, so candidates stay ~3% of all-pairs; a twin at cos~0.999
+    collides with p~1). The earlier form (threshold 0.4, 2-bit bands)
+    degenerated into all-pairs — LSH cannot bucket-separate weak
+    similarity, and the fixture forced a weak threshold."""
     emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (x + F.sin(i.cast("double") + F.col("vec_id")) * F.lit(0.02)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
     return similarity.embedding_neardup_lsh(
-        emb, "vec_id", "embedding", threshold=0.4, bits=32, bands=16
+        corpus, "vec_id", "embedding", threshold=0.9, bits=64, bands=8
     ).orderBy("id_a", "id_b")
 
 

@@ -30,6 +30,7 @@ HEADLINE = [
     "q42_dedup_minhash_lsh",
     "q44_ann_cosine_topk",
     "q50_pipe_tokens",
+    "q67_embedding_neardup_lsh",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
