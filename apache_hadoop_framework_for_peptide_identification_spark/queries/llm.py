@@ -19,6 +19,18 @@ def _t(spark, sf_dir, name):
 
 
 # ------------------------------------------------------------- dedup
+def _plant_text_twins(d: DataFrame) -> DataFrame:
+    """Union a deterministic drop-last-word twin per doc (id offset
+    10^4). The synthetic fixture has no near-dup texts; twin planting
+    gives the Jaccard/cluster queries real positives while staying
+    oracle-expressible (same regexp_replace in DuckDB)."""
+    twins = d.select(
+        (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r" \S+$", "").alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(twins)
+
+
 @query(
     "q40_dedup_exact",
     oracle="""
@@ -40,8 +52,13 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q41_ngram_jaccard",
     oracle="""
-WITH docs AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
@@ -62,8 +79,17 @@ ORDER BY id_a, id_b
 )
 def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs on a bounded doc subset (the
-    ground truth the LSH tiers are tuned against)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ground truth the LSH tiers are tuned against).
+
+    The fixture has no true near-dup texts (round-1 drivers recorded a
+    0-row hash match — correct but vacuous), so the corpus plants one
+    deterministic drop-last-word twin per doc (id offset 10^4, same
+    planting in the oracle SQL): each doc↔twin pair shares all but the
+    trailing shingles, Jaccard ≈ (n-3)/(n-2) >> 0.2, giving ~100
+    real pairs to verify."""
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
     return (
         dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
         .orderBy("id_a", "id_b")
@@ -340,8 +366,13 @@ def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q79_dedup_clusters",
     oracle="""
-WITH RECURSIVE docs AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
@@ -371,8 +402,14 @@ def q79_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py). cluster_id = min doc in the component — the
     keeper under keep-min dedup. Oracle reconstructs components with a
     recursive CTE. The LSH scale path swaps only the edge generator
-    (minhash_lsh_candidates), the clustering is identical."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    (minhash_lsh_candidates), the clustering is identical.
+
+    Twin-planted corpus (see _plant_text_twins): each doc-twin edge
+    yields a 2-node cluster, so the driver verifies ~200 rows of real
+    component structure instead of a vacuous 0-row match."""
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
     edges = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
     return (
         dedup.connected_components(edges)
