@@ -3,8 +3,9 @@
 Four tiers, all shuffle-bounded (no all-pairs comparison anywhere):
 
 - exact_dedup:        content-hash groupBy. One shuffle keyed on a
-                      64/256-bit hash; at 100 TB shuffle bytes are
-                      O(rows * hash_width), not O(text).
+                      128-bit hash (md5 of a null-preserving JSON
+                      encoding); at 100 TB shuffle bytes are
+                      O(rows * 16B), not O(text).
 - ngram_jaccard_pairs: exact shingle-overlap join — the ground truth
                       for tuning the approximate tiers. Cost is bounded
                       by shingle-posting-list sizes (quadratic in the
