@@ -425,11 +425,22 @@ def q81_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from EMBEDDING cosine — the full text -> vector -> similarity
     pipeline in one plan. Determinism + near-dup-recovery asserted in
     tests/test_embed.py (hash embeddings are engine-specific ->
-    rows-only driver check)."""
+    rows-only driver check).
+
+    Twin-planted bounded corpus (doc_id < 100 + drop-last-word twins,
+    as q41/q79): a twin shares nearly all n-grams, so its hash
+    embedding lands at cos ~1 and the pipeline RECOVERS the planted
+    duplicate structure from vectors alone. The exact pair scan is
+    validation-scoped (200 docs); the 100 TB path swaps in
+    embedding_neardup_lsh unchanged (same columns/threshold)."""
     from ..operators.embed import embed_text
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = embed_text(d, "doc_id", "text", dim=64)
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    # localCheckpoint: the self-join consumes the embeddings TWICE —
+    # without it the mapInPandas embed pass runs once per join side.
+    emb = embed_text(d, "doc_id", "text", dim=64).localCheckpoint()
     return similarity.embedding_neardup_pairs(emb, "doc_id", "embedding", 0.8).orderBy(
         "id_a", "id_b"
     )
