@@ -67,16 +67,33 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_posting: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     inter(a,b) via a self-equi-join on shingle; |a|,|b| joined back;
     J = inter / (|a| + |b| - inter). Returns (id_a, id_b, jaccard),
     id_a < id_b.
+
+    ``max_posting`` is the stop-shingle cap (the 100 TB skew knob —
+    docs/SCALE.md): a shingle appearing in more than ``max_posting``
+    docs ("the quick brown"-style boilerplate) is dropped BEFORE the
+    pair join, bounding the join's per-key fan-out at max_posting^2.
+    Jaccard is then computed over the capped shingle space on both the
+    numerator and the denominators, so it remains a true similarity on
+    that space (the classic stop-shingle scheme). None = exact.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
     )
+    if max_posting is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_posting)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -142,13 +159,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     bands=16 over 64 hashes → rows-per-band r=4; pair survives if any
-    band's 4-hash slice matches. Shuffle is keyed on (band, band_hash):
-    at 100 TB the only hotspot is a degenerate bucket (e.g. empty docs)
-    — cap bucket size or pre-filter boilerplate.
+    band's 4-hash slice matches. Shuffle is keyed on (band, band_hash).
+    At 100 TB the only hotspot is a degenerate bucket (e.g. empty docs,
+    boilerplate): ``max_bucket`` drops any (band, bucket) holding more
+    than that many docs before the pair join, bounding per-bucket work
+    at max_bucket^2 (one extra count-aggregate over (id, band, bucket)
+    triples — 16 bytes/row, cheap next to the join it protects). A
+    true dup-cluster larger than max_bucket still pairs up through its
+    OTHER bands unless it saturates all of them — set the cap well
+    above the expected dup-cluster size. None = uncapped.
     Returns distinct (id_a, id_b), id_a < id_b.
     """
     rows_per_band = num_hashes // bands
@@ -169,6 +193,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     x = banded.alias("x")
     y = banded.alias("y")
     return (

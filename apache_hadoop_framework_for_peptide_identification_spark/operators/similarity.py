@@ -112,13 +112,18 @@ def embedding_neardup_lsh(
     bands: int = 8,
     seed: int = 42,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH banding generates
     candidate pairs (equi-join on (band, bucket) — shuffle bounded by
     bucket sizes, never all-pairs), then the EXACT cosine filter keeps
     only true near-dups. Precision is exact by construction; recall is
     the LSH collision probability (1-θ/π per bit), tuned via
-    bits/bands for the target threshold."""
+    bits/bands for the target threshold.
+
+    ``max_bucket`` drops degenerate (band, bucket) groups (zero
+    vectors, repeated embeddings) before the pair join — the same
+    skew cap as minhash_lsh_candidates; see that docstring."""
     bits_per_band = bits // bands
     sig_schema = f"{id_col} long, embedding array<float>, lsh_sig long"
     sig = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
@@ -145,6 +150,14 @@ def embedding_neardup_lsh(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     other = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
         banded.join(other, ["band", "bucket"])

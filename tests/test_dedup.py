@@ -188,3 +188,40 @@ def test_cluster_keeper_dedup_end_to_end(dup_docs):
         if labels.get(1000 + i) is not None and labels.get(1000 + i) == labels.get(i)
     )
     assert hits >= 18, f"only {hits}/20 copies clustered with their originals"
+
+
+def test_minhash_max_bucket_caps_degenerate_buckets(spark):
+    """50 byte-identical docs form one degenerate LSH bucket per band
+    (~1225 pairs); with max_bucket they are dropped while a small
+    planted near-dup pair still surfaces through its own buckets."""
+    rng = random.Random(23)
+    boiler = _doc(rng)
+    a = _doc(rng)
+    rows = [(i, boiler) for i in range(50)] + [(100, a), (101, _perturb(rng, a, 2))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_candidates(df, "doc_id", "text", max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 50 and b < 50 for a, b in got)  # degenerate pairs gone
+    uncapped = dedup.minhash_lsh_candidates(df, "doc_id", "text")
+    assert uncapped.count() >= 1225  # sanity: the cap was load-bearing
+
+
+def test_jaccard_max_posting_drops_stop_shingles(spark):
+    """Two docs that share ONLY a boilerplate preamble must not pair
+    once the preamble's shingles exceed the posting cap; docs sharing
+    rare content still pair."""
+    rng = random.Random(31)
+    preamble = "terms of service apply to this document"
+    uniq = [_doc(rng, 10) for _ in range(8)]
+    rows = [(i, f"{preamble} {uniq[i]}") for i in range(8)]
+    # two docs sharing rare content (plus the common preamble)
+    shared = _doc(rng, 10)
+    rows += [(100, f"{preamble} {shared}"), (101, f"{preamble} {shared} extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.2, max_posting=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # preamble-only overlaps dropped

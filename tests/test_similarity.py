@@ -85,3 +85,25 @@ def test_lsh_ann_recall_vs_brute_force(dup_corpus):
     approx_nn = {r["q_id"]: r["n_id"] for r in approx}
     hits = sum(approx_nn.get(q) == n for q, n in exact_nn.items())
     assert hits / len(exact_nn) >= 0.9, f"LSH ANN recall@1 {hits / len(exact_nn)}"
+
+
+def test_lsh_neardup_max_bucket_caps_degenerate(spark):
+    """A zero-ish repeated vector floods one bucket per band; max_bucket
+    drops it while a planted near-dup pair still pairs up."""
+    rng = np.random.RandomState(13)
+    v = rng.standard_normal(DIM)
+    v /= np.linalg.norm(v)
+    dup = v + 0.01 * rng.standard_normal(DIM)
+    same = rng.standard_normal(DIM)
+    same /= np.linalg.norm(same)
+    rows = [(i, same.astype(float).tolist()) for i in range(40)]  # 40 identical
+    rows += [(100, v.astype(float).tolist()), (101, dup.astype(float).tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_lsh(
+            df, threshold=0.95, bits=32, bands=16, dim=DIM, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)
