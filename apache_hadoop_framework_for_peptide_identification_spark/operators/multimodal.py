@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 METADATA_SCHEMA = "doc_id long, n_bytes long, sha1 string, magic string"
 DECODE_SCHEMA = "doc_id long, width int, height int, n_channels int"
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha1 string"
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+FEATURE_SCHEMA = "doc_id long, features array<float>"
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -89,6 +91,82 @@ def decode_image(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, DECODE_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 224,
+    height: int = 224,
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (width, height), binary in → binary out.
+
+    STUB like decode_image (no codec libs in this container): with
+    ``fake=True`` the output payload is a deterministic byte stream
+    derived from (payload sha1, width, height) with the size-contract
+    of a real resize (output length scales with target area, capped),
+    so downstream size/partitioning behavior is realistic.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires Pillow/opencv (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            n_out = min(width * height, 4096)
+
+            def fake_resize(b: bytes | None) -> bytes:
+                seed = hashlib.sha1((b or b"") + f"{width}x{height}".encode()).digest()
+                reps = -(-n_out // len(seed))  # ceil
+                return (seed * reps)[:n_out]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf[payload_col].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Binary payload -> ``array<float>`` feature vector. REAL, not
+    stubbed: a 256-bin byte histogram (L1-normalized) projected to
+    ``dim`` by a fixed seeded random matrix — the baseline content
+    fingerprint used by file-type/content classifiers; a model-based
+    extractor swaps only the inner function (same contract as
+    operators/embed.py). One Arrow pass, no shuffle; output feeds the
+    similarity/ANN operators directly."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = np.random.RandomState(seed).standard_normal((256, dim)).astype(np.float32)
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(b or b"", dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256).astype(np.float32)
+                total = hist.sum()
+                if total > 0:
+                    hist /= total
+                feats.append((hist @ proj).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, FEATURE_SCHEMA)
 
 
 def frame_sample(
