@@ -54,20 +54,25 @@ def asof_join(
     # returns the matched row whole; per-column last(ignorenulls) can
     # stitch different right rows together when payload columns are
     # sparse).
+    # Column names are backtick-quoted everywhere so a name containing
+    # dots is taken literally, not as a nested path.
+    def _bq(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
     pay_type = StructType([right.schema[c] for c in payload])
     lt = left.select(
         *on,
-        F.col(left_ts).alias("__ts"),
+        F.col(_bq(left_ts)).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[F.col(c) for c in lpay],
+        *[F.col(_bq(c)) for c in lpay],
         F.lit(None).cast(pay_type).alias("__rpay"),
     )
     rt = right.select(
         *on,
-        F.col(right_ts).alias("__ts"),
+        F.col(_bq(right_ts)).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
-        F.struct(*[F.col(c) for c in payload]).alias("__rpay"),
+        F.struct(*[F.col(_bq(c)).alias(c) for c in payload]).alias("__rpay"),
     )
     # At equal __ts the right row must sort before the left row for
     # inclusive semantics (and after it for exclusive).
@@ -77,10 +82,14 @@ def asof_join(
         *on,
         "__ts",
         "__is_left",
-        *[F.col(c) for c in lpay],
+        *[F.col(_bq(c)) for c in lpay],
         F.last(F.col("__rpay"), ignorenulls=True).over(w).alias("__rpay"),
     )
     out = filled.filter(F.col("__is_left") == 1).withColumnRenamed("__ts", left_ts)
+    # getField (not "__rpay.{c}" string paths): a payload column whose
+    # name contains a dot would otherwise be parsed as a nested path.
+    rpay = F.col("__rpay")
     return out.select(
-        *left.columns, *[F.col(f"__rpay.{c}").alias(c) for c in payload]
+        *[F.col(_bq(c)) for c in left.columns],
+        *[rpay.getField(c).alias(c) for c in payload],
     )

@@ -213,16 +213,27 @@ def ivf_topk(
     """
     import numpy as np
 
-    # Centroid pick: seeded Bernoulli sample + limit — the scan stops
-    # once n_cells survivors are found, instead of hash-ranking the
-    # ENTIRE corpus the way an orderBy(hash).limit would (round-1
-    # VERDICT wrong-list #5; at 100 TB that was a full-corpus pass to
-    # pick 16 rows). Fall back to a plain limit if the sample fraction
-    # under-delivers on a tiny corpus.
+    # Centroid pick: uniform AND deterministic. sample(..).limit(..)
+    # early-stops on whichever partitions answer first, so centroids
+    # came from the head of the corpus (biased on sorted data) and the
+    # pick varied run-to-run under cluster scheduling. Instead:
+    # hash-filter ids down to ~16x n_cells survivors (uniform, and
+    # independent of partition order because membership is a pure
+    # function of the id), then hash-rank only the tiny survivor set.
+    # Costs one id+vec scan — the minimum for a uniform pick — but the
+    # TakeOrdered heap only ever sees the survivors, not the corpus.
     base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    cvecs = base.sample(fraction=0.1, seed=seed).limit(n_cells).collect()
+    n_total = corpus.select(id_col).count()
+    K = max(1, n_total // max(n_cells * 16, 1))
+    rank = F.xxhash64(F.col("cid"), F.lit(seed + 1))
+    cvecs = (
+        base.filter(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(K)) == 0)
+        .orderBy(rank, "cid")
+        .limit(n_cells)
+        .collect()
+    )
     if len(cvecs) < n_cells:
-        cvecs = base.limit(n_cells).collect()
+        cvecs = base.orderBy(rank, "cid").limit(n_cells).collect()
     cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cvecs])
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 

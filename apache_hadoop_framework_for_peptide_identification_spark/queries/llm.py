@@ -24,9 +24,12 @@ def _plant_text_twins(d: DataFrame) -> DataFrame:
     10^4). The synthetic fixture has no near-dup texts; twin planting
     gives the Jaccard/cluster queries real positives while staying
     oracle-expressible (same regexp_replace in DuckDB)."""
+    # \z, not $: Java regex '$' also matches BEFORE a trailing line
+    # terminator, while DuckDB's RE2 '$' matches only end-of-string —
+    # a text ending in '\n' would twin differently on the two sides.
     twins = d.select(
         (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
-        F.regexp_replace(F.col("text"), r" \S+$", "").alias("text"),
+        F.regexp_replace(F.col("text"), " \\S+\\z", "").alias("text"),
     )
     return d.select("doc_id", "text").unionByName(twins)
 

@@ -143,7 +143,9 @@ def q63_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q64_map_in_pandas",
     oracle="""
-SELECT count(*) AS n, sum(l_extendedprice * (1 - l_discount)) AS sum_rev
+SELECT count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            / 100.0 AS DOUBLE) AS sum_rev
 FROM lineitem
 WHERE l_extendedprice * (1 - l_discount) > 2000
 """,
@@ -152,17 +154,30 @@ def q64_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas partition-batch transform: per Arrow batch, compute
     revenue and pre-filter/pre-aggregate IN PYTHON, emitting one
     partial row per batch that the JVM combines — the map-side-combine
-    discipline that keeps a Python stage viable at scale."""
+    discipline that keeps a Python stage viable at scale.
+
+    The partial is kept INTEGRAL (floor'd cent units): a float partial
+    sum re-combined across batches is summation-order-dependent, so two
+    runs (or engine vs oracle) can disagree in the last digits —
+    integer partials make the combine exact and order-independent.
+    Both sides floor the same IEEE-754 product, so the unit values are
+    bit-identical."""
+
+    import numpy as np
 
     def per_batch(batches):
         for pdf in batches:
             rev = pdf.l_extendedprice * (1 - pdf.l_discount)
             keep = rev[rev > 2000]
-            yield pd.DataFrame({"pn": [len(keep)], "ps": [float(keep.sum())]})
+            units = np.floor(keep.to_numpy() * 100).astype("int64")
+            yield pd.DataFrame({"pn": [len(keep)], "pu": [int(units.sum())]})
 
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_discount")
-    partials = li.mapInPandas(per_batch, "pn bigint, ps double")
-    return partials.agg(F.sum("pn").alias("n"), F.sum("ps").alias("sum_rev"))
+    partials = li.mapInPandas(per_batch, "pn bigint, pu bigint")
+    return partials.agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pu") / F.lit(100.0)).cast("double").alias("sum_rev"),
+    )
 
 
 @query(

@@ -85,3 +85,16 @@ def test_empty_right_payload_returns_left(spark):
     out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
     assert out.columns == left.columns
     assert out.count() == 1
+
+
+def test_dotted_payload_column_name(spark):
+    """Payload columns whose names contain dots must survive the final
+    projection (ADVICE round 2: F.col("__rpay.{c}") parsed the name as
+    a nested path; getField references the struct field literally)."""
+    left = spark.createDataFrame([(1, 25)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 10, "v10"), (1, 20, "v20")], ["k", "rts", "px.y"]
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    assert out.columns == ["k", "lts", "px.y"]
+    assert out.collect()[0]["px.y"] == "v20"

@@ -88,7 +88,13 @@ def test_extract_features_real_and_ann_compatible(payload_df, spark):
     feed the similarity operators directly."""
     from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity
 
-    feats = multimodal.extract_features(payload_df, dim=16)
+    # Plant two rows with IDENTICAL payloads so the positive case is
+    # actually asserted (not just "cosines are in range").
+    dup = payload_df.sparkSession.createDataFrame(
+        [(100, "twin body"), (101, "twin body")], "doc_id long, text string"
+    )
+    with_twins = payload_df.select("doc_id", "text").unionByName(dup)
+    feats = multimodal.extract_features(multimodal.attach_payload(with_twins), dim=16)
     rows = feats.collect()
     assert all(len(r["features"]) == 16 for r in rows)
     again = {r["doc_id"]: r["features"] for r in feats.collect()}
@@ -97,6 +103,5 @@ def test_extract_features_real_and_ann_compatible(payload_df, spark):
     pairs = similarity.embedding_neardup_pairs(
         feats, id_col="doc_id", vec_col="features", threshold=0.999
     ).collect()
-    # payload_df fixture has deterministic text payloads; at least
-    # self-consistency must hold (no crash, valid cosine range)
     assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in pairs)
+    assert (100, 101) in {(r["id_a"], r["id_b"]) for r in pairs}
