@@ -1,0 +1,211 @@
+"""Training-data-pipeline operators: repetition quality filters,
+PII scrubbing, benchmark-contamination checks, deterministic
+stratified sampling, and sequence packing.
+
+These extend the LLM-data-pipeline group (SURVEY.md §2B) with the
+corpus-preparation steps a 100 TB pretraining pipeline runs between
+dedup and tokenization. Everything except sequence packing is pure
+built-in expressions (whole-stage codegen, no Python); packing is
+inherently sequential within a shard, so it is the one grouped-Pandas
+op — see ``pack_sequences`` for the scale contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- quality
+
+def _toks(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def top_token_frac(text_col: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent token —
+    the Gopher-style "most common word" repetition signal. Computed
+    JVM-side as array_max over per-distinct-token counts: O(n·d) per
+    row but zero Python and no shuffle (a per-row expression, unlike
+    the explode+groupBy form which would shuffle every token)."""
+    toks = _toks(text_col)
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    )
+    return (F.array_max(counts) / F.size(toks)).cast("double")
+
+
+def _trigrams(toks: Column) -> Column:
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    # Guard: sequence(1, n-2) COUNTS DOWN when n < 3 (Spark's sequence
+    # defaults to step -1 when stop < start) — short docs must yield an
+    # empty array, not a bogus descending index list.
+    return F.when(n >= 3, tri).otherwise(F.array().cast("array<string>"))
+
+
+def dup_trigram_frac(text_col: Column) -> Column:
+    """Fraction of word trigrams that are repeats of an earlier trigram
+    in the same document (1 - distinct/total) — the Gopher "duplicate
+    n-gram" repetition signal. 0.0 for docs under 3 tokens."""
+    tri = _trigrams(_toks(text_col))
+    total = F.size(tri)
+    frac = F.lit(1.0) - F.size(F.array_distinct(tri)) / total
+    return F.when(total > 0, frac).otherwise(F.lit(0.0)).cast("double")
+
+
+# ------------------------------------------------------------------ PII
+
+# Java-regex and RE2 compatible (no lookaround, no backrefs).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_ANY = f"{PII_EMAIL}|{PII_PHONE}|{PII_IPV4}"
+PII_TOKEN = "<PII>"
+
+
+def pii_count(text_col: Column) -> Column:
+    """Number of PII matches (emails, US-style phone numbers, IPv4s)."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(PII_ANY), 0)).cast("bigint")
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Replace every PII match with the redaction token. Pure
+    regexp_replace — rides codegen; the pattern set is deliberately
+    lookaround-free so the same regex runs under Java regex (Spark)
+    and RE2 (DuckDB oracle, Go/Rust tooling)."""
+    return F.regexp_replace(text_col, PII_ANY, PII_TOKEN)
+
+
+# -------------------------------------------------------- contamination
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-corpus-doc count of word n-grams that also appear in the
+    benchmark (eval-set) corpus — the decontamination primitive.
+
+    Scale: the benchmark side is small by definition (eval sets are
+    KBs–MBs), so its distinct shingle set is broadcast; the corpus
+    explodes to (id, shingle) and inner-joins the broadcast set with
+    NO shuffle of corpus data. Corpus docs with zero overlap drop out
+    of the join and are restored with a left join against the (tiny
+    per-doc) overlap counts — at 100 TB the restore join shuffles only
+    ids, never text.
+
+    Returns (id_col, n_overlap) — one row per corpus doc.
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        sh = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh"))
+
+    bench_sh = shingles(benchmark).select("sh").distinct()
+    overlaps = (
+        shingles(corpus)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlaps, id_col, "left")
+        .select(F.col(id_col), F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+    )
+
+
+# ------------------------------------------------------------- sampling
+
+def stratified_mod_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    keep_1_in: Mapping[str, int],
+    default_k: int = 10,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep every k-th row per
+    stratum (k from ``keep_1_in``), membership decided by
+    ``id % k == 0``.
+
+    This is the domain-mixing primitive (sample src A at 1/2, src B at
+    1/7, ...) built so that it costs NOTHING at scale: membership is a
+    pure per-row expression — no shuffle, no RNG state, no sampleBy
+    two-pass — and the same row set is selected on any cluster, any
+    partitioning, any run (seeded ``sample()``/``sampleBy()`` only
+    guarantee that for identical partitioning). Ids must be unique for
+    exact rates; correlated ids (e.g. all-even) skew the rate — use a
+    hash of the id as the modulus base for adversarial id spaces.
+    """
+    k_map = F.create_map(
+        *[F.lit(x) for pair in keep_1_in.items() for x in pair]
+    )
+    k = F.coalesce(F.element_at(k_map, F.col(strata_col)), F.lit(default_k))
+    return df.filter(F.pmod(F.col(id_col), k) == 0)
+
+
+# -------------------------------------------------------------- packing
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequence packing: walk each group in ``order_col`` order
+    and assign docs to consecutive bins (seq_id), opening a new bin
+    whenever adding the next doc would exceed ``budget`` tokens. A doc
+    larger than the budget occupies a bin alone.
+
+    Packing is sequential BY DEFINITION inside a bin stream, so this is
+    honestly a grouped-Pandas op, not a window trick (a running-sum
+    window cannot express the capacity RESET). The 100 TB contract:
+    packing never needs global order — shard the corpus (the group key
+    here), pack each shard independently in parallel, and the group
+    key keeps the op deterministic for the oracle. State per task is
+    one (fill, seq_id) pair — O(1) memory over any shard size.
+
+    Returns (group_col, order_col, size_col, seq_id).
+    """
+    schema = (
+        df.select(group_col, order_col, size_col)
+        .withColumn("seq_id", F.lit(0).cast("bigint"))
+        .schema
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        seq_ids = []
+        fill, seq = 0, 0
+        for sz in pdf[size_col]:
+            if fill and fill + sz > budget:
+                seq += 1
+                fill = 0
+            fill += sz
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf
+
+    return (
+        df.select(group_col, order_col, size_col)
+        .groupBy(group_col)
+        .applyInPandas(pack, schema)
+    )

@@ -59,6 +59,7 @@ from . import epipe  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
 from . import sources_q  # noqa: E402,F401
+from . import pipeline_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.
@@ -81,6 +82,12 @@ from . import sources_q  # noqa: E402,F401
 _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
+    # (0) New this round — never had a driver verdict
+    "q83_repetition_filter",
+    "q84_pii_scrub",
+    "q85_contamination_check",
+    "q86_stratified_sample",
+    "q87_sequence_packing",
     # (1) Implementation changed this round — must re-verify under driver
     "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
     "q14_asof_join",  # backtick-quoted column refs
@@ -114,12 +121,7 @@ _DRIVER_PRIORITY = [
     "q29_systematic_sample",
     "q30_approx_aggs",
     "q31_exact_percentiles",
-    "q32_string_funcs",
-    "q33_date_funcs",
-    "q34_math_funcs",
     "q35_array_funcs",
-    "q36_map_funcs",
-    "q37_json_funcs",
     "q38_hash_funcs",
     "q39_try_cast",
     "q76_declarative_plan",

@@ -1,0 +1,269 @@
+"""Training-pipeline queries (q83–q87): the corpus-preparation steps
+between dedup and tokenization — repetition quality filters, PII
+scrubbing, eval-set decontamination, deterministic domain mixing, and
+sequence packing. Extends SURVEY.md §2B's LLM-data-pipeline table.
+
+The synthetic documents fixture has no PII and no real benchmark
+contamination, so q84/q85 plant both deterministically (same
+expression on the Spark and DuckDB sides), mirroring the twin-planting
+pattern of q41/q67.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import pipeline as P
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q83_repetition_filter",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+topc AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok
+  FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+  GROUP BY doc_id),
+tri AS (
+  SELECT doc_id,
+         count(*) AS n_tri,
+         count(DISTINCT sh) AS n_tri_distinct
+  FROM (
+    SELECT d.doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+         unnest(range(1, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 3)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.top_c AS DOUBLE) / t.n_tok AS top_tok_frac,
+       CAST(coalesce(1.0 - CAST(r.n_tri_distinct AS DOUBLE) / r.n_tri, 0.0)
+            AS DOUBLE) AS dup_tri_frac,
+       (CAST(t.top_c AS DOUBLE) / t.n_tok <= 0.125
+        AND coalesce(1.0 - CAST(r.n_tri_distinct AS DOUBLE) / r.n_tri, 0.0) <= 0.05)
+         AS keep
+FROM topc t LEFT JOIN tri r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q83_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: most-common-token
+    fraction + duplicate-trigram fraction, with a keep/drop verdict.
+    Both stats are per-row JVM expressions (no token explode, no
+    shuffle) — the whole filter is a single codegen'd scan at any
+    scale."""
+    d = _t(spark, sf_dir, "documents")
+    top_frac = P.top_token_frac(F.col("text"))
+    dup_frac = P.dup_trigram_frac(F.col("text"))
+    return d.select(
+        "doc_id",
+        top_frac.alias("top_tok_frac"),
+        dup_frac.alias("dup_tri_frac"),
+        ((top_frac <= 0.125) & (dup_frac <= 0.05)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_PLANT_PII_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN text || ' contact bob' || doc_id || '@example.com now'
+           WHEN 1 THEN text || ' call 555-123-4567 today'
+           WHEN 2 THEN text || ' from host 10.0.' || doc_id % 256 || '.7'
+           ELSE text
+         END AS text
+  FROM documents
+"""
+
+
+def _plant_pii(d: DataFrame) -> DataFrame:
+    planted = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact bob"), F.col("doc_id"), F.lit("@example.com now")
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" call 555-123-4567 today")))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.col("text"), F.lit(" from host 10.0."), F.col("doc_id") % 256, F.lit(".7")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", planted.alias("text"))
+
+
+@query(
+    "q84_pii_scrub",
+    oracle=f"""
+WITH planted AS ({_PLANT_PII_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|\\d{{3}}-\\d{{3}}-\\d{{4}}|\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}'))
+         AS BIGINT) AS n_pii,
+       regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|\\d{{3}}-\\d{{3}}-\\d{{4}}|\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}',
+         '<PII>', 'g') AS clean_text
+FROM planted ORDER BY doc_id
+""",
+)
+def q84_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact emails / phone numbers / IPv4s and count
+    redactions. PII is planted deterministically (the fixture has
+    none) so the positives are real. Pure regexp expressions — one
+    codegen'd scan; the pattern set is lookaround-free so the same
+    regex runs on Java regex and RE2 ('g' flag on the DuckDB side:
+    its regexp_replace is first-match-only by default, Spark's is
+    always global)."""
+    d = _plant_pii(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        P.pii_count(F.col("text")).alias("n_pii"),
+        P.scrub_pii(F.col("text")).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+_CONTAM_N = 5  # shingle width; benchmark = docs 0-9, corpus = docs 10+
+
+
+@query(
+    "q85_contamination_check",
+    oracle=f"""
+WITH bench_raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 10),
+corpus_raw AS (
+  SELECT c.doc_id,
+         CASE WHEN c.doc_id % 3 = 0
+              THEN c.text || ' ' ||
+                   array_to_string(string_split(b.text, ' ')[1:8], ' ')
+              ELSE c.text END AS text
+  FROM documents c JOIN bench_raw b ON b.doc_id = c.doc_id % 10
+  WHERE c.doc_id >= 10),
+bench_sh AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         || toks[i+3] || ' ' || toks[i+4] AS sh
+  FROM (SELECT string_split(text, ' ') AS toks FROM bench_raw) d,
+       unnest(range(1, len(toks) - {_CONTAM_N - 2})) AS t(i)
+  WHERE len(toks) >= {_CONTAM_N}),
+corpus_sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+         || toks[i+3] || ' ' || toks[i+4] AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus_raw) d,
+       unnest(range(1, len(toks) - {_CONTAM_N - 2})) AS t(i)
+  WHERE len(toks) >= {_CONTAM_N}),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM corpus_sh c JOIN bench_sh b ON b.sh = c.sh
+  GROUP BY 1)
+SELECT r.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 1 AS contaminated
+FROM corpus_raw r LEFT JOIN hits h ON h.doc_id = r.doc_id
+ORDER BY r.doc_id
+""",
+)
+def q85_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per corpus doc, count word 5-grams
+    shared with a benchmark set (docs 0-9 stand in for the eval set;
+    every third corpus doc gets a benchmark snippet appended so the
+    positives are real). The benchmark's distinct shingles BROADCAST —
+    corpus text never shuffles; only (id, count) pairs move in the
+    restore join."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    snippet = F.concat_ws(" ", F.slice(F.split(F.col("b_text"), " "), 1, 8))
+    corpus = (
+        d.filter(F.col("doc_id") >= 10)
+        .join(
+            F.broadcast(bench.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))),
+            F.col("doc_id") % 10 == F.col("b_id"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" "), snippet))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = P.contamination_overlap(corpus, bench, id_col="doc_id", text_col="text", n=_CONTAM_N)
+    return out.select(
+        "doc_id",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        (F.col("n_overlap") >= 1).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+_MIX_RATES = {"en": 2, "es": 3, "de": 4, "fr": 5, "zh": 7}
+
+
+@query(
+    "q86_stratified_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE doc_id % (CASE lang WHEN 'en' THEN 2 WHEN 'es' THEN 3 WHEN 'de' THEN 4
+                          WHEN 'fr' THEN 5 WHEN 'zh' THEN 7 ELSE 10 END) = 0
+ORDER BY doc_id
+""",
+)
+def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing via deterministic stratified sampling: keep every
+    k-th doc per language (en 1/2, es 1/3, de 1/4, fr 1/5, zh 1/7).
+    Membership is a pure per-row expression — zero shuffle, zero RNG
+    state, identical row set on any partitioning (unlike sampleBy),
+    and exactly reproducible by the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        P.stratified_mod_sample(d, "lang", "doc_id", _MIX_RATES, default_k=10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "q87_sequence_packing",
+    oracle=f"""
+WITH RECURSIVE sized AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT lang, doc_id, n_tok, rn,
+         n_tok AS fill, CAST(0 AS BIGINT) AS seq_id
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.lang, s.doc_id, s.n_tok, s.rn,
+         CASE WHEN r.fill + s.n_tok > {_PACK_BUDGET} THEN s.n_tok
+              ELSE r.fill + s.n_tok END,
+         CASE WHEN r.fill + s.n_tok > {_PACK_BUDGET} THEN r.seq_id + 1
+              ELSE r.seq_id END
+  FROM rec r JOIN sized s ON s.lang = r.lang AND s.rn = r.rn + 1)
+SELECT lang, doc_id, n_tok, seq_id FROM rec ORDER BY lang, doc_id
+""",
+)
+def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: per language (the shard key), walk docs
+    in doc_id order and bin them into back-to-back training sequences
+    of at most 256 whitespace tokens. The capacity RESET makes this
+    inexpressible as a window running sum — it is the honest grouped
+    sequential op (O(1) state per shard; shards pack in parallel).
+    Oracle: recursive CTE replaying the same greedy walk."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok")
+    )
+    return P.pack_sequences(
+        sized, group_col="lang", order_col="doc_id", size_col="n_tok", budget=_PACK_BUDGET
+    ).orderBy("lang", "doc_id")

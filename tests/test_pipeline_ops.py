@@ -1,0 +1,104 @@
+"""Training-pipeline operator tests: repetition stats, PII scrubbing,
+contamination overlap, deterministic stratified sampling, sequence
+packing — planted positives AND negatives for each."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+
+def _one_text(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+def test_top_token_frac(spark):
+    df = _one_text(spark, "a a a b")
+    assert df.select(P.top_token_frac(F.col("text")).alias("f")).collect()[0]["f"] == 0.75
+
+
+def test_dup_trigram_frac(spark):
+    # trigrams of "a b a b a b": [aba, bab, aba, bab] -> 2/4 duplicates
+    df = _one_text(spark, "a b a b a b")
+    assert df.select(P.dup_trigram_frac(F.col("text")).alias("f")).collect()[0]["f"] == 0.5
+
+
+def test_dup_trigram_frac_short_doc_is_zero(spark):
+    # sequence(1, n-2) would count DOWN for n<3 without the guard
+    df = _one_text(spark, "a b")
+    assert df.select(P.dup_trigram_frac(F.col("text")).alias("f")).collect()[0]["f"] == 0.0
+
+
+def test_scrub_pii_replaces_and_counts(spark):
+    df = _one_text(spark, "mail bob@x.com or 555-123-4567 or 10.0.0.1 ok")
+    row = df.select(
+        P.scrub_pii(F.col("text")).alias("clean"), P.pii_count(F.col("text")).alias("n")
+    ).collect()[0]
+    assert row["n"] == 3
+    assert row["clean"] == "mail <PII> or <PII> or <PII> ok"
+
+
+def test_scrub_pii_clean_text_untouched(spark):
+    df = _one_text(spark, "no personal data here at all")
+    row = df.select(
+        P.scrub_pii(F.col("text")).alias("clean"), P.pii_count(F.col("text")).alias("n")
+    ).collect()[0]
+    assert row["n"] == 0
+    assert row["clean"] == "no personal data here at all"
+
+
+def test_contamination_overlap_positive_and_negative(spark):
+    bench = _one_text(spark, "alpha beta gamma delta epsilon zeta")
+    corpus = spark.createDataFrame(
+        [
+            (10, "x y alpha beta gamma delta epsilon tail"),  # shares 5-grams
+            (11, "totally different words in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_overlap"] for r in P.contamination_overlap(corpus, bench).collect()}
+    assert out[10] >= 1
+    assert out[11] == 0
+
+
+def test_stratified_mod_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i < 60 else "xx") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = P.stratified_mod_sample(df, "lang", "doc_id", {"en": 2}, default_k=10)
+    got = sorted(r["doc_id"] for r in out.collect())
+    # en: every even id below 60; unknown stratum: default 1-in-10
+    assert got == [i for i in range(60) if i % 2 == 0] + [60, 70, 80, 90]
+    # repartitioning must not change the selected set (unlike sampleBy)
+    again = sorted(r["doc_id"] for r in P.stratified_mod_sample(
+        df.repartition(7), "lang", "doc_id", {"en": 2}, default_k=10
+    ).collect())
+    assert again == got
+
+
+@pytest.mark.parametrize(
+    "sizes,budget,expect",
+    [
+        ([100, 100, 100], 256, [0, 0, 1]),  # third doc overflows
+        ([300, 10], 256, [0, 1]),  # oversized doc occupies its bin alone
+        ([256, 256], 256, [0, 1]),  # exact-fit boundary: > not >=
+        ([50, 206, 1], 256, [0, 0, 1]),  # fills exactly, next overflows
+    ],
+)
+def test_pack_sequences_greedy_rule(spark, sizes, budget, expect):
+    rows = [("g", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "grp string, ord long, n long")
+    out = P.pack_sequences(df, "grp", "ord", "n", budget=budget)
+    got = {r["ord"]: r["seq_id"] for r in out.collect()}
+    assert [got[i] for i in range(len(sizes))] == expect
+
+
+def test_pack_sequences_input_order_invariant(spark):
+    rows = [("g", i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, ord long, n long")
+    base = {r["ord"]: r["seq_id"] for r in P.pack_sequences(df, "grp", "ord", "n", 256).collect()}
+    shuffled = {r["ord"]: r["seq_id"] for r in P.pack_sequences(
+        df.orderBy(F.rand(seed=7)).repartition(5), "grp", "ord", "n", 256
+    ).collect()}
+    assert shuffled == base
