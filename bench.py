@@ -31,6 +31,7 @@ HEADLINE = [
     "q44_ann_cosine_topk",
     "q50_pipe_tokens",
     "q67_embedding_neardup_lsh",
+    "q83_repetition_filter",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

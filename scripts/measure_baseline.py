@@ -227,6 +227,49 @@ def q67_embedding_neardup(t):
     )
 
 
+def q83_repetition_filter(t):
+    """Stock repetition filter: explode tokens -> groupBy counts for the
+    top-token fraction, explode trigrams -> distinct counts for the
+    duplicate-trigram fraction, join the two back (what a user writes
+    first: three shuffles of every token/trigram plus a join, vs the
+    engine's zero-shuffle per-row expression form)."""
+    d = t["documents"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    topc = (
+        tok.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_c"), F.sum("count").alias("n_tok"))
+    )
+    toks = F.split(F.col("text"), " ")
+    tri = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ).alias("sh"),
+    )
+    trid = tri.groupBy("doc_id").agg(
+        (1.0 - F.countDistinct("sh") / F.count("sh")).alias("dup_tri_frac")
+    )
+    top_frac = F.col("top_c") / F.col("n_tok")
+    dup_frac = F.coalesce(F.col("dup_tri_frac"), F.lit(0.0))
+    return (
+        topc.join(trid, "doc_id", "left")
+        .select(
+            "doc_id",
+            top_frac.alias("top_tok_frac"),
+            dup_frac.alias("dup_tri_frac"),
+            ((top_frac <= 0.125) & (dup_frac <= 0.05)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -237,6 +280,7 @@ QUERIES = {
     "q44_ann_cosine_topk": q44_cosine_topk,
     "q50_pipe_tokens": q50_pipe_tokens,
     "q67_embedding_neardup_lsh": q67_embedding_neardup,
+    "q83_repetition_filter": q83_repetition_filter,
 }
 
 

@@ -31,6 +31,28 @@ def test_dup_trigram_frac_short_doc_is_zero(spark):
     assert df.select(P.dup_trigram_frac(F.col("text")).alias("f")).collect()[0]["f"] == 0.0
 
 
+def test_repetition_stats_udf_matches_expression_forms(spark):
+    """The Arrow-batched hot path must agree bit-for-bit with the
+    pure-expression forms (same IEEE ops on both paths)."""
+    rows = [(i, t) for i, t in enumerate(
+        ["a a a b", "a b a b a b", "x", "q w e r t y q w e", "z z"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["s"]["top_tok_frac"], r["s"]["dup_tri_frac"])
+        for r in df.select("doc_id", P.repetition_stats(F.col("text")).alias("s")).collect()
+    }
+    want = {
+        r["doc_id"]: (r["t"], r["d"])
+        for r in df.select(
+            "doc_id",
+            P.top_token_frac(F.col("text")).alias("t"),
+            P.dup_trigram_frac(F.col("text")).alias("d"),
+        ).collect()
+    }
+    assert got == want
+
+
 def test_scrub_pii_replaces_and_counts(spark):
     df = _one_text(spark, "mail bob@x.com or 555-123-4567 or 10.0.0.1 ok")
     row = df.select(
