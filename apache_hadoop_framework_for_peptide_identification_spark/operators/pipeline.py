@@ -16,7 +16,7 @@ from collections.abc import Mapping
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------- quality
@@ -212,6 +212,128 @@ def stratified_mod_sample(
     )
     k = F.coalesce(F.element_at(k_map, F.col(strata_col)), F.lit(default_k))
     return df.filter(F.pmod(F.col(id_col), k) == 0)
+
+
+def cap_per_group(df: DataFrame, group_col: str, order_col: str, n: int) -> DataFrame:
+    """Keep at most ``n`` rows per group, by ``order_col`` order — the
+    per-domain/source cap that web-corpus pipelines apply before
+    mixing (one domain must not dominate the epoch). One shuffle on
+    the group key; a hot group costs its own partition only up to the
+    cap because the rank filter discards its tail. Adds ``rn``."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+
+
+# ------------------------------------------------------------- ranking
+
+def global_sort_rank(df: DataFrame, key_col: str, n_partitions: int | None = None) -> DataFrame:
+    """Distributed global 1-based rank by ``key_col`` — WITHOUT the
+    single-partition collapse of a bare ``Window.orderBy`` (Spark
+    funnels a partitionBy-less window through ONE task; at 100 TB that
+    is the whole corpus through one executor).
+
+    The standard two-phase form: range-repartition on the key (range
+    boundaries are ordered, so partition id order == key order),
+    compute per-partition counts (one tiny row per partition), turn
+    them into exclusive prefix offsets, and add each partition's
+    offset to its local row_number. Both heavy stages are fully
+    parallel; the only serial step is the prefix sum over
+    n_partitions rows.
+
+    Keys must be distinct (ties across a range boundary would make
+    rank assignment partitioner-dependent); use a unique tiebreak
+    column in the key when in doubt.
+
+    The partitioned frame is localCheckpoint'd before fanning into the
+    two consumers (offset aggregation + final rank): without it each
+    branch re-executes the range exchange, and AQE / range-boundary
+    sampling may materialize DIFFERENT partitionings per branch, so
+    the offsets would be keyed by partition ids the main branch never
+    sees (observed as wrong ranks at sf0.1). The checkpoint holds only
+    the projected columns — project narrow before ranking and join the
+    result back by id if the full row is needed.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, key_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    offs = (
+        parts.groupBy("__pid")
+        .count()
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("count").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    w = Window.partitionBy("__pid").orderBy(key_col)
+    return (
+        parts.join(F.broadcast(offs), "__pid")
+        .withColumn("pos", (F.row_number().over(w) + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__off")
+    )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
+    """Deterministic epoch-reproducible global shuffle: rank rows by
+    md5(epoch:id). Every run, any cluster, any partitioning produces
+    the SAME permutation for a given epoch (unlike orderBy(rand)), and
+    each epoch is a fresh permutation — the training-data ordering
+    contract. Adds ``pos`` (1-based)."""
+    key = F.md5(F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string")))
+    return global_sort_rank(df.withColumn("__shuffle_key", key), "__shuffle_key").drop(
+        "__shuffle_key"
+    )
+
+
+# --------------------------------------------------------- quantization
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5). Returns (id, scale, qvec
+    array<tinyint>, max_abs_err).
+
+    The ANN-at-scale memory lever: int8 cuts vector bytes (and every
+    candidate-join shuffle that carries vectors) 4x vs float32 for
+    ~1% cosine error at 64-dim. numpy-vectorized per Arrow batch;
+    floor(x+0.5) instead of round() because banker's rounding differs
+    between numpy and SQL engines — this exact formula is reproducible
+    everywhere (oracle parity is the proof)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<scale: double, qvec: array<tinyint>, max_abs_err: double>")
+    def _quant(vecs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        scales, qvecs, errs = [], [], []
+        for v in vecs:
+            v32 = np.asarray(v, dtype=np.float32)
+            v64 = v32.astype(np.float64)
+            scale = float(np.max(np.abs(v32))) / 127.0 if len(v32) else 0.0
+            safe = scale if scale != 0.0 else 1.0
+            q = np.floor(v64 / safe + 0.5).astype(np.int8)
+            err = float(np.max(np.abs(v64 - q.astype(np.float64) * scale))) if len(v32) else 0.0
+            scales.append(scale)
+            qvecs.append(q.tolist())
+            errs.append(err)
+        return pd.DataFrame({"scale": scales, "qvec": qvecs, "max_abs_err": errs})
+
+    out = df.select(F.col(id_col), _quant(F.col(vec_col)).alias("s"))
+    return out.select(
+        id_col,
+        F.col("s")["scale"].alias("scale"),
+        F.col("s")["qvec"].alias("qvec"),
+        F.col("s")["max_abs_err"].alias("max_abs_err"),
+    )
 
 
 # -------------------------------------------------------------- packing

@@ -88,6 +88,9 @@ _DRIVER_PRIORITY = [
     "q85_contamination_check",
     "q86_stratified_sample",
     "q87_sequence_packing",
+    "q88_epoch_shuffle",
+    "q89_source_cap",
+    "q90_embedding_quantize",
     # (1) Implementation changed this round — must re-verify under driver
     "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
     "q14_asof_join",  # backtick-quoted column refs
@@ -118,9 +121,6 @@ _DRIVER_PRIORITY = [
     "q26_sort_nulls",
     "q27_global_topk",
     "q28_set_ops",
-    "q29_systematic_sample",
-    "q30_approx_aggs",
-    "q31_exact_percentiles",
     "q35_array_funcs",
     "q38_hash_funcs",
     "q39_try_cast",

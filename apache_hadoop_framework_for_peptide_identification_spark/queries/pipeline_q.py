@@ -230,6 +230,78 @@ def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q88_epoch_shuffle",
+    oracle="""
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)))
+         AS pos
+FROM documents ORDER BY doc_id
+""",
+)
+def q88_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-reproducible global shuffle: rank docs by md5(epoch:id).
+    Same permutation on any cluster/partitioning for a given epoch
+    (orderBy(rand) is not), fresh permutation per epoch. Distributed
+    via range-repartition + per-partition rank + prefix offsets — no
+    single-partition window collapse (operators/pipeline.py
+    global_sort_rank)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return P.epoch_shuffle(d, "doc_id", epoch=7).select("doc_id", "pos").orderBy("doc_id")
+
+
+@query(
+    "q89_source_cap",
+    oracle="""
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3 ORDER BY doc_id
+""",
+)
+def q89_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (keep first 3 per source by doc_id) —
+    the anti-domination filter web corpora apply before mixing."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        P.cap_per_group(d, "source", "doc_id", 3)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q90_embedding_quantize",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+           AS scale
+  FROM embeddings)
+SELECT vec_id, scale,
+       list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE)
+                         / (CASE WHEN scale = 0 THEN 1 ELSE scale END) + 0.5)
+                   AS TINYINT)) AS qvec,
+       CAST(list_max(list_transform(embedding,
+         x -> abs(CAST(x AS DOUBLE)
+                  - floor(CAST(x AS DOUBLE)
+                          / (CASE WHEN scale = 0 THEN 1 ELSE scale END) + 0.5)
+                      * scale))) AS DOUBLE) AS max_abs_err
+FROM base ORDER BY vec_id
+""",
+)
+def q90_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction error —
+    the 4x memory/shuffle lever for ANN at scale. floor(x+0.5)
+    rounding on both sides because banker's rounding differs across
+    engines; the oracle match proves the quantized bytes are
+    reproducible anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return P.quantize_embeddings_int8(emb, "vec_id", "embedding").orderBy("vec_id")
+
+
 _PACK_BUDGET = 256
 
 

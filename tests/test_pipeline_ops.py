@@ -124,3 +124,51 @@ def test_pack_sequences_input_order_invariant(spark):
         df.orderBy(F.rand(seed=7)).repartition(5), "grp", "ord", "n", 256
     ).collect()}
     assert shuffled == base
+
+
+def test_global_sort_rank_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, f"k{i%7}x{i}") for i in range(200)], "id long, k string")
+    got = {r["id"]: r["pos"] for r in P.global_sort_rank(df, "k", n_partitions=8).collect()}
+    want = {
+        r["id"]: r["pos"]
+        for r in df.withColumn("pos", F.row_number().over(Window.orderBy("k"))).collect()
+    }
+    assert got == want
+
+
+def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    e1 = {r["doc_id"]: r["pos"] for r in P.epoch_shuffle(df, "doc_id", epoch=1).collect()}
+    e1_again = {
+        r["doc_id"]: r["pos"]
+        for r in P.epoch_shuffle(df.repartition(9), "doc_id", epoch=1).collect()
+    }
+    e2 = {r["doc_id"]: r["pos"] for r in P.epoch_shuffle(df, "doc_id", epoch=2).collect()}
+    assert e1 == e1_again  # same epoch: same permutation on any partitioning
+    assert e1 != e2  # new epoch: fresh permutation
+    assert sorted(e1.values()) == list(range(1, 101))  # a real permutation
+
+
+def test_cap_per_group(spark):
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(2)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = P.cap_per_group(df, "src", "id", 3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["id"])
+    assert sorted(by_src["a"]) == [0, 1, 2]  # first 3 by order
+    assert sorted(by_src["b"]) == [0, 1]  # under the cap: untouched
+
+
+def test_quantize_int8_error_bound_and_range(spark):
+    rows = [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0]), (3, [-2.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in P.quantize_embeddings_int8(df).collect()}
+    for r in out.values():
+        assert all(-128 <= q <= 127 for q in r["qvec"])
+        # reconstruction error of symmetric int8 is at most scale/2
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+    assert out[2]["qvec"] == [0, 0] and out[2]["scale"] == 0.0  # zero-vector guard
+    assert out[3]["qvec"] == [-127]
