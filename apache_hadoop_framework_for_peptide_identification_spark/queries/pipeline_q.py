@@ -302,6 +302,70 @@ def q90_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.quantize_embeddings_int8(emb, "vec_id", "embedding").orderBy("vec_id")
 
 
+@query(
+    "q92_ann_quantized",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+           AS scale
+  FROM embeddings),
+qt AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE)
+                      / (CASE WHEN scale = 0 THEN 1 ELSE scale END) + 0.5)) AS qv
+  FROM q),
+pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         list_dot_product(a.qv, b.qv) * a.scale * b.scale AS qscore
+  FROM qt a JOIN qt b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+ranked AS (
+  SELECT q_id, n_id, qscore,
+         row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, n_id) AS rn
+  FROM pairs)
+SELECT q_id, n_id, qscore, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5 ORDER BY q_id, rn
+""",
+)
+def q92_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors scored on int8-QUANTIZED vectors (q90's op feeding
+    search): dot products accumulate in exact integer arithmetic — 4×
+    less shuffle/memory than float32 and, unlike float dots, the score
+    is order-independent, which is why the oracle can match it
+    bit-for-bit. Queries broadcast as in q44; corpus never shuffles."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = P.quantize_embeddings_int8(emb, "vec_id", "embedding")
+    queries = qt.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_q"),
+    )
+    corpus = qt.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("scale").alias("n_scale"),
+        F.col("qvec").alias("n_q"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_q", "n_q", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        (dot.cast("double") * F.col("q_scale") * F.col("n_scale")).alias("qscore"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    )
+
+
 _PACK_BUDGET = 256
 
 

@@ -187,3 +187,44 @@ def q58_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_events").alias("n_events"), F.max("sum_value").alias("sum_value"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q91_stream_stream_join",
+    oracle="""
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q91_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the remaining big Structured
+    Streaming surface): clicks joined to purchases by the same user
+    within 15 minutes, both sides streams. Watermark + interval bound
+    the join state (see streaming/windows.py) — the oracle is the
+    equivalent batch self-join."""
+    from ..streaming.windows import stream_stream_interval_join
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id", "p_user", "c_ts", "p_ts", within="15 minutes"
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("user_id")

@@ -85,6 +85,36 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    right rows within [left_ts, left_ts + within] per key. Column
+    names must be disjoint (rename before joining).
+
+    The interval condition + watermarks are what make this safe
+    unbounded: each side buffers only rows newer than
+    (watermark + interval), so join state is bounded by arrival rate ×
+    horizon, not by stream length. Without the time bound Spark would
+    have to keep EVERY past row — it rejects that plan in append mode.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom per-key stateful operator (applyInPandasWithState): keeps
     a running (count, sum) per user across micro-batches and emits the
