@@ -93,6 +93,8 @@ _DRIVER_PRIORITY = [
     "q90_embedding_quantize",
     "q91_stream_stream_join",
     "q92_ann_quantized",
+    "q93_unpivot",
+    "q94_correlated_subqueries",
     # (1) Implementation changed this round — must re-verify under driver
     "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
     "q14_asof_join",  # backtick-quoted column refs
@@ -118,8 +120,6 @@ _DRIVER_PRIORITY = [
     "q21_pivot",
     "q22_window_ranking",
     "q23_window_analytic",
-    "q24_window_running",
-    "q25_window_range",
     "q28_set_ops",
     "q35_array_funcs",
     "q38_hash_funcs",

@@ -776,3 +776,64 @@ def q76_declarative_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return build_plan(spark, sf_dir, spec)
+
+
+@query(
+    "q93_unpivot",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_price,
+         sum(l_discount) AS sum_disc
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, metric, value
+FROM agg UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, metric
+""",
+)
+def q93_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of q21's pivot): wide per-flag
+    aggregates to long (flag, metric, value) rows. DataFrame.unpivot
+    is a pure projection+explode — no shuffle beyond the source agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.sum("l_discount").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")
+
+
+_Q94_SQL = """
+SELECT c.c_custkey, c.c_name,
+       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey))
+ORDER BY c.c_custkey
+"""
+
+
+@query("q94_correlated_subqueries", oracle=_Q94_SQL)
+def q94_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries (EXISTS + scalar, the same ANSI text runs
+    on both engines): customers with an order 1.5x above their own
+    average. Catalyst decorrelates all three subqueries into joins/
+    aggregations — no per-row re-execution, unlike a naive evaluator;
+    the plan is ordinary shuffles over o_custkey. (The scalar subquery
+    correlates to its IMMEDIATE outer `o`, not `c` two levels up —
+    Spark rejects multi-level correlation; same semantics here since
+    o.o_custkey = c.c_custkey.)"""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q94_SQL)
