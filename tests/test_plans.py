@@ -115,3 +115,26 @@ def test_no_cartesian_products_anywhere(spark):
     # validation baselines (small inputs by contract).
     allowed = {"q12_join_theta_pairs", "q66_embedding_neardup"}
     assert set(offenders) <= allowed, offenders
+
+
+def test_q85_benchmark_shingles_broadcast_corpus_text_never_shuffles(spark):
+    """Decontamination: the benchmark shingle set must broadcast, and no
+    exchange may carry document text — only (id, count) pairs move."""
+    plan = _plan(spark, "q85_contamination_check")
+    assert "BroadcastHashJoin" in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("text#" in l for l in exchanges), exchanges
+
+
+def test_q86_sampling_adds_no_shuffle_before_sort(spark):
+    """Stratified mod-sampling is a pure row predicate: the only
+    exchange allowed is the final presentation orderBy."""
+    plan = _plan(spark, "q86_stratified_sample")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert all("rangepartitioning" in l for l in exchanges), exchanges
+
+
+def test_q92_quantized_corpus_join_is_broadcast(spark):
+    plan = _plan(spark, "q92_ann_quantized")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
