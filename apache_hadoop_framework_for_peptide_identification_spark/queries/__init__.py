@@ -95,6 +95,8 @@ _DRIVER_PRIORITY = [
     "q92_ann_quantized",
     "q93_unpivot",
     "q94_correlated_subqueries",
+    "q95_incremental_dedup",
+    "q96_dedup_corpus",
     # (1) Implementation changed this round — must re-verify under driver
     "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
     "q14_asof_join",  # backtick-quoted column refs
@@ -116,8 +118,6 @@ _DRIVER_PRIORITY = [
     "q17_rollup",
     "q18_cube",
     "q19_grouping_sets",
-    "q20_collect_agg",
-    "q21_pivot",
     "q22_window_ranking",
     "q23_window_analytic",
     "q28_set_ops",

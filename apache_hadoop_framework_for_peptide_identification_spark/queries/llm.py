@@ -447,3 +447,100 @@ def q81_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, "doc_id", "embedding", 0.8).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "q95_incremental_dedup",
+    oracle="""
+WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT b.doc_id + 20000, h.text
+  FROM documents b JOIN history h ON h.doc_id = b.doc_id % 250
+  WHERE b.doc_id >= 250 AND b.doc_id % 5 = 0)
+SELECT b.doc_id FROM batch b
+WHERE md5(b.text) NOT IN (SELECT md5(text) FROM history)
+ORDER BY b.doc_id
+""",
+)
+def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: drop new-batch docs whose content
+    already exists in the historical corpus (every crawl refresh runs
+    this). Docs 0-249 play history; the batch is docs 250+ plus
+    planted verbatim copies of history texts (id offset 2*10^4) so the
+    positives are real.
+
+    Scale: the anti-join carries 128-bit content hashes, never text —
+    16 bytes/row against the history's hash set. At 100 TB broadcast a
+    bloom filter of history hashes first and anti-join only the
+    survivors; the hash-only join below is the exact fallback."""
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    fresh = d.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    copies = (
+        d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") % 5 == 0))
+        .select((F.col("doc_id") + 20_000).alias("doc_id"), (F.col("doc_id") % 250).alias("h_id"))
+        .join(
+            F.broadcast(history.select(F.col("doc_id").alias("h_id"), F.col("text"))),
+            "h_id",
+        )
+        .select("doc_id", "text")
+    )
+    batch = fresh.unionByName(copies).withColumn("content_hash", F.md5("text"))
+    hist_hashes = history.select(F.md5("text").alias("content_hash")).distinct()
+    return (
+        batch.join(F.broadcast(hist_hashes), "content_hash", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q96_dedup_corpus",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+ORDER BY c.doc_id
+""",
+)
+def q96_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fuzzy dedup: Jaccard edges → connected components →
+    keep the minimum doc per cluster, emit the deduped corpus (q41
+    finds pairs, q79 labels clusters; this produces the actual
+    output a pipeline ships). On the twin-planted corpus every twin
+    drops and every original survives. The LSH scale path swaps only
+    the edge generator; keeper selection and the anti-join are
+    unchanged."""
+    d = _plant_text_twins(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100))
+    edges = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    cc = dedup.connected_components(edges)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
+    return d.join(losers, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
