@@ -157,3 +157,54 @@ def test_row_number_matches_pandas_rank(sess, rows):
     pdf["rn"] = pdf.groupby("k").cumcount() + 1
     expected = dict(zip(pdf.uid, pdf.rn))
     assert got == expected
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=500),
+)
+@SETTINGS
+def test_pack_sequences_matches_python_reference(sess, sizes, budget):
+    """Greedy packing vs a plain-Python reference walk: same bins for
+    any size sequence and budget, including oversize docs."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    df = sess.createDataFrame(
+        [("g", i, s) for i, s in enumerate(sizes)], "grp string, ord long, n long"
+    )
+    got = {r["ord"]: r["seq_id"] for r in P.pack_sequences(df, "grp", "ord", "n", budget).collect()}
+    fill, seq, want = 0, 0, {}
+    for i, s in enumerate(sizes):
+        if fill and fill + s > budget:
+            seq += 1
+            fill = 0
+        fill += s
+        want[i] = seq
+    assert got == want
+    # invariant: no bin exceeds budget unless it holds a single oversize doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for i, s in enumerate(sizes):
+        bins[got[i]].append(s)
+    for members in bins.values():
+        assert sum(members) <= budget or len(members) == 1
+
+
+@given(
+    vec=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+@SETTINGS
+def test_quantize_int8_roundtrip_bound(sess, vec):
+    """For any float32 vector: int8 codes in range, scale = max|x|/127,
+    and reconstruction error bounded by scale/2."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    df = sess.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = P.quantize_embeddings_int8(df).collect()[0]
+    assert all(-128 <= q <= 127 for q in r["qvec"])
+    assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9

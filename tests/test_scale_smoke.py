@@ -96,3 +96,59 @@ def test_salted_agg_at_100k(big_docs):
         ).collect()
     }
     assert salted == plain
+
+
+def test_repetition_filter_at_100k(big_docs):
+    """One Arrow pass over 100k docs: completes, every fraction in
+    [0,1] — catches accidental quadratic re-introduction (the
+    expression form was 40x slower at 5k docs; it would never finish
+    here inside the suite budget)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    stats = big_docs.select("doc_id", P.repetition_stats(F.col("text")).alias("s"))
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("s")["top_tok_frac"]).alias("lo"),
+        F.max(F.col("s")["top_tok_frac"]).alias("hi"),
+    ).collect()[0]
+    assert agg["n"] == 5000 * REPLICAS
+    assert 0.0 < agg["lo"] <= agg["hi"] <= 1.0
+
+
+def test_epoch_shuffle_at_100k_is_a_permutation(big_docs):
+    """Distributed global rank over 100k rows: positions must be exactly
+    1..N with no collisions (the offsets-per-partition arithmetic is
+    the part that breaks silently)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    out = P.epoch_shuffle(big_docs.select("doc_id"), "doc_id", epoch=3)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("pos").alias("npos"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    n = 5000 * REPLICAS
+    assert (stats["n"], stats["npos"], stats["lo"], stats["hi"]) == (n, n, 1, n)
+
+
+def test_sequence_packing_at_100k(big_docs):
+    """Greedy packing across 100k docs sharded 32 ways: completes with
+    O(1) state per shard; every bin respects the budget (or holds one
+    oversize doc)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    sized = big_docs.select(
+        (F.col("doc_id") % 32).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    packed = P.pack_sequences(sized, "shard", "doc_id", "n_tok", budget=2048)
+    over = (
+        packed.groupBy("shard", "seq_id")
+        .agg(F.sum("n_tok").alias("tot"), F.count(F.lit(1)).alias("m"))
+        .filter((F.col("tot") > 2048) & (F.col("m") > 1))
+        .count()
+    )
+    assert over == 0
+    assert packed.count() == 5000 * REPLICAS
