@@ -214,6 +214,46 @@ def stratified_mod_sample(
     return df.filter(F.pmod(F.col(id_col), k) == 0)
 
 
+def upsert_snapshot(
+    base: DataFrame, updates: DataFrame, key_cols: list[str], delete_col: str | None = None
+) -> DataFrame:
+    """MERGE-INTO semantics on plain parquet frames: rows in ``updates``
+    replace same-key rows in ``base``, new keys insert, and (when
+    ``delete_col`` names a boolean column in updates) tombstones
+    delete. Spark without a table format has no MERGE statement — the
+    idiomatic replacement is ONE full-outer join on the key producing
+    the next snapshot, which is exactly what table formats compile
+    MERGE into.
+
+    Scale: one shuffle of each side on the key (or zero for bucketed
+    base tables); the snapshot rewrite is the copy-on-write cost every
+    parquet-based MERGE pays — at 100 TB, partition the base by a key
+    prefix and join only the partitions the update batch touches
+    (partition pruning makes the rewrite proportional to touched
+    partitions, not the table).
+    """
+    value_cols = [c for c in base.columns if c not in key_cols]
+    upd_cols = [c for c in updates.columns if c not in key_cols and c != delete_col]
+    assert upd_cols == value_cols, f"update columns {upd_cols} != base {value_cols}"
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"__u_{c}") for c in value_cols],
+        (F.col(delete_col) if delete_col else F.lit(False)).alias("__del"),
+        F.lit(True).alias("__has_u"),
+    )
+    joined = base.join(u, key_cols, "full_outer")
+    alive = joined.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    return alive.select(
+        *key_cols,
+        *[
+            F.when(F.coalesce(F.col("__has_u"), F.lit(False)), F.col(f"__u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def cap_per_group(df: DataFrame, group_col: str, order_col: str, n: int) -> DataFrame:
     """Keep at most ``n`` rows per group, by ``order_col`` order — the
     per-domain/source cap that web-corpus pipelines apply before

@@ -405,3 +405,60 @@ def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_sequences(
         sized, group_col="lang", order_col="doc_id", size_col="n_tok", budget=_PACK_BUDGET
     ).orderBy("lang", "doc_id")
+
+
+@query(
+    "q97_upsert_merge",
+    oracle="""
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+         c_mktsegment, FALSE AS is_delete
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, TRUE
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment, FALSE
+  FROM customer WHERE c_custkey % 10 = 2)
+SELECT c_custkey, c_name, c_acctbal FROM updates WHERE NOT is_delete
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM customer b
+WHERE b.c_custkey NOT IN (SELECT c_custkey FROM updates)
+ORDER BY c_custkey
+""",
+)
+def q97_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (update + delete + insert
+    in one batch): every tenth customer gets +100 balance, the next
+    tenth a tombstone, the next tenth re-inserted under a new key. One
+    full-outer join produces the next snapshot — exactly what table
+    formats compile MERGE into (operators/pipeline.py
+    upsert_snapshot); the oracle states the same merge as
+    updates ∪ untouched-base."""
+    cust = _t(spark, sf_dir, "customer")
+    val = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            *[
+                (F.col(c) + 100).alias(c) if c == "c_acctbal" else F.col(c)
+                for c in val
+            ],
+            F.lit(False).alias("is_delete"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 1).select(
+                "c_custkey", *val, F.lit(True).alias("is_delete")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 2).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                *val,
+                F.lit(False).alias("is_delete"),
+            )
+        )
+    )
+    snap = P.upsert_snapshot(cust, upd, ["c_custkey"], delete_col="is_delete")
+    return snap.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")

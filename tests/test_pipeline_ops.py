@@ -172,3 +172,29 @@ def test_quantize_int8_error_bound_and_range(spark):
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
     assert out[2]["qvec"] == [0, 0] and out[2]["scale"] == 0.0  # zero-vector guard
     assert out[3]["qvec"] == [-127]
+
+
+def test_upsert_snapshot_update_insert_delete(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 25.0, False),  # update
+            (3, None, 0.0, True),  # delete (payload ignored)
+            (9, "z", 90.0, False),  # insert
+            (8, "y", 80.0, True),  # delete of nonexistent key: no-op
+        ],
+        "k long, name string, v double, is_delete boolean",
+    )
+    out = {r["k"]: (r["name"], r["v"]) for r in P.upsert_snapshot(
+        base, updates, ["k"], delete_col="is_delete"
+    ).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 9: ("z", 90.0)}
+
+
+def test_upsert_snapshot_without_deletes(spark):
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    updates = spark.createDataFrame([(1, 11.0), (2, 22.0)], "k long, v double")
+    out = {r["k"]: r["v"] for r in P.upsert_snapshot(base, updates, ["k"]).collect()}
+    assert out == {1: 11.0, 2: 22.0}
