@@ -385,3 +385,152 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC): the memory-scale path beyond
+    int8 — each vector compresses to m uint8 codes (8 bytes for a
+    64-dim float32 vector, 32x), and query scoring never touches the
+    original vectors until the final re-rank.
+
+    - Codebooks: the d dims split into m subspaces; each subspace gets
+      n_codes codewords drawn from the corpus by the same deterministic
+      id-hash pick as ivf_topk (k-means would tighten cells; the hash
+      pick keeps the whole operator seed-reproducible — swap point
+      documented). One tiny collect (n_codes rows).
+    - Encode: one Arrow pass; argmin codeword per subspace -> codes.
+    - ADC scoring: per query, an (m x n_codes) inner-product table;
+      a corpus row's approximate score is m table lookups — numpy
+      gather over the batch, no vector math per row. Each partition
+      emits only its top n_candidates per query (argpartition), so the
+      shuffle after scoring is O(partitions x queries x n_candidates).
+    - Exact re-rank: candidates join their true vectors once; final
+      top-k by exact cosine.
+
+    The query set is collected to the driver (bounded by contract, as
+    in cosine_topk's broadcast). Returns (q_id, n_id, cos_sim, rn).
+    """
+    import numpy as np
+
+    d_model = len(corpus.select(vec_col).first()[0])
+    assert d_model % m == 0, f"dim {d_model} not divisible by m={m}"
+    d_sub = d_model // m
+
+    # Train codebooks on a deterministic hash-picked sample (~32 rows
+    # per codeword), refined with a few Lloyd iterations per subspace —
+    # all driver-side numpy on the tiny sample, fully seed-reproducible.
+    n_train = n_codes * 32
+    base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    n_total = corpus.select(id_col).count()
+    K = max(1, n_total // max(n_train, 1))
+    rank = F.xxhash64(F.col("cid"), F.lit(seed + 1))
+    rows = (
+        base.filter(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(K)) == 0)
+        .orderBy(rank, "cid")
+        .limit(n_train)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        rows = base.orderBy(rank, "cid").limit(n_train).collect()
+    train = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])  # (S, d)
+    train_sub = train.reshape(len(rows), m, d_sub)
+    codebook = np.empty((m, n_codes, d_sub))
+    for j in range(m):
+        X = train_sub[:, j, :]
+        cents = X[:n_codes].copy()  # hash-ranked sample order = seeded init
+        for _ in range(8):
+            diff = X[:, None, :] - cents[None, :, :]
+            assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+            for c in range(n_codes):
+                members = X[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        codebook[j] = cents
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n_id": [], "codes": []})
+                continue
+            mat = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
+            sub = mat.reshape(len(pdf), m, d_sub)
+            codes = np.empty((len(pdf), m), dtype=np.int16)
+            for j in range(m):
+                # (rows, n_codes) distances in subspace j
+                diff = sub[:, j, None, :] - codebook[j][None, :, :]
+                codes[:, j] = np.argmin((diff * diff).sum(axis=2), axis=1)
+            yield pd.DataFrame(
+                {"n_id": pdf["id"].values, "codes": list(codes.astype("int32").tolist())}
+            )
+
+    encoded = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(encode, "n_id long, codes array<int>")
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    # ADC tables: tables[q, j, c] = <query_q subspace j, codeword c>
+    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_rows), m, d_sub), codebook)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"q_id": [], "n_id": [], "approx_ip": []})
+                continue
+            codes = np.vstack(pdf["codes"].values)  # (rows, m)
+            n_ids = pdf["n_id"].values
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                scores = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                top = (
+                    np.argpartition(-scores, n_candidates)[:n_candidates]
+                    if len(scores) > n_candidates
+                    else np.arange(len(scores))
+                )
+                out_q.extend([int(q_ids[qi])] * len(top))
+                out_n.extend(n_ids[top].tolist())
+                out_s.extend(scores[top].tolist())
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "approx_ip": out_s})
+
+    partials = encoded.mapInPandas(score, "q_id long, n_id long, approx_ip double")
+    wc = Window.partitionBy("q_id").orderBy(F.col("approx_ip").desc(), F.col("n_id"))
+    cands = (
+        partials.withColumn("crn", F.row_number().over(wc))
+        .filter((F.col("crn") <= n_candidates) & (F.col("q_id") != F.col("n_id")))
+        .select("q_id", "n_id")
+    )
+    # exact re-rank: candidates re-join true vectors ONCE
+    nvec = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    scored = (
+        cands.join(nvec, "n_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            (_dot(F.col("q_vec"), F.col("n_vec"))
+             / (l2_norm(F.col("q_vec")) * l2_norm(F.col("n_vec")))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = [
     "q95_incremental_dedup",
     "q96_dedup_corpus",
     "q97_upsert_merge",
+    "q98_ann_pq",
     # (1) Implementation changed this round — must re-verify under driver
     "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
     "q14_asof_join",  # backtick-quoted column refs
@@ -117,7 +118,6 @@ _DRIVER_PRIORITY = [
     "q15_agg_stats",
     "q16_agg_distinct",
     "q17_rollup",
-    "q18_cube",
     "q22_window_ranking",
     "q23_window_analytic",
     "q28_set_ops",

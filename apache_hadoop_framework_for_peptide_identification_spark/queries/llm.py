@@ -544,3 +544,18 @@ def q96_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = dedup.connected_components(edges)
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
     return d.join(losers, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+
+
+@query("q98_ann_pq", oracle=None)
+def q98_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC): vectors compress to m=8 uint8
+    codes (32x vs float32) and scoring is table lookups, not vector
+    math — the memory tier below int8 (q92). Lloyd-refined seeded
+    codebooks, per-partition candidate pruning, exact re-rank.
+    numpy/seed-specific -> rows-only driver check; recall vs brute
+    force asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_ann_topk(emb, queries, "vec_id", "embedding", k=5).orderBy(
+        "q_id", "rn"
+    )
