@@ -231,6 +231,11 @@ def upsert_snapshot(
     prefix and join only the partitions the update batch touches
     (partition pruning makes the rewrite proportional to touched
     partitions, not the table).
+
+    Contract: ``updates`` must hold at most one row per key (compact
+    CDC batches with a last-write-wins window first); duplicate update
+    keys would multiply base rows through the join, exactly as SQL
+    MERGE raises on multiple matches.
     """
     value_cols = [c for c in base.columns if c not in key_cols]
     upd_cols = [c for c in updates.columns if c not in key_cols and c != delete_col]
@@ -407,7 +412,11 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        # mergesort = stable: rows sharing an order value keep a
+        # deterministic relative order (quicksort would make bin
+        # assignment arrival-order-dependent on duplicate keys; for a
+        # fully deterministic contract use a unique order column).
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         seq_ids = []
         fill, seq = 0, 0
         for sz in pdf[size_col]:

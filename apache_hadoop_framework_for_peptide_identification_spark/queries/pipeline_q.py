@@ -1,7 +1,9 @@
-"""Training-pipeline queries (q83–q87): the corpus-preparation steps
-between dedup and tokenization — repetition quality filters, PII
-scrubbing, eval-set decontamination, deterministic domain mixing, and
-sequence packing. Extends SURVEY.md §2B's LLM-data-pipeline table.
+"""Training-pipeline queries (q83–q90, q92, q97): the corpus-preparation
+steps between dedup and tokenization — repetition quality filters, PII
+scrubbing, eval-set decontamination, deterministic domain mixing,
+sequence packing, epoch shuffle, source caps, int8 quantization,
+quantized ANN, and MERGE-style upserts. Extends SURVEY.md §2B's
+LLM-data-pipeline table.
 
 The synthetic documents fixture has no PII and no real benchmark
 contamination, so q84/q85 plant both deterministically (same
