@@ -75,10 +75,11 @@ from . import pipeline_q  # noqa: E402,F401
 # sf0.001/sf0.01, and `make sweep-sf01` at sf0.1) — rotation trades WHICH
 # queries get a fresh *driver* verdict, never whether they are verified.
 #
-# Round-3 window: r2 left exactly one driver failure (q64, float-partial
-# hash flake — fixed this round) and verified the 50 listed in r2's
-# priority; the ~30 queries below whose only driver verdict is from round
-# 1 rotate back in.
+# Round-3 window: 17 new queries (q83–q99), 5 changed implementations,
+# the oldest stale round-1-only verdicts, bench headliners, and family
+# reps. Stale entries squeezed out this round (q17–q21, q24–q27,
+# q29–q34, q36, q37) are all r1-driver-green and locally swept; they
+# rotate back next round.
 _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
@@ -99,6 +100,7 @@ _DRIVER_PRIORITY = [
     "q96_dedup_corpus",
     "q97_upsert_merge",
     "q98_ann_pq",
+    "q99_scd2_history",
     # (1) Implementation changed this round — must re-verify under driver
     "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
     "q14_asof_join",  # backtick-quoted column refs
@@ -117,7 +119,6 @@ _DRIVER_PRIORITY = [
     "q13_range_join",
     "q15_agg_stats",
     "q16_agg_distinct",
-    "q17_rollup",
     "q22_window_ranking",
     "q23_window_analytic",
     "q28_set_ops",

@@ -464,3 +464,36 @@ def q97_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap = P.upsert_snapshot(cust, upd, ["c_custkey"], delete_col="is_delete")
     return snap.select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+
+
+@query(
+    "q99_scd2_history",
+    oracle="""
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       value
+FROM events WHERE user_id < 20 AND event_type = 'purchase'
+ORDER BY user_id, valid_from
+""",
+)
+def q99_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) history build: each
+    observed value becomes a validity interval [valid_from, valid_to),
+    the current row keeping valid_to = NULL — the temporal-table
+    pattern every warehouse maintains. One window shuffle on the
+    entity key; event_id tiebreak makes interval boundaries
+    deterministic under same-timestamp updates."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter((F.col("user_id") < 20) & (F.col("event_type") == "purchase"))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+        )
+        .orderBy("user_id", "valid_from")
+    )
