@@ -27,6 +27,16 @@ REPRESENTATIVE = [
     "q50_pipe_tokens",
     "q74_salted_agg",
     "q79_dedup_clusters",
+    # round-3 families: corpus prep, global rank, packing, quantization,
+    # merge — determinism under physical-layout change is the entire
+    # point of q86/q88
+    "q83_repetition_filter",
+    "q86_stratified_sample",
+    "q87_sequence_packing",
+    "q88_epoch_shuffle",
+    "q90_embedding_quantize",
+    "q96_dedup_corpus",
+    "q97_upsert_merge",
 ]
 
 
