@@ -60,15 +60,16 @@ def asof_join(
         return "`" + c.replace("`", "``") + "`"
 
     pay_type = StructType([right.schema[c] for c in payload])
+    onq = [F.col(_bq(c)).alias(c) for c in on]
     lt = left.select(
-        *on,
+        *onq,
         F.col(_bq(left_ts)).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(_bq(c)) for c in lpay],
         F.lit(None).cast(pay_type).alias("__rpay"),
     )
     rt = right.select(
-        *on,
+        *onq,
         F.col(_bq(right_ts)).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
@@ -77,9 +78,11 @@ def asof_join(
     # At equal __ts the right row must sort before the left row for
     # inclusive semantics (and after it for exclusive).
     order = [F.col("__ts").asc(), F.col("__is_left").asc() if inclusive else F.col("__is_left").desc()]
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(*[F.col(_bq(c)) for c in on]).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     filled = lt.unionByName(rt).select(
-        *on,
+        *[F.col(_bq(c)) for c in on],
         "__ts",
         "__is_left",
         *[F.col(_bq(c)) for c in lpay],

@@ -73,11 +73,18 @@ def _trigrams(toks: Column) -> Column:
 def dup_trigram_frac(text_col: Column) -> Column:
     """Fraction of word trigrams that are repeats of an earlier trigram
     in the same document (1 - distinct/total) — the Gopher "duplicate
-    n-gram" repetition signal. 0.0 for docs under 3 tokens."""
+    n-gram" repetition signal. 0.0 for docs under 3 tokens; NULL for
+    NULL text (size(NULL)=-1 would otherwise silently land in the
+    0.0 branch, diverging from top_token_frac's NULL)."""
     tri = _trigrams(_toks(text_col))
     total = F.size(tri)
     frac = F.lit(1.0) - F.size(F.array_distinct(tri)) / total
-    return F.when(total > 0, frac).otherwise(F.lit(0.0)).cast("double")
+    return (
+        F.when(text_col.isNull(), F.lit(None))
+        .when(total > 0, frac)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+    )
 
 
 def repetition_stats(text_col: Column) -> Column:
@@ -102,7 +109,14 @@ def repetition_stats(text_col: Column) -> Column:
 
         tops, dups = [], []
         for t in texts:
-            toks = (t or "").split(" ")
+            if t is None:
+                # match the expression forms (split(NULL) -> NULL ->
+                # NULL fractions), not ''-coercion — a NULL doc must
+                # not report top_tok_frac=1.0
+                tops.append(None)
+                dups.append(None)
+                continue
+            toks = t.split(" ")
             n = len(toks)
             tops.append(Counter(toks).most_common(1)[0][1] / n)
             if n >= 3:
@@ -110,7 +124,12 @@ def repetition_stats(text_col: Column) -> Column:
                 dups.append(1.0 - len(set(tris)) / len(tris))
             else:
                 dups.append(0.0)
-        return pd.DataFrame({"top_tok_frac": tops, "dup_tri_frac": dups})
+        return pd.DataFrame(
+            {
+                "top_tok_frac": pd.array(tops, dtype="Float64"),
+                "dup_tri_frac": pd.array(dups, dtype="Float64"),
+            }
+        )
 
     return _stats(text_col)
 
@@ -239,7 +258,11 @@ def upsert_snapshot(
     """
     value_cols = [c for c in base.columns if c not in key_cols]
     upd_cols = [c for c in updates.columns if c not in key_cols and c != delete_col]
-    assert upd_cols == value_cols, f"update columns {upd_cols} != base {value_cols}"
+    # Set-compare (the merge below is by NAME, order is irrelevant) and
+    # a real exception: an assert would vanish under `python -O` and
+    # let a mismatched update schema proceed into the join.
+    if set(upd_cols) != set(value_cols):
+        raise ValueError(f"update columns {sorted(upd_cols)} != base {sorted(value_cols)}")
     u = updates.select(
         *key_cols,
         *[F.col(c).alias(f"__u_{c}") for c in value_cols],
@@ -298,19 +321,48 @@ def global_sort_rank(df: DataFrame, key_col: str, n_partitions: int | None = Non
     the projected columns — project narrow before ranking and join the
     result back by id if the full row is needed.
     """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = (
         df.repartitionByRange(n, key_col)
-        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(key_col)
         .localCheckpoint(eager=False)
     )
+
+    # Local positions via a NARROW mapInPandas pass (TaskContext gives
+    # the partition id) — a Window.partitionBy(pid) here would insert a
+    # second full hashpartitioning Exchange because Catalyst can't see
+    # the rows are already clustered by pid; this keeps the range
+    # exchange as the ONLY full-data shuffle.
+    out_schema = StructType(
+        list(parts.schema.fields)
+        + [StructField("__pid", IntegerType()), StructField("__lpos", LongType())]
+    )
+
+    def tag(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = np.int32(pid)
+            pdf["__lpos"] = np.arange(seen + 1, seen + 1 + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield pdf
+
+    tagged = parts.mapInPandas(tag, out_schema)
+    # One tiny row per partition; the groupBy's map-side partial means
+    # the only thing shuffled here is (pid, count).
     offs = (
-        parts.groupBy("__pid")
-        .count()
+        tagged.groupBy("__pid")
+        .agg(F.max("__lpos").alias("__cnt"))
         .withColumn(
             "__off",
             F.coalesce(
-                F.sum("count").over(
+                F.sum("__cnt").over(
                     Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
@@ -318,11 +370,10 @@ def global_sort_rank(df: DataFrame, key_col: str, n_partitions: int | None = Non
         )
         .select("__pid", "__off")
     )
-    w = Window.partitionBy("__pid").orderBy(key_col)
     return (
-        parts.join(F.broadcast(offs), "__pid")
-        .withColumn("pos", (F.row_number().over(w) + F.col("__off")).cast("bigint"))
-        .drop("__pid", "__off")
+        tagged.join(F.broadcast(offs), "__pid")
+        .withColumn("pos", (F.col("__lpos") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__lpos", "__off")
     )
 
 

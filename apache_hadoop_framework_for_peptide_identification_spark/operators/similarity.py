@@ -187,6 +187,34 @@ def embedding_neardup_lsh(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def _hash_pick(corpus: DataFrame, id_col: str, vec_col: str, n_rows: int, seed: int):
+    """Deterministic uniform row pick, shared by ivf_topk / pq_ann_topk.
+
+    sample(..).limit(..) early-stops on whichever partitions answer
+    first — head-biased on sorted data and run-to-run unstable under
+    cluster scheduling. Instead: hash-filter ids down to ~n_rows
+    survivors (membership is a pure function of the id, so the pick is
+    partitioning-independent), then hash-rank only the survivor set.
+    Costs one count (metadata-cheap on parquet) + one id+vec scan
+    whose TakeOrdered heap holds survivors only, never the corpus.
+    """
+    base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    n_total = corpus.select(id_col).count()
+    if n_total == 0:
+        raise ValueError("hash_pick: empty corpus")
+    K = max(1, n_total // max(n_rows, 1))
+    rank = F.xxhash64(F.col("cid"), F.lit(seed + 1))
+    rows = (
+        base.filter(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(K)) == 0)
+        .orderBy(rank, "cid")
+        .limit(n_rows)
+        .collect()
+    )
+    if len(rows) < n_rows:
+        rows = base.orderBy(rank, "cid").limit(n_rows).collect()
+    return rows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,27 +241,8 @@ def ivf_topk(
     """
     import numpy as np
 
-    # Centroid pick: uniform AND deterministic. sample(..).limit(..)
-    # early-stops on whichever partitions answer first, so centroids
-    # came from the head of the corpus (biased on sorted data) and the
-    # pick varied run-to-run under cluster scheduling. Instead:
-    # hash-filter ids down to ~16x n_cells survivors (uniform, and
-    # independent of partition order because membership is a pure
-    # function of the id), then hash-rank only the tiny survivor set.
-    # Costs one id+vec scan — the minimum for a uniform pick — but the
-    # TakeOrdered heap only ever sees the survivors, not the corpus.
-    base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    n_total = corpus.select(id_col).count()
-    K = max(1, n_total // max(n_cells * 16, 1))
-    rank = F.xxhash64(F.col("cid"), F.lit(seed + 1))
-    cvecs = (
-        base.filter(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(K)) == 0)
-        .orderBy(rank, "cid")
-        .limit(n_cells)
-        .collect()
-    )
-    if len(cvecs) < n_cells:
-        cvecs = base.orderBy(rank, "cid").limit(n_cells).collect()
+    # Centroid pick: uniform and deterministic — see _hash_pick.
+    cvecs = _hash_pick(corpus, id_col, vec_col, n_cells, seed)
     cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cvecs])
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -422,26 +431,25 @@ def pq_ann_topk(
     """
     import numpy as np
 
-    d_model = len(corpus.select(vec_col).first()[0])
-    assert d_model % m == 0, f"dim {d_model} not divisible by m={m}"
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_ann_topk: empty corpus")
+    d_model = len(first[0])
+    if d_model % m != 0:
+        raise ValueError(f"pq_ann_topk: dim {d_model} not divisible by m={m}")
     d_sub = d_model // m
 
     # Train codebooks on a deterministic hash-picked sample (~32 rows
-    # per codeword), refined with a few Lloyd iterations per subspace —
-    # all driver-side numpy on the tiny sample, fully seed-reproducible.
-    n_train = n_codes * 32
-    base = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-    n_total = corpus.select(id_col).count()
-    K = max(1, n_total // max(n_train, 1))
-    rank = F.xxhash64(F.col("cid"), F.lit(seed + 1))
-    rows = (
-        base.filter(F.pmod(F.xxhash64(F.col("cid"), F.lit(seed)), F.lit(K)) == 0)
-        .orderBy(rank, "cid")
-        .limit(n_train)
-        .collect()
-    )
+    # per codeword; see _hash_pick), refined with a few Lloyd
+    # iterations per subspace — driver-side numpy on the tiny sample,
+    # fully seed-reproducible.
+    rows = _hash_pick(corpus, id_col, vec_col, n_codes * 32, seed)
     if len(rows) < n_codes:
-        rows = base.orderBy(rank, "cid").limit(n_train).collect()
+        raise ValueError(
+            f"pq_ann_topk: corpus has {len(rows)} rows < n_codes={n_codes}; "
+            "PQ needs at least one training row per codeword — lower n_codes "
+            "or use cosine_topk for tiny corpora"
+        )
     train = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])  # (S, d)
     train_sub = train.reshape(len(rows), m, d_sub)
     codebook = np.empty((m, n_codes, d_sub))
@@ -480,7 +488,6 @@ def pq_ann_topk(
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    q_norm = np.linalg.norm(q_mat, axis=1)
     # ADC tables: tables[q, j, c] = <query_q subspace j, codeword c>
     tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_rows), m, d_sub), codebook)
 

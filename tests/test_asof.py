@@ -98,3 +98,11 @@ def test_dotted_payload_column_name(spark):
     out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
     assert out.columns == ["k", "lts", "px.y"]
     assert out.collect()[0]["px.y"] == "v20"
+
+
+def test_dotted_on_key_column(spark):
+    left = spark.createDataFrame([(1, 25)], ["k.g", "lts"])
+    right = spark.createDataFrame([(1, 10, "v10"), (1, 20, "v20")], ["k.g", "rts", "p"])
+    out = asof_join(left, right, on=["k.g"], left_ts="lts", right_ts="rts")
+    assert out.columns == ["k.g", "lts", "p"]
+    assert out.collect()[0]["p"] == "v20"

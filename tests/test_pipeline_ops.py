@@ -35,7 +35,7 @@ def test_repetition_stats_udf_matches_expression_forms(spark):
     """The Arrow-batched hot path must agree bit-for-bit with the
     pure-expression forms (same IEEE ops on both paths)."""
     rows = [(i, t) for i, t in enumerate(
-        ["a a a b", "a b a b a b", "x", "q w e r t y q w e", "z z"]
+        ["a a a b", "a b a b a b", "x", "q w e r t y q w e", "z z", None]
     )]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {

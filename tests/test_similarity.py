@@ -109,13 +109,15 @@ def test_lsh_neardup_max_bucket_caps_degenerate(spark):
     assert not any(a < 40 and b < 40 for a, b in got)
 
 
-def test_pq_ann_recall_vs_bruteforce(spark, emb_fixture=None):
+def test_pq_ann_recall_vs_bruteforce(spark):
     from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
 
     from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
     from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     want = {}
     for r in similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect():
