@@ -1,0 +1,297 @@
+"""Corpus-level statistics, retrieval, and cleaning operators.
+
+The second tier of the LLM-data-pipeline group (SURVEY.md §2B): ops
+that look at the corpus as a whole rather than one document at a time —
+paragraph-granularity dedup (C4/RefinedWeb style), count-based language
+-model familiarity scoring (the CCNet perplexity-filter shape), BM25
+retrieval, corpus-wide heavy-hitter n-grams, one-pass table profiling,
+and equi-width histograms.
+
+Everything here is built-in-expression / DataFrame-op only — no Python
+in any hot path — and every shuffle is keyed on something bounded
+(chunk hash, n-gram, bucket id), never all-pairs. The reference
+(`Driver.java` / `ExecutorMapper.java`) has no corpus analytics at all;
+these extend the declared §2B contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(text_col, " ")
+
+
+def _bigrams(text_col: Column) -> Column:
+    """Array of word bigrams ("tok_i tok_i+1"); empty for <2 tokens.
+
+    JVM higher-order functions only. NOTE (measured, round 2): Catalyst
+    neither codegens nor CSEs interpreted lambda trees — callers that
+    need bigrams more than once per row must materialize this column
+    once, not inline the expression twice.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity dedup (C4-style "line dedup")
+# ---------------------------------------------------------------------------
+
+
+def chunk_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 8
+) -> DataFrame:
+    """Segment each document into consecutive ``chunk_tokens``-token
+    chunks — the dedup granularity. Real web corpora split on newlines;
+    the synthetic fixture has none, so fixed-width token windows stand
+    in as pseudo-sentences (the downstream dedup is identical either
+    way). Returns (id, chunk_idx, chunk); the trailing partial chunk is
+    kept. Narrow op: one generate, no shuffle."""
+    t = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * chunk_tokens + 1, chunk_tokens)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 8
+) -> DataFrame:
+    """C4-style paragraph-level exact dedup: across the WHOLE corpus,
+    every repeated chunk keeps only its first occurrence (ordered by
+    (id, chunk_idx)); later occurrences — boilerplate, mirrored pages,
+    intra-doc repetition — are dropped and the documents re-assembled
+    from their surviving chunks.
+
+    One shuffle, keyed on the chunk text, carrying (id, chunk_idx,
+    chunk): at 100 TB the chunk IS the payload being deduplicated, so
+    shuffling it is the floor — there is no thinner key that still
+    allows reassembly without a second pass over the corpus. (The
+    two-pass alternative — shuffle md5(chunk) only, then re-explode and
+    semi-join the keep-set — halves shuffle bytes for long paragraphs;
+    worth it above ~1 KB average chunks, not at sentence granularity.)
+    Chunk-text keys are Zipf-skewed (empty/boilerplate chunks are hot):
+    the window per key streams — no per-group buffering — so skew costs
+    stragglers, not memory; salt-and-restitch (operators/skew.py) if a
+    single boilerplate line dominates a corpus.
+
+    Returns one row per input document: (id, n_chunks, n_removed,
+    clean_text), clean_text == '' when every chunk was a repeat.
+    """
+    chunks = chunk_paragraphs(df, id_col, text_col, chunk_tokens)
+    w = Window.partitionBy("chunk").orderBy(id_col, "chunk_idx")
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+            ),
+        ).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-based LM familiarity (CCNet-style quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_score(
+    docs: DataFrame, train: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Score every document by how familiar its word bigrams are to a
+    reference corpus: familiarity = mean over the doc's bigrams of that
+    bigram's occurrence count in ``train``. This is the CCNet/KenLM
+    perplexity-filter *pipeline shape* — train n-gram statistics on a
+    trusted corpus, score candidates against them — with integer counts
+    instead of smoothed log-probs so the result is bit-exactly
+    reproducible (and oracle-checkable): counts sum exactly in any
+    order, log-prob doubles do not. A log-space scorer drops in by
+    replacing the count column with round(log p, fixed_dp).
+
+    Shape at scale: train-side counting is a map-side-partial groupBy
+    on the bigram; scoring is a shuffle equi-join on the bigram — never
+    all-pairs, never Python. The n-gram table of a 100 TB reference
+    corpus is itself huge, so the join stays shuffle-side by default;
+    prune the LM to its top-K n-grams (the standard KenLM trick) when a
+    broadcast is wanted, and cap stop-n-gram posting lists exactly as
+    ngram_jaccard does (operators/dedup.py).
+
+    Returns (id, n_bigrams, lm_familiarity): familiarity NULL for docs
+    with <2 tokens.
+    """
+    train_counts = (
+        train.select(F.explode(_bigrams(F.col(text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("__c"))
+    )
+    doc_bgs = docs.select(
+        F.col(id_col), F.explode_outer(_bigrams(F.col(text_col))).alias("bg")
+    )
+    scored = (
+        doc_bgs.join(train_counts, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bg").cast("bigint").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("__fam"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0, F.col("__fam") / F.col("n_bigrams")
+        ).alias("lm_familiarity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed bag of query terms.
+
+    Corpus statistics (N, avgdl, per-term document frequencies) are ONE
+    single-row aggregate — conditional sums, one per term, in the same
+    pass that counts rows — broadcast back via crossJoin. Scoring is
+    then a pure per-row expression over the codegen'd scan: tf from a
+    JVM lambda filter, the BM25 formula inline, TakeOrdered for the
+    top-k. Zero data shuffles; the only exchange carries one stats row.
+    That works for ad-hoc query sets; a high-QPS serving path would
+    materialize the inverted index ((term, id, tf), partitioned by
+    term) instead — that index build is exactly top_ngrams' shuffle.
+
+    Determinism contract (the reason the oracle can hash-match a
+    float-scoring query): idf is quantized to 9 dp right after the log,
+    tf/dl/df/N are integers, and the per-term contributions are added
+    in declared ``terms`` order — never via a commutative-but-
+    order-undefined SUM over a shuffled frame.
+    """
+    t = tokens(F.col(text_col))
+    dl = F.size(t).cast("long")
+    base = docs.select(F.col(id_col), t.alias("__t"), dl.alias("__dl"))
+
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[
+            F.sum(F.array_contains("__t", term).cast("long")).alias(f"__df_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / n
+    score = F.lit(0.0)
+    for i, term in enumerate(terms):
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf_raw = F.ln(F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+        idf = F.floor(idf_raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        tf = F.size(F.filter("__t", lambda x: x == F.lit(term))).cast("double")
+        contrib = (idf * (tf * F.lit(k1 + 1.0))) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl").cast("double") / avgdl))
+        )
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+    return (
+        scored.select(F.col(id_col), score.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(docs: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Exact corpus-wide top-k word bigrams with counts — the vocabulary
+    /contamination-audit staple. explode → count rides map-side partial
+    aggregation (each executor emits one partial count per distinct
+    bigram it saw, so shuffle rows are bounded by |vocab²| per executor,
+    not token count), then a TakeOrdered heap — the global sort never
+    materializes. For corpora whose n-gram vocabulary itself overflows
+    the shuffle, swap the exact count for a count-min sketch in the
+    same plan shape; the exact form is the oracle for tuning that
+    sketch's width/depth."""
+    return (
+        docs.select(F.explode(_bigrams(F.col(text_col))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling / histograms
+# ---------------------------------------------------------------------------
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-row data-profile of ``cols``: row count plus per-column null
+    count and exact distinct count — the freshness/quality monitor a
+    pipeline runs after every ingest. Null counts ride ONE map-side-
+    partial pass; exact distincts are per-column expand+shuffle (Spark
+    plans multi-count-distinct as a single grouping-sets expansion, not
+    one job per column). At 100 TB swap count_distinct for
+    approx_count_distinct(rsd) and the plan collapses back to a single
+    narrow pass — same output schema, ±rsd error."""
+    aggs: list[Column] = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_distinct"))
+    return df.agg(*aggs)
+
+
+def equiwidth_histogram(
+    df: DataFrame, value_col: Column, width: int, bucket_alias: str = "bucket"
+) -> DataFrame:
+    """Equi-width histogram over an integral expression: bucket =
+    floor(value / width), with per-bucket count/min/max/mean. One
+    map-side-partial aggregation on a bounded key domain — the shuffle
+    carries one row per (executor, bucket). Mean is exact (integer sum
+    / count). The length-distribution audit every training-data drop
+    gets before tokenization."""
+    v = value_col.cast("long")
+    return (
+        df.select(v.alias("__v"))
+        .groupBy((F.floor(F.col("__v") / F.lit(width)) * width).alias(bucket_alias))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+            (F.sum("__v") / F.count("*")).alias("mean_v"),
+        )
+    )

@@ -60,6 +60,7 @@ from . import streaming_q  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
 from . import sources_q  # noqa: E402,F401
 from . import pipeline_q  # noqa: E402,F401
+from . import corpus_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.
@@ -84,6 +85,12 @@ _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
     # (0) New this round — never had a driver verdict
+    "q100_paragraph_dedup",
+    "q101_lm_familiarity",
+    "q102_bm25_topk",
+    "q103_top_ngrams",
+    "q104_profile_table",
+    "q105_length_histogram",
     "q83_repetition_filter",
     "q84_pii_scrub",
     "q85_contamination_check",
@@ -107,22 +114,20 @@ _DRIVER_PRIORITY = [
     "q41_ngram_jaccard",  # \z-anchored twin regex
     "q79_dedup_clusters",  # \z-anchored twin regex
     "q68_ann_ivf",  # deterministic hash-filtered centroid pick
-    # (2) Driver verdict is stale (round 1 only) — rotate back in
-    "q05_project_expressions",
+    # (2) Driver verdict is stale (round 1 only) — rotate back in.
+    # (q05/q08/q13/q22/q35/q82 got fresh r2 verdicts and rotate OUT to
+    # make room for q100–q105; they stay in the local full-registry
+    # sweep like every other out-of-window query.)
     "q06_filter_predicates",
     "q07_distinct",
-    "q08_join_left_outer",
     "q09_join_full_outer",
     "q10_join_semi",
     "q11_join_anti",
     "q12_join_theta_pairs",
-    "q13_range_join",
     "q15_agg_stats",
     "q16_agg_distinct",
-    "q22_window_ranking",
     "q23_window_analytic",
     "q28_set_ops",
-    "q35_array_funcs",
     "q38_hash_funcs",
     "q39_try_cast",
     "q76_declarative_plan",
@@ -139,7 +144,6 @@ _DRIVER_PRIORITY = [
     "q51_stream_tumbling",  # streaming
     "q70_parquet_partitioned_sink",  # sources/sinks
     "q81_embed_text",  # embed pipe
-    "q82_join_right_outer",  # join tail
 ]
 
 

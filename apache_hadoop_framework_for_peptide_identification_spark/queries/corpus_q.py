@@ -1,0 +1,230 @@
+"""Corpus-analytics queries (q100–q105): paragraph-granularity dedup,
+LM-familiarity scoring, BM25 retrieval, heavy-hitter n-grams, table
+profiling, and length histograms — the corpus-level second tier of the
+LLM-pipeline group (operators/corpus.py).
+
+The synthetic documents fixture has no natural boilerplate, so q100
+plants a fixed 8-token boilerplate chunk on every fourth document —
+the same deterministic twin-planting pattern as q41/q67/q84/q85 —
+making the dedup positives real on both the Spark and DuckDB sides.
+
+Float determinism: q102 (BM25) is the only float-scoring query here;
+its idf is quantized to 9 dp immediately after the log and the
+per-term contributions are summed in declared term order on BOTH
+sides, so the usual order-dependent-double-sum hazard (see q08/q74)
+never arises. Everything else stays in integer/decimal arithmetic
+until a final exact division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import corpus as C
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_BOILER = "subscribe to our newsletter for updates and offers"  # exactly 8 tokens
+_CHUNK = 8
+
+
+def _plant_boiler(d: DataFrame) -> DataFrame:
+    planted = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit(_BOILER + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", planted.alias("text"))
+
+
+@query(
+    "q100_paragraph_dedup",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_BOILER}' || ' ' || text ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM planted),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(t[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ') AS chunk
+  FROM toks,
+       unnest(range(0, CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS u(i)),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q100_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph dedup over the whole corpus: repeated chunks
+    keep only their first (doc_id, chunk_idx) occurrence and documents
+    are reassembled from surviving chunks. Boilerplate is planted on
+    every fourth doc so the removals are real; doc 0 (the first
+    occurrence) must keep its copy. One chunk-keyed shuffle — see
+    operators/corpus.py paragraph_dedup for the 100 TB accounting."""
+    d = _plant_boiler(_t(spark, sf_dir, "documents"))
+    return C.paragraph_dedup(d, "doc_id", "text", chunk_tokens=_CHUNK).orderBy("doc_id")
+
+
+@query(
+    "q101_lm_familiarity",
+    oracle="""
+WITH bg_doc AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+train_counts AS (
+  SELECT bg, count(*) AS c FROM bg_doc WHERE doc_id % 2 = 0 GROUP BY bg),
+agg AS (
+  SELECT d.doc_id, count(*) AS n_bigrams, sum(coalesce(t.c, 0)) AS fam
+  FROM bg_doc d LEFT JOIN train_counts t USING (bg) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN a.n_bigrams > 0
+            THEN CAST(a.fam AS DOUBLE) / a.n_bigrams END AS lm_familiarity
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+)
+def q101_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality scoring: bigram statistics trained on the
+    even-doc_id half of the corpus, every doc scored by its mean
+    train-count familiarity. Integer counts end-to-end (bit-exact in
+    any summation order) with one final exact division — the log-prob
+    variant drops in per operators/corpus.py bigram_lm_score."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    return C.bigram_lm_score(d, train, "doc_id", "text").orderBy("doc_id")
+
+
+_BM25_TERMS = ("table", "stream", "vector")
+
+
+@query(
+    "q102_bm25_topk",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dl
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl,
+         {", ".join(
+             f"sum(CASE WHEN list_contains(t, '{term}') THEN 1 ELSE 0 END) AS df{i}"
+             for i, term in enumerate(_BM25_TERMS)
+         )}
+  FROM base),
+scored AS (
+  SELECT b.doc_id,
+         CAST(0.0 AS DOUBLE)
+         {"".join(
+             f'''
+         + (CASE WHEN len(list_filter(b.t, x -> x = '{term}')) > 0 THEN
+             (floor(ln(CAST(1.0 AS DOUBLE)
+                       + (CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(s.df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1e9 AS DOUBLE))
+             * (CAST(len(list_filter(b.t, x -> x = '{term}')) AS DOUBLE)
+                * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             / (CAST(len(list_filter(b.t, x -> x = '{term}')) AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(b.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+            ELSE CAST(0.0 AS DOUBLE) END)'''
+             for i, term in enumerate(_BM25_TERMS)
+         )}
+           AS bm25
+  FROM base b, stats s)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+def q102_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for a fixed term bag. Corpus stats (N,
+    avgdl, per-term df) come from one single-row aggregate broadcast
+    back over the scan; scoring is a pure codegen'd expression and the
+    top-k a TakeOrdered heap — no data shuffle anywhere. idf quantized
+    to 9 dp and term contributions summed in declared order, so the
+    float scores hash-match the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return C.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+@query(
+    "q103_top_ngrams",
+    oracle="""
+WITH bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+""",
+)
+def q103_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-20 bigrams — vocabulary/contamination
+    audit. Map-side partial counts bound the shuffle by per-executor
+    distinct bigrams; TakeOrdered replaces the global sort."""
+    return C.top_ngrams(_t(spark, sf_dir, "documents"), "text", k=20)
+
+
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "q104_profile_table",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey_distinct,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_distinct,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+       CAST(count(DISTINCT o_totalprice) AS BIGINT) AS o_totalprice_distinct,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS o_orderpriority_distinct
+FROM orders
+""",
+)
+def q104_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row ingest profile of orders: row count + per-column null and
+    exact distinct counts. Multi-count-distinct plans as ONE
+    grouping-sets expansion (not a job per column); the
+    approx_count_distinct swap for 100 TB is noted in the operator."""
+    return C.profile_table(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+_HIST_WIDTH = 10
+
+
+@query(
+    "q105_length_histogram",
+    oracle=f"""
+WITH sized AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+SELECT CAST(floor(n_tok / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH} AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(n_tok) AS min_v, max(n_tok) AS max_v,
+       CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_v
+FROM sized GROUP BY 1 ORDER BY bucket
+""",
+)
+def q105_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length equi-width histogram of the corpus (width 10) —
+    the pre-tokenization length audit. Bounded bucket domain rides
+    map-side partials; mean is an exact integer-sum division."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return C.equiwidth_histogram(d, n_tok, _HIST_WIDTH).orderBy("bucket")

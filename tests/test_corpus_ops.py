@@ -1,0 +1,101 @@
+"""Operator-level tests for operators/corpus.py — semantics the oracle
+differential can't pin down on its own (first-occurrence policy, rank
+ordering, reassembly, empty-survivor docs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import corpus as C
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    # doc 0 and doc 1 share chunk "a b"; doc 0 (lower id) must keep it.
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.paragraph_dedup(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert out[0]["clean_text"] == "a b" and out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "c d"
+
+
+def test_paragraph_dedup_intra_doc_repeat_and_order(spark):
+    # Second occurrence of "x y" INSIDE the same doc is also a repeat;
+    # surviving chunks must reassemble in chunk_idx order.
+    df = spark.createDataFrame([(5, "x y p q x y r s")], "doc_id long, text string")
+    row = C.paragraph_dedup(df, "doc_id", "text", chunk_tokens=2).collect()[0]
+    assert row["n_chunks"] == 4 and row["n_removed"] == 1
+    assert row["clean_text"] == "x y p q r s"
+
+
+def test_paragraph_dedup_trailing_partial_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = C.paragraph_dedup(df, "doc_id", "text", chunk_tokens=2).collect()[0]
+    assert row["n_chunks"] == 2 and row["clean_text"] == "a b c"
+
+
+def test_bigram_lm_score_orders_by_familiarity(spark):
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq ww"), (12, "x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in C.bigram_lm_score(docs, train, "doc_id", "text").collect()
+    }
+    # "the cat" seen twice, "cat sat" once -> mean 1.5; junk doc -> 0.
+    assert got[10]["lm_familiarity"] == 1.5
+    assert got[11]["lm_familiarity"] == 0.0
+    assert got[12]["n_bigrams"] == 0 and got[12]["lm_familiarity"] is None
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "table table table pad pad"),
+            (2, "table pad pad pad pad"),
+            (3, "pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = C.bm25_topk(docs, "doc_id", "text", ("table",), k=3).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0.0
+    assert rows[2]["bm25"] == 0.0  # no query term -> exact zero score
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = C.top_ngrams(docs, "text", k=10).collect()
+    assert (rows[0]["bigram"], rows[0]["n"]) == ("a b", 3)
+    # ties broken by bigram ascending
+    tail = [(r["bigram"], r["n"]) for r in rows[1:]]
+    assert tail == [("b a", 1), ("b c", 1)]
+
+
+def test_profile_table_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x")], "k long, v string"
+    )
+    row = C.profile_table(df, ["k", "v"]).collect()[0]
+    assert row["n_rows"] == 3
+    assert row["k_nulls"] == 0 and row["k_distinct"] == 3
+    assert row["v_nulls"] == 1 and row["v_distinct"] == 1
+
+
+def test_equiwidth_histogram_buckets(spark):
+    df = spark.createDataFrame([(v,) for v in [1, 9, 10, 19, 25]], "v long")
+    rows = {
+        r["bucket"]: r
+        for r in C.equiwidth_histogram(df, F.col("v"), 10).collect()
+    }
+    assert rows[0]["n"] == 2 and rows[0]["min_v"] == 1 and rows[0]["max_v"] == 9
+    assert rows[10]["n"] == 2 and rows[10]["mean_v"] == 14.5
+    assert rows[20]["n"] == 1

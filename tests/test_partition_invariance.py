@@ -37,6 +37,13 @@ REPRESENTATIVE = [
     "q90_embedding_quantize",
     "q96_dedup_corpus",
     "q97_upsert_merge",
+    # corpus-analytics family (q100+): first-occurrence dedup policy,
+    # BM25 float scoring, and heavy-hitter ties must not move with the
+    # physical layout
+    "q100_paragraph_dedup",
+    "q101_lm_familiarity",
+    "q102_bm25_topk",
+    "q103_top_ngrams",
 ]
 
 

@@ -138,3 +138,46 @@ def test_q92_quantized_corpus_join_is_broadcast(spark):
     plan = _plan(spark, "q92_ann_quantized")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q102_bm25_has_no_data_shuffle(spark):
+    """BM25 scoring: corpus stats are ONE single-row aggregate broadcast
+    back over the scan; the only exchanges allowed are the single-row
+    stats reduction and its broadcast. Scoring itself must be a pure
+    per-row expression feeding a TakeOrdered heap — never a sort or a
+    shuffle of document rows."""
+    plan = _plan(spark, "q102_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l
+    ]
+    assert all("SinglePartition" in l for l in exchanges), exchanges
+
+
+def test_q103_top_ngrams_partial_aggregates_before_shuffle(spark):
+    """Heavy hitters: the bigram count must ride map-side partial
+    aggregation (HashAggregate below the exchange) and the top-k must
+    be a TakeOrdered heap, not a global sort."""
+    plan = _plan(spark, "q103_top_ngrams")
+    assert "TakeOrderedAndProject" in plan, plan
+    before_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in before_exchange, plan
+
+
+def test_q100_paragraph_dedup_never_shuffles_document_text(spark):
+    """Paragraph dedup shuffles CHUNKS (the dedup payload — that's the
+    floor), never whole-document text."""
+    plan = _plan(spark, "q100_paragraph_dedup")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert any("chunk#" in l for l in exchanges), exchanges
+    assert not any("text#" in l for l in exchanges), exchanges
+
+
+def test_q104_profile_is_one_expand_pass(spark):
+    """Multi-column exact distinct must plan as a single grouping-sets
+    Expand, not one aggregation job per column."""
+    plan = _plan(spark, "q104_profile_table")
+    assert plan.count("Expand") >= 1, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, scans
