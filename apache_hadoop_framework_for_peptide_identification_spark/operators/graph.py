@@ -1,0 +1,150 @@
+"""Iterative graph operators: weighted PageRank / TextRank.
+
+The one algorithm class the rest of the engine lacks: a FIXED-POINT
+iteration where each step is a full relational pass (join + aggregate)
+and the driver loops over PLANS, never over data — the same structure
+as the connected-components labeler (operators/dedup.py) that dedup
+clustering already uses.
+
+Determinism contract (what makes an iterative float algorithm
+oracle-checkable): all rank arithmetic is INTEGER. Ranks are scaled to
+``rank_scale`` (1e9) units, edge transition factors to ``f_scale``
+(1e6) units, and every division is an integer floor-div — so per-node
+contribution sums are order-independent (long addition commutes;
+double addition does not) and any engine that replays the recurrence
+gets bit-identical ranks. The float variant differs from the true
+PageRank fixed point by O(iters / f_scale) — quantization error, not
+algorithm error.
+
+Overflow accounting (ANSI mode errors rather than wraps, so these are
+hard bounds, checked in the docstring not at runtime): rank ≤ N in
+PageRank total-mass terms → rank_int ≤ N·1e9; per-edge product
+rank_int · f ≤ N·1e15 — safe under int64 for graphs up to ~9000 total
+rank mass; shrink rank_scale for bigger N.
+
+The reference (`Driver.java`/`ExecutorMapper.java`) has no graph
+surface; this extends SURVEY.md §2B's LLM group (TextRank keyword
+extraction is a standard corpus-annotation step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1_000_000_000  # 1e9: rank units
+F_SCALE = 1_000_000  # 1e6: edge-factor units
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as a ratio
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    iters: int = 10,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, integer-exact.
+
+    rank⁰(v) = 1.0;  rankⁱ⁺¹(v) = 0.15 + 0.85 · Σ_{u→v} f(u,v)·rankⁱ(u)
+    with f(u,v) = w(u,v) / out-weight(u), all in scaled integer units
+    (see module doc). Dangling mass is dropped (the simplest standard
+    variant) — both engine and oracle replay the identical recurrence.
+
+    Scale shape: each iteration is one equi-join of the rank table to
+    the edge list on ``src`` plus one map-side-partial groupBy on
+    ``dst`` — the canonical distributed PageRank step; no all-pairs, no
+    driver-side data. The edge list (with precomputed factors) is
+    localCheckpointed once and reused every iteration; the rank lineage
+    is truncated every ``checkpoint_every`` iterations exactly like the
+    connected-components loop, so the plan stays shallow while the
+    driver iterates plans, not data.
+
+    Returns (node, rank_int, rank) — rank = rank_int/1e9 exact (both
+    fit double's 2^53 integer window for any graph this scaling admits).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    fe = (
+        e.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST(w * {F_SCALE} AS BIGINT) div outw").alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        fe.select(F.col("src").alias("node"))
+        .unionByName(fe.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = round(0.15 * RANK_SCALE)
+
+    ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("pr"))
+    for i in range(iters):
+        acc = (
+            fe.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr(f"(pr * f) div {F_SCALE}").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("acc"))
+        )
+        ranks = (
+            nodes.join(acc.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({DAMP_NUM} * coalesce(acc, CAST(0 AS BIGINT))) div {DAMP_DEN}")
+                ).alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node",
+        F.col("pr").alias("rank_int"),
+        (F.col("pr") / F.lit(float(RANK_SCALE))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iters: int = 10
+) -> str:
+    """DuckDB SQL replaying pagerank_int's exact integer recurrence,
+    with the ``iters`` iterations UNROLLED as chained CTEs (recursive
+    CTEs can't aggregate over the recursive term). ``edges_cte`` must
+    select (src, dst, w). Mechanically generated so the engine and
+    oracle can never drift on the recurrence constants."""
+    base = round(0.15 * RANK_SCALE)
+    parts = [
+        f"WITH e AS ({edges_cte})",
+        f"""fe AS (
+  SELECT e.src, e.dst, (e.w * {F_SCALE}) // o.outw AS f
+  FROM e JOIN (SELECT src, sum(w) AS outw FROM e GROUP BY src) o USING (src))""",
+        """nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM fe UNION ALL SELECT dst FROM fe))""",
+        f"pr0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT n.node,
+         CAST({base} AS BIGINT)
+           + ({DAMP_NUM} * coalesce(s.acc, CAST(0 AS BIGINT))) // {DAMP_DEN} AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT fe.dst, sum((p.pr * fe.f) // {F_SCALE}) AS acc
+    FROM fe JOIN pr{i} p ON p.node = fe.src
+    GROUP BY fe.dst) s ON s.dst = n.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, CAST(pr AS BIGINT) AS rank_int,
+       CAST(pr AS DOUBLE) / {float(RANK_SCALE)} AS rank
+FROM pr{iters}"""
+    )

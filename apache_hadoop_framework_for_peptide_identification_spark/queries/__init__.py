@@ -61,6 +61,7 @@ from . import udf_surface  # noqa: E402,F401
 from . import sources_q  # noqa: E402,F401
 from . import pipeline_q  # noqa: E402,F401
 from . import corpus_q  # noqa: E402,F401
+from . import graph_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.
@@ -91,6 +92,7 @@ _DRIVER_PRIORITY = [
     "q103_top_ngrams",
     "q104_profile_table",
     "q105_length_histogram",
+    "q106_textrank_keywords",
     "q83_repetition_filter",
     "q84_pii_scrub",
     "q85_contamination_check",
@@ -119,7 +121,6 @@ _DRIVER_PRIORITY = [
     # make room for q100–q105; they stay in the local full-registry
     # sweep like every other out-of-window query.)
     "q06_filter_predicates",
-    "q07_distinct",
     "q09_join_full_outer",
     "q10_join_semi",
     "q11_join_anti",

@@ -1,0 +1,64 @@
+"""Operator tests for the integer-exact PageRank (operators/graph.py):
+fixed-point behavior the oracle differential can't isolate on its own."""
+
+from __future__ import annotations
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import graph as G
+
+
+def _ranks(spark, edges, iters=10):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    return {
+        r["node"]: r for r in G.pagerank_int(df, "src", "dst", "w", iters=iters).collect()
+    }
+
+
+def test_two_node_cycle_is_exact_fixed_point(spark):
+    # a<->b: the uniform rank 1.0 is a fixed point and the integer
+    # recurrence must preserve it EXACTLY (1e9 units, zero drift).
+    got = _ranks(spark, [("a", "b", 1), ("b", "a", 1)])
+    assert got["a"]["rank_int"] == G.RANK_SCALE
+    assert got["b"]["rank_int"] == G.RANK_SCALE
+    assert got["a"]["rank"] == 1.0
+
+
+def test_sink_accumulates_and_sources_decay(spark):
+    # a->c, b->c: sources fall to the 0.15 base; the sink ranks above.
+    got = _ranks(spark, [("a", "c", 1), ("b", "c", 1)])
+    base = round(0.15 * G.RANK_SCALE)
+    assert got["a"]["rank_int"] == base and got["b"]["rank_int"] == base
+    assert got["c"]["rank_int"] > got["a"]["rank_int"]
+
+
+def test_weighted_edges_split_rank_proportionally(spark):
+    # a sends 3/4 of its mass to b and 1/4 to c (after one iteration
+    # from uniform ranks, b's accumulated rank must exceed c's).
+    got = _ranks(spark, [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)])
+    assert got["b"]["rank_int"] > got["c"]["rank_int"]
+    assert got["b"]["rank_int"] > round(0.15 * G.RANK_SCALE)
+
+
+def test_engine_matches_unrolled_oracle_on_adhoc_graph(spark, duck):
+    """The recurrence generator and the DataFrame loop must agree on an
+    arbitrary weighted graph, not just the documents fixture."""
+    edges = [
+        ("a", "b", 2),
+        ("b", "c", 1),
+        ("c", "a", 5),
+        ("a", "c", 1),
+        ("c", "b", 2),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank_int"]
+        for r in G.pagerank_int(df, "src", "dst", "w", iters=7).collect()
+    }
+    values = " UNION ALL ".join(
+        f"SELECT '{s}' AS src, '{d}' AS dst, CAST({w} AS BIGINT) AS w"
+        for s, d, w in edges
+    )
+    want = {
+        n: int(ri)
+        for n, ri, _ in duck.execute(G.pagerank_oracle_sql(values, iters=7)).fetchall()
+    }
+    assert got == want

@@ -44,6 +44,9 @@ REPRESENTATIVE = [
     "q101_lm_familiarity",
     "q102_bm25_topk",
     "q103_top_ngrams",
+    # iterative fixed-point family: 10 chained join+agg rounds must not
+    # drift with layout (integer ranks make this exact, not just close)
+    "q106_textrank_keywords",
 ]
 
 
