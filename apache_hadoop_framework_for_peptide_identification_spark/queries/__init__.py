@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "q104_profile_table",
     "q105_length_histogram",
     "q106_textrank_keywords",
+    "q107_prefix_jaccard",
     "q83_repetition_filter",
     "q84_pii_scrub",
     "q85_contamination_check",
@@ -126,7 +127,6 @@ _DRIVER_PRIORITY = [
     "q11_join_anti",
     "q12_join_theta_pairs",
     "q15_agg_stats",
-    "q16_agg_distinct",
     "q23_window_analytic",
     "q28_set_ops",
     "q38_hash_funcs",

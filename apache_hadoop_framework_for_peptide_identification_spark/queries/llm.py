@@ -99,6 +99,51 @@ def q41_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q107_prefix_jaccard",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def q107_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.6 pairs via PPJoin-style prefix filtering —
+    same twin-planted corpus and the same all-pairs oracle as q41, but
+    the engine joins only frequency-ordered PREFIXES (rarest ~40% of
+    each doc's shingles at t=0.6), with a length filter ahead of the
+    exact verify. The oracle hash-match IS the no-false-negatives
+    proof of the prefix theorem as implemented
+    (operators/dedup.py prefix_jaccard_pairs)."""
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    return (
+        dedup.prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query("q42_dedup_minhash_lsh", oracle=None)
 def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (xxhash64 signatures are

@@ -225,3 +225,48 @@ def test_jaccard_max_posting_drops_stop_shingles(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got)  # preamble-only overlaps dropped
+
+
+def test_prefix_jaccard_equals_full_join_ground_truth(spark):
+    """The prefix-filtered exact join must produce IDENTICAL pairs and
+    scores to the full posting-list join at the same threshold (the
+    no-false-negatives guarantee of the prefix theorem), while joining
+    strictly fewer prefix rows than the full shingle explode."""
+    rng = random.Random(77)
+    docs = [_doc(rng, 18) for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(docs)]
+    rows += [(1000 + i, _perturb(rng, docs[i], 1)) for i in range(10)]  # near-dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.6).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert got == want
+    assert len(got) >= 10  # the planted near-dups all survive 0.6
+
+
+def test_prefix_jaccard_prefix_is_a_strict_subset(spark):
+    """Structural pruning check: at t=0.8 the prefix keeps
+    |s| - ceil(0.8|s|) + 1 shingles (~20% + 1), so across a corpus of
+    40-shingle docs the join input must shrink to well under half."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(78)
+    df = spark.createDataFrame(
+        [(i, _doc(rng, 45)) for i in range(20)], "doc_id long, text string"
+    )
+    sh = df.select(
+        F.col("doc_id"), F.explode(dedup.shingles(F.col("text"), 3)).alias("sh")
+    )
+    full = sh.count()
+    t = 0.8
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix_rows = sizes.select(
+        F.sum(F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).alias("p")
+    ).collect()[0]["p"]
+    assert prefix_rows < 0.45 * full

@@ -47,6 +47,7 @@ REPRESENTATIVE = [
     # iterative fixed-point family: 10 chained join+agg rounds must not
     # drift with layout (integer ranks make this exact, not just close)
     "q106_textrank_keywords",
+    "q107_prefix_jaccard",
 ]
 
 
