@@ -32,6 +32,7 @@ HEADLINE = [
     "q50_pipe_tokens",
     "q67_embedding_neardup_lsh",
     "q83_repetition_filter",
+    "q100_paragraph_dedup",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

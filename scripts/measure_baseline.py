@@ -270,6 +270,56 @@ def q83_repetition_filter(t):
     )
 
 
+def q100_paragraph_dedup(t):
+    """Stock C4-style paragraph dedup: explode 8-token chunks, find each
+    chunk's keeper occurrence with a groupBy-min + join back, then
+    reassemble (the dropDuplicates-shaped form a user writes first:
+    TWO chunk-keyed shuffles plus a chunk join, vs the engine's single
+    window pass over one chunk shuffle). Same planted boilerplate as
+    the engine query so the workloads are identical."""
+    d = t["documents"]
+    boiler = "subscribe to our newsletter for updates and offers"
+    planted = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit(boiler + " "), F.col("text"))
+    ).otherwise(F.col("text"))
+    toks = F.split(planted, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    chunks = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "chunk")
+    )
+    keeper = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("k")
+    )
+    tagged = chunks.join(keeper, "chunk").withColumn(
+        "kept",
+        (F.col("k.doc_id") == F.col("doc_id"))
+        & (F.col("k.chunk_idx") == F.col("chunk_idx")),
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -281,6 +331,7 @@ QUERIES = {
     "q50_pipe_tokens": q50_pipe_tokens,
     "q67_embedding_neardup_lsh": q67_embedding_neardup,
     "q83_repetition_filter": q83_repetition_filter,
+    "q100_paragraph_dedup": q100_paragraph_dedup,
 }
 
 
