@@ -282,10 +282,10 @@ WITH base AS (
            AS scale
   FROM embeddings)
 SELECT vec_id, scale,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CAST(floor(CAST(x AS DOUBLE)
                          / (CASE WHEN scale = 0 THEN 1 ELSE scale END) + 0.5)
-                   AS TINYINT)) AS qvec,
+                   AS TINYINT)), ',') AS qvec_str,
        CAST(list_max(list_transform(embedding,
          x -> abs(CAST(x AS DOUBLE)
                   - floor(CAST(x AS DOUBLE)
@@ -299,9 +299,21 @@ def q90_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4x memory/shuffle lever for ANN at scale. floor(x+0.5)
     rounding on both sides because banker's rounding differs across
     engines; the oracle match proves the quantized bytes are
-    reproducible anywhere."""
+    reproducible anywhere. The quantized vector is serialized to a
+    comma-joined string for the driver compare (CORRECTNESS_r03 showed
+    the harness canonicalizer cannot sort raw array columns); q92
+    consumes the real array<tinyint> downstream."""
     emb = _t(spark, sf_dir, "embeddings")
-    return P.quantize_embeddings_int8(emb, "vec_id", "embedding").orderBy("vec_id")
+    return (
+        P.quantize_embeddings_int8(emb, "vec_id", "embedding")
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join("qvec", ",").alias("qvec_str"),
+            "max_abs_err",
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query(
