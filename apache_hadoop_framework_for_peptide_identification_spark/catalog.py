@@ -37,24 +37,47 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table with type normalization.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to TimestampType regardless of which
+    fixture generation wrote the parquet file.
 
-    ``events.ts`` is INT64 TIMESTAMP(NANOS) in the parquet footer; with
-    ``nanosAsLong`` it scans as a raw long which we truncate to
-    microseconds via integer division (``ts div 1000`` — NOT ``ts/1000``,
-    which goes through double and loses precision above 2^53 ns) and
-    rebind as a proper TimestampType. The fixture has no sub-microsecond
-    components, so this matches the oracle's value exactly.
+    The driver has regenerated the fixtures with different physical
+    types across rounds:
+
+    - INT64 TIMESTAMP(NANOS): Spark 4 rejects it outright unless
+      ``nanosAsLong`` is set, under which it scans as a raw long that
+      we truncate to microseconds via integer division (``ts div
+      1000`` — NOT ``ts/1000``, which goes through double and loses
+      precision above 2^53 ns) and rebind as TimestampType.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): scans as
+      ``timestamp_ntz``; with the session timezone pinned UTC the cast
+      to TimestampType is value-identical and keeps one canonical type
+      for every downstream window/watermark/join.
+
+    Shared by the batch catalog AND the streaming source so a fixture
+    regeneration can never split them (round-4 regression: the stream
+    path hardcoded the nanos layout and silently produced Jan-1970
+    timestamps when the fixture switched to micros).
     """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with type normalization (see
+    :func:`normalize_events_ts` for the ``events.ts`` contract)."""
     configure(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_events_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

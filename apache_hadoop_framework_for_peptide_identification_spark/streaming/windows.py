@@ -12,29 +12,37 @@ that, not the window itself, is what makes these safe at 100 TB/day.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import normalize_events_ts
 from ..session import configure
-
-# Raw schema of events.parquet under nanosAsLong (ts arrives as long ns).
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file stream with the same ts normalization as
-    the batch catalog (long ns → timestamp via integer division)."""
+    """events.parquet as a file stream, schema taken from the batch
+    parquet footer and ``ts`` normalized by the SAME function as the
+    batch catalog (catalog.normalize_events_ts).
+
+    The stream must never re-declare what the footer already states:
+    a hardcoded schema string is a second copy of the fixture contract
+    that silently diverges when the fixture is regenerated (this
+    exact failure shipped in round 4 — nanos layout pinned while the
+    fixture moved to micros). Reading the footer costs one metadata
+    read at plan time; a Kafka deployment would carry the schema in
+    the registry the same way.
+    """
     configure(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def tumbling_agg(events: DataFrame, duration: str = "1 hour", watermark: str = "1 hour") -> DataFrame:

@@ -102,6 +102,39 @@ def test_watermark_drops_late_rows_and_append_emits_once(stream_env):
     assert out3 == {"2024-01-01T12:00:00": 1}, f"wrong 12:00 window: {out3}"
 
 
+def test_events_stream_ts_agrees_with_batch_catalog(spark):
+    """The streaming source and the batch catalog must produce identical
+    ``ts`` values and type for whatever physical layout the fixture
+    carries (round-4 regression: the stream pinned the nanos layout and
+    collapsed every timestamp to Jan 1970 when the fixture moved to
+    micros). Schema is footer-derived, normalization is shared — this
+    asserts the contract end to end."""
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = load_table(spark, sf, "events")
+    streamed = run_to_memory(events_stream(spark, sf), output_mode="append")
+    assert dict(streamed.dtypes)["ts"] == dict(batch.dtypes)["ts"] == "timestamp"
+
+    def summary(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.sum(F.unix_micros("ts")).alias("chk"),
+        ).first()
+
+    b, s = summary(batch), summary(streamed)
+    assert (b["n"], b["lo"], b["hi"], b["chk"]) == (s["n"], s["lo"], s["hi"], s["chk"])
+    # Sanity: the fixture's event times are modern, not 1970 (the exact
+    # failure mode of a stale unit conversion).
+    assert b["lo"].year >= 2000, f"ts collapsed to epoch: {b['lo']}"
+
+
 def test_stream_dedup_drops_duplicate_ids_across_batches(stream_env):
     from datetime import datetime as dt
 
