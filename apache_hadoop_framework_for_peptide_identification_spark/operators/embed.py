@@ -31,11 +31,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def _hash_embed_batch(texts: pd.Series, dim: int, ngram: int, seed: int):
-    """Feature-hashed character-n-gram embedding, L2-normalized."""
+def _hash_count_batch(texts: pd.Series, dim: int, ngram: int, seed: int):
+    """Signed feature-hashed character-n-gram COUNTS (int64) — the
+    integer-valued accumulation under the hashed embedding. Exactly
+    representable, so an external SQL engine can reproduce it
+    bit-for-bit (q81's oracle unrolls the same FNV-1a chain)."""
     import numpy as np
 
-    out = np.zeros((len(texts), dim), dtype=np.float32)
+    out = np.zeros((len(texts), dim), dtype=np.int64)
     for row, text in enumerate(texts):
         t = text or ""
         for i in range(max(len(t) - ngram + 1, 0)):
@@ -45,8 +48,15 @@ def _hash_embed_batch(texts: pd.Series, dim: int, ngram: int, seed: int):
             for ch in t[i : i + ngram]:
                 h = np.uint64((int(h) ^ ord(ch)) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
             idx = int(h % np.uint64(dim))
-            sign = 1.0 if (int(h) >> 63) == 0 else -1.0
-            out[row, idx] += sign
+            out[row, idx] += 1 if (int(h) >> 63) == 0 else -1
+    return out
+
+
+def _hash_embed_batch(texts: pd.Series, dim: int, ngram: int, seed: int):
+    """Feature-hashed character-n-gram embedding, L2-normalized."""
+    import numpy as np
+
+    out = _hash_count_batch(texts, dim, ngram, seed).astype(np.float32)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms
@@ -78,6 +88,32 @@ def embed_text(
             )
 
     out_schema = "id long, embedding array<float>"
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema).withColumnRenamed(
+        "id", id_col
+    )
+
+
+def embed_text_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, cvec: array<bigint>) — the pre-normalization integer counts
+    of the hashed embedding, through the SAME Arrow-batched mapInPandas
+    pipe as embed_text. This is the externally-verifiable form: the
+    counts are exact integers, so the driver's DuckDB oracle can
+    recompute them and hash-match (floats post-L2 can't be compared
+    across engines bit-for-bit)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cnts = _hash_count_batch(pdf[text_col], dim, ngram, seed)
+            yield pd.DataFrame({"id": pdf[id_col], "cvec": [c.tolist() for c in cnts]})
+
+    out_schema = "id long, cvec array<bigint>"
     return df.select(id_col, text_col).mapInPandas(fn, out_schema).withColumnRenamed(
         "id", id_col
     )

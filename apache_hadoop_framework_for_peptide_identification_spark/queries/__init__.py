@@ -77,74 +77,76 @@ from . import graph_q  # noqa: E402,F401
 # sf0.001/sf0.01, and `make sweep-sf01` at sf0.1) — rotation trades WHICH
 # queries get a fresh *driver* verdict, never whether they are verified.
 #
-# Round-3 window: 17 new queries (q83–q99), 5 changed implementations,
-# the oldest stale round-1-only verdicts, bench headliners, and family
-# reps. Stale entries squeezed out this round (q17–q21, q24–q27,
-# q29–q34, q36, q37) are all r1-driver-green and locally swept; they
-# rotate back next round.
+# Round-5 window. Assembly rule (tightened after r4, VERDICT item 6):
+# (0) any query that FAILED the previous round's driver run or the
+# local oracle sweep goes FIRST — a stale green verdict must never
+# mask a current failure (q55's r2 pass hid its r4 local failure
+# because it sat outside the r4 window); (1) queries whose
+# implementation or oracle changed this round; (2) oldest stale
+# verdicts (r1-only); (3) bench headliners; (4) next-oldest (r2)
+# verdicts with the remaining slots.
 _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
-    # (0) New this round — never had a driver verdict
-    "q100_paragraph_dedup",
-    "q101_lm_familiarity",
-    "q102_bm25_topk",
-    "q103_top_ngrams",
-    "q104_profile_table",
-    "q105_length_histogram",
-    "q106_textrank_keywords",
-    "q107_prefix_jaccard",
-    "q83_repetition_filter",
-    "q84_pii_scrub",
-    "q85_contamination_check",
-    "q86_stratified_sample",
-    "q87_sequence_packing",
-    "q88_epoch_shuffle",
-    "q89_source_cap",
-    "q90_embedding_quantize",
-    "q91_stream_stream_join",
-    "q92_ann_quantized",
-    "q93_unpivot",
-    "q94_correlated_subqueries",
-    "q95_incremental_dedup",
-    "q96_dedup_corpus",
-    "q97_upsert_merge",
-    "q98_ann_pq",
-    "q99_scd2_history",
-    # (1) Implementation changed this round — must re-verify under driver
-    "q64_map_in_pandas",  # integral cent-unit partials (r2 hash mismatch)
-    "q14_asof_join",  # backtick-quoted column refs
-    "q41_ngram_jaccard",  # \z-anchored twin regex
-    "q79_dedup_clusters",  # \z-anchored twin regex
-    "q68_ann_ivf",  # deterministic hash-filtered centroid pick
-    # (2) Driver verdict is stale (round 1 only) — rotate back in.
-    # (q05/q08/q13/q22/q35/q82 got fresh r2 verdicts and rotate OUT to
-    # make room for q100–q105; they stay in the local full-registry
-    # sweep like every other out-of-window query.)
-    "q06_filter_predicates",
-    "q09_join_full_outer",
-    "q10_join_semi",
-    "q11_join_anti",
-    "q12_join_theta_pairs",
-    "q15_agg_stats",
-    "q23_window_analytic",
-    "q28_set_ops",
-    "q38_hash_funcs",
-    "q39_try_cast",
-    "q76_declarative_plan",
-    "q80_posexplode_zip",
+    # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
+    "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
+    "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
+    "q91_stream_stream_join",  # same drift
+    # (1) Implementation or oracle changed this round
+    "q52_stream_dedup",  # events_stream source rewritten (footer schema)
+    "q53_session_window",  # catalog ts canonicalization changed
+    "q56_stream_static_join",  # events_stream source rewritten
+    "q57_foreach_batch_sink",  # events_stream source rewritten
+    "q58_stateful_running_totals",  # events_stream source rewritten
+    "q81_embed_text",  # first hard oracle (integer count vectors)
+    "q68_ann_ivf",  # exactness-verification config (full probe) + oracle
+    "q98_ann_pq",  # exactness-verification config (unbounded cands) + oracle
+    "q90_embedding_quantize",  # oracle empty-vector COALESCE (ADVICE r4)
+    "q92_ann_quantized",  # oracle empty-vector COALESCE (ADVICE r4)
+    "q04_tumbling_hourly",  # catalog ts canonicalization changed
+    # (2) Driver verdict is stale (round 1 only) — rotate back in
+    "q07_distinct",
+    "q16_agg_distinct",
+    "q18_cube",
+    "q19_grouping_sets",
+    "q20_collect_agg",
+    "q21_pivot",
+    "q24_window_running",
+    "q25_window_range",
+    "q26_sort_nulls",
+    "q27_global_topk",
+    "q29_systematic_sample",
+    "q30_approx_aggs",
+    "q31_exact_percentiles",
+    "q32_string_funcs",
+    "q33_date_funcs",
+    "q34_math_funcs",
+    "q36_map_funcs",
+    "q37_json_funcs",
     # (3) Bench headliners — keep driver verdicts fresh every round
+    # (q04 already above)
     "q01_scan_filter_agg",
     "q02_join_revenue_topk",
     "q03_window_topk_per_group",
-    "q04_tumbling_hourly",
-    # (4) Representatives from round-2-green families (the rest of those
-    # families stay covered by the local full-registry sweep; the bench
-    # additionally exercises q42/q44/q50/q67 every round)
-    "q50_pipe_tokens",  # E-PIPE
-    "q51_stream_tumbling",  # streaming
-    "q70_parquet_partitioned_sink",  # sources/sinks
-    "q81_embed_text",  # embed pipe
+    # (4) Oldest remaining (round-2) verdicts fill the window; the rest
+    # of the r2/r4-green families stay covered by the local
+    # full-registry sweep (tests/test_oracle_queries.py) and the bench
+    # additionally exercises q42/q44/q50/q67 every round.
+    "q05_project_expressions",
+    "q08_join_left_outer",
+    "q13_range_join",
+    "q17_rollup",
+    "q22_window_ranking",
+    "q35_array_funcs",
+    "q82_join_right_outer",
+    "q40_dedup_exact",
+    "q44_ann_cosine_topk",
+    "q46_lang_id",
+    "q47_quality_score",
+    "q48_token_count",
+    "q49_fingerprint",
+    "q60_scalar_udf",
+    "q61_pandas_udf_charge",
 ]
 
 

@@ -278,19 +278,20 @@ def q89_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
   SELECT vec_id, embedding,
-         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
-           AS scale
+         COALESCE(
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0,
+           0.0) AS scale
   FROM embeddings)
 SELECT vec_id, scale,
-       array_to_string(list_transform(embedding,
+       COALESCE(array_to_string(list_transform(embedding,
          x -> CAST(floor(CAST(x AS DOUBLE)
                          / (CASE WHEN scale = 0 THEN 1 ELSE scale END) + 0.5)
-                   AS TINYINT)), ',') AS qvec_str,
-       CAST(list_max(list_transform(embedding,
+                   AS TINYINT)), ','), '') AS qvec_str,
+       COALESCE(CAST(list_max(list_transform(embedding,
          x -> abs(CAST(x AS DOUBLE)
                   - floor(CAST(x AS DOUBLE)
                           / (CASE WHEN scale = 0 THEN 1 ELSE scale END) + 0.5)
-                      * scale))) AS DOUBLE) AS max_abs_err
+                      * scale))) AS DOUBLE), 0.0) AS max_abs_err
 FROM base ORDER BY vec_id
 """,
 )
@@ -321,8 +322,9 @@ def q90_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT vec_id, embedding,
-         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
-           AS scale
+         COALESCE(
+           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0,
+           0.0) AS scale
   FROM embeddings),
 qt AS (
   SELECT vec_id, scale,

@@ -174,6 +174,42 @@ def test_quantize_int8_error_bound_and_range(spark):
     assert out[3]["qvec"] == [-127]
 
 
+def test_quantize_empty_vector_agrees_with_oracle(spark):
+    """ADVICE r4: an empty embedding must yield scale=0.0 /
+    max_abs_err=0.0 / qvec_str='' on BOTH engines — the oracle's
+    list_max over an empty list is NULL unless COALESCE'd, which would
+    silently diverge from the Spark UDF the day the fixture grows an
+    empty vector."""
+    import duckdb
+
+    from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+
+    rows = [(1, [1.0, -0.5]), (2, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r
+        for r in P.quantize_embeddings_int8(df)
+        .select("vec_id", "scale", F.array_join("qvec", ",").alias("qvec_str"), "max_abs_err")
+        .collect()
+    }
+    assert got[2]["scale"] == 0.0 and got[2]["max_abs_err"] == 0.0
+    assert got[2]["qvec_str"] == ""
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(1, [CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)]), "
+        "(2, CAST([] AS FLOAT[]))) AS t(vec_id, embedding)"
+    )
+    oracle = con.execute(REGISTRY["q90_embedding_quantize"].oracle).df()
+    for _, orow in oracle.iterrows():
+        srow = got[orow["vec_id"]]
+        assert srow["scale"] == pytest.approx(orow["scale"])
+        assert srow["qvec_str"] == orow["qvec_str"]
+        assert srow["max_abs_err"] == pytest.approx(orow["max_abs_err"])
+    con.close()
+
+
 def test_upsert_snapshot_update_insert_delete(spark):
     base = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
