@@ -7,10 +7,11 @@ Design notes (100 TB scale):
   between a plan sized for estimates and one sized for reality.
 - Arrow on: every Python boundary (pandas UDF, mapInPandas, toPandas)
   moves columnar batches, not pickled rows.
-- ``spark.sql.legacy.parquet.nanosAsLong``: the ``events`` fixture
-  carries INT64 TIMESTAMP(NANOS) which Spark 4 otherwise rejects with
-  PARQUET_TYPE_ILLEGAL; we read the raw long and normalize in the
-  catalog (see catalog.load_table).
+- ``spark.sql.legacy.parquet.nanosAsLong``: kept for the nanos
+  generation of the ``events`` fixture (INT64 TIMESTAMP(NANOS), which
+  Spark 4 otherwise rejects with PARQUET_TYPE_ILLEGAL). The current
+  fixture generation is TIMESTAMP(MICROS), on which this conf is a
+  no-op; catalog.normalize_events_ts canonicalizes both generations.
 - Session timezone pinned UTC so timestamp semantics match the DuckDB
   oracle (UTC-naive).
 """

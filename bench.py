@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
 from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
 
-# B1-B4 (BASELINE.md) + the LLM-pipeline + E-PIPE headliners.
+# B1-B4 (BASELINE.md) + the LLM-pipeline + E-PIPE + corpus headliners.
+# Every entry has a matching stock-Spark row in scripts/measure_baseline.py
+# so BENCH_r{N} / BASELINE.md ratios stay 1:1.
 HEADLINE = [
     "q01_scan_filter_agg",
     "q02_join_revenue_topk",
@@ -32,7 +34,15 @@ HEADLINE = [
     "q50_pipe_tokens",
     "q67_embedding_neardup_lsh",
     "q83_repetition_filter",
+    "q87_sequence_packing",
     "q100_paragraph_dedup",
+    "q101_lm_familiarity",
+    "q102_bm25_topk",
+    "q103_top_ngrams",
+    "q104_profile_table",
+    "q105_length_histogram",
+    "q106_textrank_keywords",
+    "q107_prefix_jaccard",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

@@ -320,6 +320,240 @@ def q100_paragraph_dedup(t):
     )
 
 
+def q87_sequence_packing(t):
+    """Stock greedy packing: collect each language shard to the driver
+    and replay the greedy walk in a Python loop (the pandas-shaped
+    first form — packing has a capacity reset, so a user who can't
+    express it as a window reaches for toPandas), then re-parallelize.
+    Same grouping/order/budget as the engine's distributed
+    applyInPandas form."""
+    d = t["documents"]
+    spark = d.sparkSession
+    pdf = (
+        d.select("lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+        .orderBy("lang", "doc_id")
+        .toPandas()
+    )
+    rows = []
+    for lang, grp in pdf.groupby("lang", sort=True):
+        seq_id, used = 0, 0
+        for r in grp.itertuples():
+            if used + r.n_tok > 256 and used > 0:
+                seq_id, used = seq_id + 1, 0
+            rows.append((lang, int(r.doc_id), int(r.n_tok), seq_id, used))
+            used += r.n_tok
+        # oversized docs still consume a fresh sequence each
+    return spark.createDataFrame(
+        rows, "lang string, doc_id long, n_tok long, seq_id long, offset long"
+    ).orderBy("lang", "doc_id")
+
+
+def q101_lm_familiarity(t):
+    """Stock CCNet-style scoring: explode bigrams, groupBy-count the
+    train half, join every doc bigram against the counts, aggregate —
+    float mean directly (no integer-exactness care), no map-side
+    partial sharing between the two passes."""
+    d = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    bg = d.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            )
+        ).alias("bg"),
+    )
+    train = bg.filter(F.col("doc_id") % 2 == 0).groupBy("bg").count()
+    agg = (
+        bg.join(train, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.coalesce(F.col("count"), F.lit(0))).alias("lm_familiarity"),
+        )
+    )
+    return (
+        t["documents"].select("doc_id").join(agg, "doc_id", "left").orderBy("doc_id")
+    )
+
+
+def q102_bm25_topk(t):
+    """Stock BM25: one separate aggregation JOB per corpus statistic
+    (N, sum dl, df per term — collected to the driver one by one, the
+    notebook-style form), then an interpreted filter-based tf and a
+    global orderBy.limit."""
+    d = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    sized = d.select("doc_id", toks.alias("t"), F.size(toks).alias("dl"))
+    n = sized.count()
+    sumdl = sized.agg(F.sum("dl")).first()[0]
+    terms = ("table", "stream", "vector")
+    import math
+
+    score = F.lit(0.0)
+    for term in terms:
+        df_t = sized.filter(F.array_contains("t", term)).count()  # one job per term
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        tf = F.size(F.filter("t", lambda x: x == F.lit(term))).cast("double")
+        denom = tf + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.lit(sumdl / n)))
+        score = score + F.when(tf > 0, F.lit(idf) * tf * 2.2 / denom).otherwise(0.0)
+    return sized.select("doc_id", score.alias("bm25")).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(10)
+
+
+def q103_top_ngrams(t):
+    """Stock heavy hitters: explode every bigram, global groupBy count,
+    full orderBy then limit."""
+    d = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    bg = d.filter(F.size(toks) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            )
+        ).alias("bigram")
+    )
+    return bg.groupBy("bigram").count().orderBy(F.col("count").desc(), "bigram").limit(20)
+
+
+def q104_profile_table(t):
+    """Stock profiling: a separate Spark JOB per column statistic
+    (pandas-profiling style loop of .count()/.countDistinct() actions),
+    vs the engine's single grouping-sets plan."""
+    o = t["orders"]
+    spark = o.sparkSession
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    row = {"n_rows": o.count()}
+    for c in cols:
+        row[f"{c}_nulls"] = o.filter(F.col(c).isNull()).count()
+        row[f"{c}_distinct"] = o.select(c).distinct().count()
+    return spark.createDataFrame([row])
+
+
+def q105_length_histogram(t):
+    """Stock histogram: bucket expression + groupBy (the direct form —
+    close to the engine's; kept for a like-for-like ratio row)."""
+    d = t["documents"]
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    b = (F.floor(n_tok / 10) * 10).cast("bigint")
+    return (
+        d.select(b.alias("bucket"), n_tok.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.avg("v").alias("mean_v"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q106_textrank_keywords(t):
+    """Stock TextRank: float PageRank loop over DataFrames with
+    .cache() per iteration but NO lineage truncation — the Spark-docs
+    example form. Plan size grows per iteration; float ranks (no
+    integer-exact determinism)."""
+    d = t["documents"]
+    toks = F.split(F.col("text"), " ")
+    edges = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("src"),
+                        F.element_at(toks, i + 1).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .cache()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .cache()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(10):
+        contrib = (
+            edges.join(out_w, "src")
+            .join(ranks, F.col("src") == F.col("node"))
+            .select("dst", (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            nodes.join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("in_c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .cache()
+        )
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+def q107_prefix_jaccard(t):
+    """Stock exact-Jaccard pairs at threshold 0.6: the FULL posting-list
+    self-join (every shingle joins, no prefix filtering, no length
+    filter) + Jaccard verify — q41's form at q107's threshold, which is
+    what a user reuses before learning the prefix theorem. Same
+    twin-planted corpus as the engine query."""
+    d = t["documents"].filter(F.col("doc_id") < 100).select("doc_id", "text")
+    twins = d.select(
+        (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " \\S+\\z", "").alias("text"),
+    )
+    corpus = d.unionByName(twins)
+    toks = F.split(F.col("text"), " ")
+    sh = corpus.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -331,7 +565,15 @@ QUERIES = {
     "q50_pipe_tokens": q50_pipe_tokens,
     "q67_embedding_neardup_lsh": q67_embedding_neardup,
     "q83_repetition_filter": q83_repetition_filter,
+    "q87_sequence_packing": q87_sequence_packing,
     "q100_paragraph_dedup": q100_paragraph_dedup,
+    "q101_lm_familiarity": q101_lm_familiarity,
+    "q102_bm25_topk": q102_bm25_topk,
+    "q103_top_ngrams": q103_top_ngrams,
+    "q104_profile_table": q104_profile_table,
+    "q105_length_histogram": q105_length_histogram,
+    "q106_textrank_keywords": q106_textrank_keywords,
+    "q107_prefix_jaccard": q107_prefix_jaccard,
 }
 
 
