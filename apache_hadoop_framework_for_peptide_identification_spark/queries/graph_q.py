@@ -35,23 +35,22 @@ def q106_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the directed bigram co-occurrence graph, top-20 keywords. Ten
     integer-exact iterations — see operators/graph.py for the
     determinism/overflow contract and the per-iteration scale shape."""
+    from ..operators.corpus import bigram_partial_counts
+
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("src"), F.element_at(t, i + 1).alias("dst")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    # Edge build rides the Arrow-batched bigram Counter (round-5: 6.5x
+    # the interpreted-HOF struct explode) and splits src/dst only AFTER
+    # the count collapses to one row per distinct bigram. Tokens are
+    # space-split, so the first space in the bigram is the separator.
     edges = (
-        d.select(F.explode(pairs).alias("e"))
-        .select("e.src", "e.dst")
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
+        bigram_partial_counts(d, "text")
+        .groupBy("bigram")
+        .agg(F.sum("n_part").alias("w"))
+        .select(
+            F.substring_index("bigram", " ", 1).alias("src"),
+            F.substring_index("bigram", " ", -1).alias("dst"),
+            "w",
+        )
     )
     ranks = G.pagerank_int(edges, "src", "dst", "w", iters=_ITERS)
     return ranks.orderBy(F.col("rank_int").desc(), "node").limit(_TOPK)
