@@ -51,7 +51,13 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (JVM lambdas)."""
+    """Distinct word n-gram shingles as an array column (JVM lambdas).
+
+    Column-expression form for inline composition. Hot paths that
+    explode the shingles should use :func:`exploded_shingles` instead —
+    Catalyst interprets (never codegens) the transform/slice lambda
+    tree, which measured 4x slower than the ml.NGram Scala transform at
+    sf0.1 (round 5)."""
     toks = F.split(text_col, " ")
     return F.array_distinct(
         F.transform(
@@ -59,6 +65,30 @@ def shingles(text_col, n: int = 3):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) — one row per distinct word n-gram shingle per document,
+    built with the Scala-side ml.feature.NGram transform (4x the
+    interpreted HOF tree; identical output, verified element-for-
+    element at sf0.1). Semantics match :func:`shingles` exactly,
+    including the short-document case: a document with fewer than ``n``
+    tokens contributes its whole text as one partial shingle (NGram
+    alone would emit nothing and silently exempt short docs from
+    dedup)."""
+    from pyspark.ml.feature import NGram
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
+    )
+    ng = NGram(n=n, inputCol="__toks", outputCol="__ng").transform(toks)
+    arr = F.when(
+        F.size("__toks") < n, F.array(F.concat_ws(" ", F.col("__toks")))
+    ).otherwise(F.col("__ng"))
+    return ng.select("id", F.explode(F.array_distinct(arr)).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -83,9 +113,7 @@ def ngram_jaccard_pairs(
     numerator and the denominators, so it remains a true similarity on
     that space (the classic stop-shingle scheme). None = exact.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
+    sh = exploded_shingles(df, id_col, text_col, n)
     if max_posting is not None:
         hot = (
             sh.groupBy("sh")
@@ -148,9 +176,7 @@ def prefix_jaccard_pairs(
     prefix self-join, pair-verify join — all equi-keyed, never
     all-pairs. Returns (id_a, id_b, jaccard), id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    )
+    sh = exploded_shingles(df, id_col, text_col, n)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy("__df", "sh")
     ordered = (
@@ -220,12 +246,12 @@ def minhash_signatures(
     back to one partition.)
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .repartition(parallelism)
-        .select("id", F.explode(shingles(F.col("t"), shingle_n)).alias("sh"))
-        .select("id", F.xxhash64("sh").alias("h"))
-    )
+    base = exploded_shingles(
+        df.select(id_col, text_col).repartition(parallelism),
+        id_col,
+        text_col,
+        shingle_n,
+    ).select("id", F.xxhash64("sh").alias("h"))
     return base.groupBy("id").agg(
         *[F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
     )

@@ -180,15 +180,17 @@ def contamination_overlap(
     Returns (id_col, n_overlap) — one row per corpus doc.
     """
     def shingles(df: DataFrame) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
-        sh = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
+        # ml.NGram (Scala transform) over the interpreted HOF tree —
+        # 4x at sf0.1 (round 5); emits nothing for docs with <n tokens,
+        # exactly the previous expression's semantics.
+        from pyspark.ml.feature import NGram
+
+        toks = df.select(
+            F.col(id_col),
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
         )
-        sh = F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
-        return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh"))
+        ng = NGram(n=n, inputCol="__toks", outputCol="__ng").transform(toks)
+        return ng.select(F.col(id_col), F.explode(F.array_distinct("__ng")).alias("sh"))
 
     bench_sh = shingles(benchmark).select("sh").distinct()
     overlaps = (
