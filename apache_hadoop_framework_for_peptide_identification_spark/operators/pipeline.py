@@ -208,6 +208,65 @@ def contamination_overlap(
 
 # ------------------------------------------------------------- sampling
 
+def temperature_mixing(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    target_total: int,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing (the multinomial-sampling scheme
+    of XLM-R / mT5 / LLaMA data recipes): each stratum's share of the
+    ``target_total``-document mix is proportional to count^temperature,
+    so low-resource sources are up-weighted relative to their raw share
+    (temperature<1 flattens the distribution; 1 = proportional,
+    0 = uniform).
+
+    Determinism contract (what makes this oracle-checkable): weights
+    are count^τ quantized to 9 dp AS INTEGERS (floor(x*1e9+0.5) —
+    sqrt/pow are correctly-rounded IEEE on both engines), the quota is
+    the INTEGER division (target_total * w_int) div sum(w_int), and the
+    kept rows are each stratum's quota-many smallest ids. Every step is
+    exact integer arithmetic after the one quantized power.
+
+    Scale: the per-stratum counts are one map-side-partial aggregate
+    (rows = |strata|); quotas broadcast back. The keep step here is a
+    per-stratum row_number window (validation form, exact); at 100 TB
+    swap it for the stratified_mod_sample membership predicate with
+    k_s = n_s div quota_s — no window, no skew, approximately-exact
+    quotas — or global_sort_rank for exact quotas without a
+    single-partition window.
+
+    Returns (id_col, strata_col, quota) for the kept rows.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # sqrt for tau=0.5: sqrt is correctly-rounded IEEE in both the JVM
+    # and DuckDB's libm, pow(x, 0.5) is not guaranteed to be — the
+    # quantized weight must be bit-identical across engines.
+    powed = (
+        F.sqrt(F.col("__n").cast("double"))
+        if temperature == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(temperature)))
+    )
+    w_int = F.floor(powed * F.lit(1e9) + F.lit(0.5)).cast("long")
+    weighted = counts.select(strata_col, "__n", w_int.alias("__w"))
+    total = weighted.agg(F.sum("__w").alias("__tw"))
+    quotas = (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            strata_col,
+            F.expr(f"CAST({int(target_total)} * __w AS BIGINT) div __tw").alias("quota"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(id_col)
+    ranked = df.select(id_col, strata_col).withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), strata_col)
+        .filter(F.col("__rn") <= F.col("quota"))
+        .select(id_col, strata_col, "quota")
+    )
+
+
 def stratified_mod_sample(
     df: DataFrame,
     strata_col: str,

@@ -88,6 +88,9 @@ from . import graph_q  # noqa: E402,F401
 _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
+    # (-1) New this round — never had a driver verdict
+    "q108_temperature_mixing",
+    "q109_orc_roundtrip",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -145,8 +148,8 @@ _DRIVER_PRIORITY = [
     "q47_quality_score",
     "q48_token_count",
     "q49_fingerprint",
-    "q60_scalar_udf",
-    "q61_pandas_udf_charge",
+    # (q60/q61 rotate out to make room for q108/q109; both r2-green and
+    # still in the local full-registry sweep — next round's window.)
 ]
 
 

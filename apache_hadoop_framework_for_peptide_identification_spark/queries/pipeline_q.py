@@ -253,6 +253,46 @@ def q88_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_temperature_mixing",
+    oracle="""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+weighted AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w
+  FROM counts),
+quotas AS (
+  SELECT source,
+         CAST((200 * w) // (SELECT sum(w) FROM weighted) AS BIGINT) AS quota
+  FROM weighted),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source, q.quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rn <= q.quota ORDER BY r.doc_id
+""",
+)
+def q108_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (XLM-R/mT5/LLaMA recipe shape):
+    each source's share of a 200-doc mix is proportional to
+    count^0.5, flattening the source distribution toward low-resource
+    domains. Integer-exact end to end (9-dp-quantized sqrt weights,
+    integer quota division, smallest-id keeps) — see
+    operators/pipeline.py temperature_mixing for the determinism and
+    100 TB contracts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        P.temperature_mixing(
+            d, strata_col="source", id_col="doc_id", target_total=200, temperature=0.5
+        )
+        .select("doc_id", "source", "quota")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q89_source_cap",
     oracle="""
 SELECT doc_id, source, rn FROM (

@@ -115,6 +115,33 @@ def q73_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q109_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+""",
+)
+def q109_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan-back (Spark's native vectorized ORC path — the
+    Hive-ecosystem interchange format): lineitem written partitioned by
+    return flag, read back, re-aggregated; sum in DECIMAL so the
+    roundtrip check is order-independent."""
+    out = tempfile.mkdtemp(prefix="sink_orc_")
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    readers.write_orc(li, out, partition_by=["l_returnflag"])
+    back = readers.read_orc(spark, out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("q69_multimodal_decode", oracle=None)
 def q69_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + frame-sample plumbing over binary payloads

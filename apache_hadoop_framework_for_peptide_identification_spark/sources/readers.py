@@ -56,6 +56,15 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC columnar scan — same pushdown/pruning properties as parquet
+    (Spark's native ORC reader is vectorized); the interchange format
+    for Hive-ecosystem consumers of the engine's outputs."""
+    configure(spark)
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
 def read_binary_files(spark: SparkSession, path: str, pattern: str | None = None) -> DataFrame:
     """Opaque payload ingest (multimodal): path, modificationTime,
     length, content(binary)."""
@@ -79,3 +88,10 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -174,6 +174,28 @@ def test_quantize_int8_error_bound_and_range(spark):
     assert out[3]["qvec"] == [-127]
 
 
+def test_temperature_mixing_quotas_and_flattening(spark):
+    """Quota math: tau=0.5 up-weights low-resource strata relative to
+    their raw share; quotas are deterministic integers and the kept
+    rows are each stratum's smallest ids."""
+    rows = [(i, "big") for i in range(900)] + [(i + 10_000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = P.temperature_mixing(df, "source", "doc_id", target_total=100, temperature=0.5)
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("quota").alias("q"), F.max("doc_id").alias("mx")
+    )
+    by_src = {r["source"]: r for r in got.collect()}
+    # raw shares 90/10; sqrt weights 30/10 -> quotas 75/25
+    assert by_src["big"]["q"] == 75 and by_src["small"]["q"] == 25
+    assert by_src["big"]["n"] == 75 and by_src["small"]["n"] == 25
+    # smallest ids kept per stratum
+    assert by_src["big"]["mx"] == 74 and by_src["small"]["mx"] == 10_024
+    # tau=1 degenerates to proportional
+    prop = P.temperature_mixing(df, "source", "doc_id", target_total=100, temperature=1.0)
+    by_src1 = {r["source"]: r["quota"] for r in prop.select("source", "quota").distinct().collect()}
+    assert by_src1 == {"big": 90, "small": 10}
+
+
 def test_quantize_empty_vector_agrees_with_oracle(spark):
     """ADVICE r4: an empty embedding must yield scale=0.0 /
     max_abs_err=0.0 / qvec_str='' on BOTH engines — the oracle's
