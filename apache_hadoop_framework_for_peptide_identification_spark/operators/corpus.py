@@ -304,6 +304,109 @@ def top_ngrams(docs: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     )
 
 
+def cms_cells(
+    docs: DataFrame,
+    text_col: str,
+    width: int = 16384,
+    depth: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min-sketch cells over the corpus's word bigrams: each Arrow
+    batch builds a local (depth × width) int64 sketch (Counter first, so
+    each distinct bigram hashes depth times per batch, not per
+    occurrence), emits its nonzero cells, and a groupBy-sum merges them
+    — CMS merge IS cell-wise addition, so the combine is exact and
+    order-independent. Returns (d, j, c) with depth*width ≤ rows.
+
+    This is the documented 100 TB swap for top_ngrams' exact count: the
+    shuffle carries at most depth*width cells per batch regardless of
+    vocabulary size. Hashing is md5-based and seed-pinned —
+    deterministic across processes and engines."""
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from collections import Counter
+
+        cms = np.zeros((depth, width), dtype=np.int64)
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                toks = (t or "").split(" ")
+                for i in range(len(toks) - 1):
+                    c[toks[i] + " " + toks[i + 1]] += 1
+            for bg, cnt in c.items():
+                payload = bg.encode()
+                for d in range(depth):
+                    h = hashlib.md5(b"%d:%d:" % (seed, d) + payload).digest()
+                    cms[d, int.from_bytes(h[:8], "big") % width] += cnt
+        d_idx, j_idx = np.nonzero(cms)
+        if len(d_idx):
+            yield pd.DataFrame(
+                {"d": d_idx.astype("int32"), "j": j_idx.astype("int32"),
+                 "c": cms[d_idx, j_idx]}
+            )
+
+    cells = docs.select(text_col).mapInPandas(fn, "d int, j int, c long")
+    return cells.groupBy("d", "j").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(cms_rows, bigram: str, width: int, depth: int, seed: int = 42) -> int:
+    """Point-estimate one bigram's count from collected sketch cells
+    (dict {(d, j): c}): min over rows of the addressed cell."""
+    import hashlib
+
+    est = None
+    payload = bigram.encode()
+    for d in range(depth):
+        h = hashlib.md5(b"%d:%d:" % (seed, d) + payload).digest()
+        v = cms_rows.get((d, int.from_bytes(h[:8], "big") % width), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)
+
+
+def approx_top_ngrams_check(
+    docs: DataFrame,
+    text_col: str,
+    k: int = 20,
+    width: int = 16384,
+    depth: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """CMS error-contract verification on the corpus's exact top-k
+    bigrams: for each true heavy hitter, the sketch estimate must
+    satisfy exact ≤ est ≤ exact + ceil((e/width)·N) (the classic CMS
+    guarantee; N = total bigram occurrences). Returns (bigram, n_exact,
+    within_bounds) — all-true is the sketch working as specified, and
+    is what the DuckDB oracle asserts.
+
+    The exact pass exists to CHECK the sketch (validation form); the
+    production path at 100 TB keeps only cms_cells + candidate heaps.
+    The sketch collect is bounded by depth*width cells by construction
+    — sketch size, never data size."""
+    import math
+
+    exact = top_ngrams(docs, text_col, k).collect()  # k rows, bounded
+    cells = {(r["d"], r["j"]): r["c"] for r in cms_cells(
+        docs, text_col, width, depth, seed
+    ).collect()}
+    total = sum(c for (d, _), c in cells.items() if d == 0)
+    bound = math.ceil(math.e / width * total)
+    rows = []
+    for r in exact:
+        est = cms_estimate(cells, r["bigram"], width, depth, seed)
+        rows.append(
+            (r["bigram"], int(r["n"]), bool(r["n"] <= est <= r["n"] + bound))
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        rows, "bigram string, n_exact long, within_bounds boolean"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Table profiling / histograms
 # ---------------------------------------------------------------------------

@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = [
     # (-1) New this round — never had a driver verdict
     "q108_temperature_mixing",
     "q109_orc_roundtrip",
+    "q110_stream_stream_left_outer",
+    "q111_cms_top_ngrams",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -146,10 +148,9 @@ _DRIVER_PRIORITY = [
     "q44_ann_cosine_topk",
     "q46_lang_id",
     "q47_quality_score",
-    "q48_token_count",
-    "q49_fingerprint",
-    # (q60/q61 rotate out to make room for q108/q109; both r2-green and
-    # still in the local full-registry sweep — next round's window.)
+    # (q48/q49/q60/q61 rotate out to make room for q108–q111; all
+    # r2-green and still in the local full-registry sweep — next
+    # round's window.)
 ]
 
 

@@ -180,6 +180,33 @@ def q103_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.top_ngrams(_t(spark, sf_dir, "documents"), "text", k=20)
 
 
+@query(
+    "q111_cms_top_ngrams",
+    oracle="""
+WITH bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n_exact, TRUE AS within_bounds
+FROM bg GROUP BY bigram ORDER BY n_exact DESC, bigram LIMIT 20
+""",
+)
+def q111_cms_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the documented 100 TB swap for
+    q103's exact count, driver-verified through its error CONTRACT:
+    for every true top-20 bigram the sketch estimate must land in
+    [exact, exact + ceil((e/width)·N)]. The oracle pins the exact
+    top-20 and asserts all-true bounds, so a broken hash, a lossy
+    merge, or an under-estimate (impossible for a correct CMS) all
+    hash-mismatch. Sketch: 8 × 16384 int64 cells (1 MiB), merged by
+    cell-wise sum."""
+    d = _t(spark, sf_dir, "documents")
+    return C.approx_top_ngrams_check(d, "text", k=20).orderBy(
+        F.col("n_exact").desc(), "bigram"
+    )
+
+
 _PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
 

@@ -189,6 +189,76 @@ def q58_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _click_purchase_streams(spark: SparkSession, sf_dir: str):
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    return clicks, purchases
+
+
+@query(
+    "q110_stream_stream_left_outer",
+    oracle="""
+WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+              - INTERVAL 2 HOUR AS w),
+matched AS (
+  SELECT c.c_id, p.p_id FROM c JOIN p
+    ON p.p_user = c.user_id AND p.p_ts >= c.c_ts
+   AND p.p_ts <= c.c_ts + INTERVAL 15 MINUTE),
+null_extended AS (
+  SELECT c.c_id, CAST(NULL AS BIGINT) AS p_id
+  FROM c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.p_user = c.user_id AND p.p_ts >= c.c_ts
+                      AND p.p_ts <= c.c_ts + INTERVAL 15 MINUTE)
+    AND c.c_ts + INTERVAL 15 MINUTE < (SELECT w FROM wm))
+SELECT c_id, p_id FROM matched
+UNION ALL SELECT c_id, p_id FROM null_extended
+ORDER BY c_id, p_id
+""",
+)
+def q110_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks with their
+    within-15-minute purchase if any, null-extended otherwise. The
+    null-extension is watermark-gated — an unmatched click emits only
+    once the global watermark (min over both inputs of max event time
+    minus the 2 h delay) proves no match can still arrive; the oracle
+    reproduces that cutoff exactly, so the hash match verifies Spark's
+    outer-join state-cleanup semantics themselves, not just the inner
+    matches."""
+    from ..streaming.windows import stream_stream_interval_join
+
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        "p_user",
+        "c_ts",
+        "p_ts",
+        within="15 minutes",
+        watermark="2 hours",
+        how="left_outer",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select("c_id", "p_id").orderBy("c_id", "p_id")
+
+
 @query(
     "q91_stream_stream_join",
     oracle="""
@@ -209,20 +279,7 @@ def q91_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent batch self-join."""
     from ..streaming.windows import stream_stream_interval_join
 
-    clicks = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id"))
-    )
-    purchases = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("event_id").alias("p_id"),
-        )
-    )
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
     joined = stream_stream_interval_join(
         clicks, purchases, "user_id", "p_user", "c_ts", "p_ts", within="15 minutes"
     )

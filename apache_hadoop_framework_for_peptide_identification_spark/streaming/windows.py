@@ -102,16 +102,25 @@ def stream_stream_interval_join(
     right_ts: str,
     within: str = "15 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval bound:
-    right rows within [left_ts, left_ts + within] per key. Column
-    names must be disjoint (rename before joining).
+    """Stream-stream join with an event-time interval bound: right rows
+    within [left_ts, left_ts + within] per key. Column names must be
+    disjoint (rename before joining).
 
     The interval condition + watermarks are what make this safe
     unbounded: each side buffers only rows newer than
     (watermark + interval), so join state is bounded by arrival rate ×
     horizon, not by stream length. Without the time bound Spark would
     have to keep EVERY past row — it rejects that plan in append mode.
+
+    ``how='left_outer'`` additionally emits each unmatched left row
+    null-extended — but only once the GLOBAL watermark (min over both
+    inputs of max-event-time - delay) passes left_ts + within, i.e.
+    when the right stream provably can no longer produce a match.
+    Left rows younger than that horizon at stream end never emit their
+    null form — that is the API's contract, not data loss (q110's
+    oracle reproduces the cutoff exactly).
     """
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
@@ -120,7 +129,7 @@ def stream_stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:

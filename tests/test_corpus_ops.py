@@ -80,6 +80,29 @@ def test_top_ngrams_counts_and_ties(spark):
     assert tail == [("b a", 1), ("b c", 1)]
 
 
+def test_cms_sketch_never_underestimates_and_merge_is_exact(spark):
+    """CMS contract: point estimates are >= the true count for EVERY
+    bigram (never under), the d=0 row sums to the total bigram count
+    (cell-wise merge lost nothing), and the bounds check passes on the
+    exact heavy hitters."""
+    docs = spark.createDataFrame(
+        [(i, "x y " * (i + 1) + "tail " + str(i)) for i in range(20)],
+        "doc_id long, text string",
+    ).repartition(4)
+    width, depth = 256, 4
+    cells = {
+        (r["d"], r["j"]): r["c"]
+        for r in C.cms_cells(docs, "text", width, depth).collect()
+    }
+    exact = {r["bigram"]: r["n"] for r in C.top_ngrams(docs, "text", k=1000).collect()}
+    total = sum(exact.values())
+    assert sum(c for (d, _), c in cells.items() if d == 0) == total
+    for bg, n in exact.items():
+        assert C.cms_estimate(cells, bg, width, depth) >= n
+    chk = C.approx_top_ngrams_check(docs, "text", k=5, width=16384, depth=8)
+    assert all(r["within_bounds"] for r in chk.collect())
+
+
 def test_profile_table_nulls_and_distincts(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, None), (3, "x")], "k long, v string"
