@@ -296,6 +296,94 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    deduplication for web-scale training data): coarse-cluster the
+    embeddings with the same seeded quantizer as ivf_topk, then within
+    each cluster treat cosine ≥ threshold as a duplicate edge and keep
+    one representative per connected component (the min id — the same
+    keeper rule as the text dedup tiers, deterministic rather than the
+    paper's random-keeper).
+
+    Scale shape: pairwise comparison happens ONLY inside a cluster —
+    the candidate join is equi-keyed on the cluster id, so total work
+    is sum over clusters of |cluster|², not N². Size n_clusters ~
+    sqrt(N) and cap degenerate clusters exactly as the LSH tiers cap
+    buckets. Cross-cluster duplicates are missed by design (the
+    paper's accepted trade-off); recall vs the exact all-pairs form is
+    pytest-asserted.
+
+    ``n_clusters=1`` is the exactness-verification configuration (one
+    cluster = exact all-pairs semantics, quadratic — validation
+    corpora only): the result provably equals keep-min connected
+    components over the exact near-dup graph, which a recursive-CTE
+    SQL oracle can replay (q112).
+
+    Returns the kept rows of ``df`` (all columns).
+    """
+    import numpy as np
+
+    from .dedup import connected_components
+
+    if n_clusters == 1:
+        assigned = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"), F.lit(0).alias("cell")
+        )
+    else:
+        cvecs = _hash_pick(df, id_col, vec_col, n_clusters, seed)
+        cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cvecs])
+        cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                    continue
+                mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                yield pdf.assign(cell=np.argmax(mat @ cents.T, axis=1).astype("int32"))
+
+        assigned = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")
+        ).mapInPandas(assign, "id long, embedding array<float>, cell int")
+
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("vec_a"),
+        "cell",
+    ).withColumn("norm_a", l2_norm(F.col("vec_a")))
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vec_b"),
+        "cell",
+    ).withColumn("norm_b", l2_norm(F.col("vec_b")))
+    edges = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def _hyperplane_signature_udf(dim: int, bits: int, seed: int):
     """mapInPandas fn adding a packed LSH signature column: sign bits of
     dot(v, plane_j) for ``bits`` seeded random hyperplanes."""

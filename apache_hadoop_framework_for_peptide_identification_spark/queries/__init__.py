@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "q109_orc_roundtrip",
     "q110_stream_stream_left_outer",
     "q111_cms_top_ngrams",
+    "q112_semantic_dedup",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -147,8 +148,7 @@ _DRIVER_PRIORITY = [
     "q40_dedup_exact",
     "q44_ann_cosine_topk",
     "q46_lang_id",
-    "q47_quality_score",
-    # (q48/q49/q60/q61 rotate out to make room for q108–q111; all
+    # (q47/q48/q49/q60/q61 rotate out to make room for q108–q112; all
     # r2-green and still in the local full-registry sweep — next
     # round's window.)
 ]

@@ -652,6 +652,48 @@ def q96_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q112_semantic_dedup",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+e AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+sym AS (SELECT id_a AS a, id_b AS b FROM e UNION SELECT id_b, id_a FROM e),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node),
+losers AS (SELECT node FROM walk GROUP BY node HAVING min(label) <> node)
+SELECT vec_id FROM corpus
+WHERE vec_id NOT IN (SELECT node FROM losers)
+ORDER BY vec_id
+""",
+)
+def q112_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) in its exactness-verification
+    configuration (n_clusters=1 — one cluster makes the within-cluster
+    pass provably equal to exact keep-min connected components over
+    the cosine-≥-0.4 graph, which the recursive-CTE oracle replays;
+    threshold 0.4 because the synthetic fixture's max pairwise cos is
+    ~0.51). Corpus bounded to vec_id < 500 — the exact form is
+    quadratic by design and validation-scoped, like q41/q66. The
+    production multi-cluster path — same code, equi-keyed per-cluster
+    joins instead of all-pairs — is recall-tested against this exact
+    form in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return (
+        similarity.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.4, n_clusters=1
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "q98_ann_pq",
     oracle="""
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -87,6 +87,42 @@ def test_lsh_ann_recall_vs_brute_force(dup_corpus):
     assert hits / len(exact_nn) >= 0.9, f"LSH ANN recall@1 {hits / len(exact_nn)}"
 
 
+def test_semantic_dedup_exact_form_drops_planted_dups(dup_corpus):
+    """n_clusters=1 (the exactness/oracle config): every planted copy
+    is dropped, every base vector kept, keeper = min id."""
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            dup_corpus, threshold=0.95, n_clusters=1
+        ).collect()
+    }
+    assert kept == set(range(N_BASE))
+
+
+def test_semantic_dedup_clustered_recall_and_determinism(dup_corpus):
+    """Production multi-cluster path: a copy survives only if it lands
+    in a different coarse cell than its original (the paper's accepted
+    cross-cluster miss); at cos~0.997 nearly all co-locate. Recall vs
+    the exact form ≥ 0.8, no false drops, and the result is identical
+    across runs (seeded quantizer, deterministic keeper)."""
+    kept1 = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            dup_corpus, threshold=0.95, n_clusters=8
+        ).collect()
+    }
+    kept2 = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            dup_corpus, threshold=0.95, n_clusters=8
+        ).collect()
+    }
+    assert kept1 == kept2
+    assert set(range(N_BASE)) <= kept1  # base vectors never dropped
+    dropped = {10_000 + i for i in range(N_DUPS)} - kept1
+    assert len(dropped) >= 0.8 * N_DUPS
+
+
 def test_lsh_neardup_max_bucket_caps_degenerate(spark):
     """A zero-ish repeated vector floods one bucket per band; max_bucket
     drops it while a planted near-dup pair still pairs up."""
