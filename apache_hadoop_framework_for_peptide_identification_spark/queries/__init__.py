@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "q110_stream_stream_left_outer",
     "q111_cms_top_ngrams",
     "q112_semantic_dedup",
+    "q113_minhash_verified_dedup",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -147,9 +148,8 @@ _DRIVER_PRIORITY = [
     "q82_join_right_outer",
     "q40_dedup_exact",
     "q44_ann_cosine_topk",
-    "q46_lang_id",
-    # (q47/q48/q49/q60/q61 rotate out to make room for q108–q112; all
-    # r2-green and still in the local full-registry sweep — next
+    # (q46/q47/q48/q49/q60/q61 rotate out to make room for q108–q113;
+    # all r2-green and still in the local full-registry sweep — next
     # round's window.)
 ]
 

@@ -144,6 +144,51 @@ def q107_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q113_minhash_verified_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q113_minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production MinHash-LSH dedup pipeline — banded
+    candidates + exact Jaccard verify computed only for candidates
+    (operators/dedup.py minhash_jaccard_pairs) — against the plain
+    all-pairs Jaccard oracle. The hash match is a RECALL PROOF on this
+    corpus: any true ≥0.5 pair the banding missed would be absent from
+    the Spark side and mismatch (twin pairs sit at J≈0.99 where band
+    collision probability is ≈1). Complements q42 (candidates only,
+    rows-only by design) and q41 (exact all-pairs ground truth)."""
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    return dedup.minhash_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
 @query("q42_dedup_minhash_lsh", oracle=None)
 def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (xxhash64 signatures are

@@ -243,21 +243,44 @@ def q29_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q30_approx_aggs", oracle=None)
+@query(
+    "q30_approx_aggs",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS hll_ok, TRUE AS median_ok, TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
 def q30_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, t-digest-style quantiles).
-    Sketch values are engine-specific → rows-only driver check; the unit
-    test bounds the HLL error vs the exact count instead."""
+    """Approximate aggregates (HLL distinct, t-digest-style quantiles)
+    verified through their error CONTRACTS (the q111 bounds pattern —
+    sketch values are engine-specific, sketch GUARANTEES are not):
+    HLL(rsd=0.02) must land within 3·rsd of the exact distinct count,
+    and percentile_approx(accuracy=10000) must land between the exact
+    0.45/0.55 (resp. 0.94/0.96) quantiles — the rank-error guarantee is
+    n/accuracy, far inside those windows. The oracle pins the exact
+    distinct counts and asserts all bounds hold, turning the r1
+    rows-only verdict into a hash verdict."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
-            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("ap95"),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("p45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("p55"),
+        F.percentile("l_extendedprice", F.lit(0.94)).alias("p94"),
+        F.percentile("l_extendedprice", F.lit(0.96)).alias("p96"),
     )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts"))
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        (err <= 3 * 0.02 * F.col("exact_parts")).alias("hll_ok"),
+        F.col("am").between(F.col("p45"), F.col("p55")).alias("median_ok"),
+        F.col("ap95").between(F.col("p94"), F.col("p96")).alias("p95_ok"),
+    ).orderBy("l_returnflag")
 
 
 @query(
