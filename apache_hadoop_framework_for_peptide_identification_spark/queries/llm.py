@@ -426,18 +426,71 @@ def q67_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     p=2^-8, so candidates stay ~3% of all-pairs; a twin at cos~0.999
     collides with p~1). The earlier form (threshold 0.4, 2-bit bands)
     degenerated into all-pairs — LSH cannot bucket-separate weak
-    similarity, and the fixture forced a weak threshold."""
+    similarity, and the fixture forced a weak threshold. Twin
+    construction shared with q114 (_plant_embedding_twins — explicit
+    about the lateral-alias pitfall documented there); q114 is the
+    oracle-verified bounded form of this same pipeline."""
     emb = _t(spark, sf_dir, "embeddings")
-    twins = emb.select(
-        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+    corpus = _plant_embedding_twins(emb)
+    return similarity.embedding_neardup_lsh(
+        corpus, "vec_id", "embedding", threshold=0.9, bits=64, bands=8
+    ).orderBy("id_a", "id_b")
+
+
+def _plant_embedding_twins(emb: DataFrame) -> DataFrame:
+    """Union a perturbed twin per vector (id offset 10^6, perturbation
+    seeded by the twin's own shifted id). The sin argument is built
+    from an explicitly renamed source column: referencing the
+    ``vec_id`` alias from inside the transform lambda silently
+    resolves to the ALIASED (shifted) column via Spark's lateral
+    alias resolution — this form pins the semantics so the SQL oracle
+    can mirror them exactly."""
+    base = emb.select(F.col("vec_id").alias("src_id"), "embedding")
+    twins = base.select(
+        (F.col("src_id") + F.lit(1_000_000)).alias("vec_id"),
         F.transform(
             F.col("embedding"),
-            lambda x, i: (x + F.sin(i.cast("double") + F.col("vec_id")) * F.lit(0.02)).cast(
-                "float"
-            ),
+            lambda x, i: (
+                x + F.sin(i.cast("double") + F.col("src_id") + F.lit(1_000_000)) * F.lit(0.02)
+            ).cast("float"),
         ).alias("embedding"),
     )
-    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    return emb.select("vec_id", "embedding").unionByName(twins)
+
+
+@query(
+    "q114_embedding_neardup_verified",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(0, len(embedding)),
+           i -> CAST(embedding[i+1]
+                     + sin(CAST(i AS DOUBLE) + vec_id + 1000000) * 0.02 AS FLOAT))
+  FROM embeddings WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def q114_embedding_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH embedding near-dup pipeline (q67's operator —
+    banded candidates + exact cosine verify) against the plain
+    all-pairs oracle on a bounded twin-planted corpus (vec_id < 500 +
+    perturbed twins; the sin-perturbation is reproduced in SQL —
+    bit-identical across engines, asserted by the hash match). A true
+    ≥0.9 pair the banding missed would be absent from the Spark side
+    and mismatch, so the verdict is a recall proof for the production
+    LSH parameters; q67 keeps the full-corpus rows-only form for the
+    bench. Corpus bounded because the ORACLE is quadratic — the Spark
+    side under test stays bucket-bounded."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    corpus = _plant_embedding_twins(emb)
     return similarity.embedding_neardup_lsh(
         corpus, "vec_id", "embedding", threshold=0.9, bits=64, bands=8
     ).orderBy("id_a", "id_b")
