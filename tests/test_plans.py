@@ -181,3 +181,31 @@ def test_q104_profile_is_one_expand_pass(spark):
     assert plan.count("Expand") >= 1, plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1, scans
+
+
+def test_q108_temperature_mixing_quotas_broadcast(spark):
+    """The per-stratum quota table (|strata| rows) must broadcast back
+    onto the corpus — a shuffled join there would move every doc row
+    for a handful of quotas."""
+    plan = _plan(spark, "q108_temperature_mixing")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q101_lm_familiarity_exchanges_never_carry_text(spark):
+    """LM scoring shuffles BIGRAMS (the join key and payload), never
+    whole-document text; train counts ride map-side partials."""
+    plan = _plan(spark, "q101_lm_familiarity")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchanges, plan
+    assert not any("text#" in l for l in exchanges), exchanges
+
+
+def test_q113_minhash_pipeline_exchanges_never_carry_text(spark):
+    """The verified MinHash pipeline shuffles shingles, hashes, and
+    (band, bucket) triples — document text itself must never enter an
+    exchange."""
+    plan = _plan(spark, "q113_minhash_verified_dedup")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchanges, plan
+    assert not any("text#" in l for l in exchanges), exchanges
