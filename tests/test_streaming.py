@@ -155,6 +155,42 @@ def test_stream_dedup_drops_duplicate_ids_across_batches(stream_env):
     assert run("dd_run2") == [3]
 
 
+def test_drop_duplicates_within_watermark(stream_env):
+    """dropDuplicatesWithinWatermark (Spark 3.5+, the §2B stream-dedup
+    row's newer API): unlike dropDuplicates, state for a key is
+    guaranteed evictable once the watermark passes the key's last-seen
+    event time + delay, so a duplicate arriving LATER than the horizon
+    re-emits — dedup is exact only within the watermark window (the
+    documented trade-off that keeps state bounded at 100 TB/day)."""
+    from datetime import datetime as dt
+
+    spark, src, ckpt = stream_env
+    _append_events(
+        spark, src, [(1, dt(2024, 1, 1, 10, 0), 1), (2, dt(2024, 1, 1, 10, 1), 1)]
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        return sorted(r["event_id"] for r in _drive(deduped, ckpt))
+
+    assert run() == [1, 2]
+    # In-horizon duplicate of id 2 is suppressed; id 3 is new. The
+    # 13:00 row pushes the watermark far past id 1's horizon.
+    _append_events(
+        spark, src, [(2, dt(2024, 1, 1, 10, 2), 1), (3, dt(2024, 1, 1, 13, 0), 1)]
+    )
+    assert run() == [3]
+    # id 1 re-sent AFTER its state horizon expired: re-emits — the
+    # within-watermark contract, not a bug.
+    _append_events(spark, src, [(1, dt(2024, 1, 1, 13, 1), 1)])
+    assert run() == [1]
+
+
 def test_rate_micro_batch_source(spark, tmp_path):
     """The deterministic rate source (§2B 'rate source for tests'):
     rate-micro-batch emits exactly rowsPerBatch rows per micro-batch
