@@ -96,6 +96,7 @@ _DRIVER_PRIORITY = [
     "q112_semantic_dedup",
     "q113_minhash_verified_dedup",
     "q114_embedding_neardup_verified",
+    "q115_variant_json",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -147,11 +148,11 @@ _DRIVER_PRIORITY = [
     "q22_window_ranking",
     "q35_array_funcs",
     "q82_join_right_outer",
-    "q40_dedup_exact",
-    # (q44/q46/q47/q48/q49/q60/q61 rotate out to make room for
-    # q108–q114; all r2-green, still in the local full-registry sweep,
-    # and q44's exact-cosine shape is re-verified through q68/q98's
-    # identical oracles — next round's window.)
+    # (q40/q44/q46/q47/q48/q49/q60/q61 rotate out to make room for
+    # q108–q115; all r2-green, still in the local full-registry sweep,
+    # q40 additionally benched every round, and q44's exact-cosine
+    # shape is re-verified through q68/q98's identical oracles — next
+    # round's window.)
 ]
 
 

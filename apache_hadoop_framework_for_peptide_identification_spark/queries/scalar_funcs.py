@@ -254,6 +254,47 @@ def q37_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q115_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(*) FILTER (
+         WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+         AS BIGINT) AS n_high,
+       CAST(sum(CASE WHEN try_cast(json_extract_string(props, '$.missing')
+                               AS BIGINT) IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_missing
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q115_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType semi-structured path (the modern replacement
+    for schema-on-read get_json_object): props parsed ONCE to a binary
+    variant (parse_json), fields then extracted by path with typed
+    variant_get — at scale this is the difference between N JSON
+    re-parses per row (q37's form) and one parse + cheap binary
+    probes. try_variant_get on a missing path returns NULL instead of
+    erroring, mirrored by the oracle's try_cast."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+            F.sum(F.col("m").isNull().cast("long")).alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q38_hash_funcs",
     oracle="""
 SELECT doc_id,
