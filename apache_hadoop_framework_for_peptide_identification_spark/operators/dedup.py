@@ -320,6 +320,81 @@ def minhash_lsh_candidates(
     )
 
 
+def bloom_prefiltered_antijoin(
+    batch: DataFrame,
+    history_keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental dedup with a bloom prefilter — the 100 TB path the
+    plain hash anti-join (q95) documents: build a bloom filter of the
+    history's content keys, broadcast it (m_bits/8 bytes — 128 KiB at
+    the default — regardless of history size), and send ONLY the
+    batch rows the filter flags as maybe-present into the exact
+    anti-join. Rows testing definitely-absent skip the join entirely,
+    so join traffic is (true dups + false positives) ≈ dup_rate +
+    (1 - e^{-kn/m})^k of the batch instead of all of it.
+
+    EXACT by construction: a bloom filter has no false negatives, so
+    definitely-absent rows are provably not in history and the union
+    (definite-new ∪ verified survivors) equals the plain anti-join —
+    which is why q116 can share q95's oracle verbatim.
+
+    Hashing discipline: the k probe positions are computed JVM-side
+    (xxhash64(key, seed+i) mod m) on BOTH sides, so the Python UDF
+    only does vectorized bitmap lookups on integer positions — no
+    Python hashing of row data anywhere.
+    """
+    import numpy as np
+
+    pos_rows = (
+        history_keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(m_bits))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()  # bounded: ≤ min(k·|history|, m_bits) ints by construction
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    if pos_rows:
+        bits[np.array([r["pos"] for r in pos_rows], dtype=np.int64)] = True
+    packed = np.packbits(bits)  # m_bits/8 bytes, captured in the UDF closure
+
+    @F.pandas_udf("boolean")
+    def _all_set(*pos_cols: pd.Series) -> pd.Series:
+        import numpy as np
+
+        b = np.unpackbits(packed).astype(bool)
+        out = np.ones(len(pos_cols[0]), dtype=bool)
+        for pc in pos_cols:
+            out &= b[pc.to_numpy()]
+        return pd.Series(out)
+
+    probe_cols = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(seed + i)), F.lit(m_bits)).alias(f"__p{i}")
+        for i in range(k)
+    ]
+    probed = batch.select("*", *probe_cols).withColumn(
+        "__maybe", _all_set(*[F.col(f"__p{i}") for i in range(k)])
+    )
+    drop = [f"__p{i}" for i in range(k)] + ["__maybe"]
+    definite_new = probed.filter(~F.col("__maybe")).drop(*drop)
+    survivors = (
+        probed.filter(F.col("__maybe"))
+        .drop(*drop)
+        .join(history_keys.select(key_col).distinct(), key_col, "left_anti")
+    )
+    return definite_new.unionByName(survivors)
+
+
 def minhash_jaccard_pairs(
     df: DataFrame,
     id_col: str,

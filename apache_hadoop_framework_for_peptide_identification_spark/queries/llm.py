@@ -675,9 +675,23 @@ def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives are real.
 
     Scale: the anti-join carries 128-bit content hashes, never text —
-    16 bytes/row against the history's hash set. At 100 TB broadcast a
-    bloom filter of history hashes first and anti-join only the
-    survivors; the hash-only join below is the exact fallback."""
+    16 bytes/row against the history's hash set. q116 is the 100 TB
+    escalation: broadcast a bloom filter of history hashes first and
+    anti-join only the survivors; this hash-only join is the exact
+    fallback."""
+    batch, hist_hashes = _incremental_dedup_inputs(spark, sf_dir)
+    return (
+        batch.join(F.broadcast(hist_hashes), "content_hash", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_dedup_inputs(spark: SparkSession, sf_dir: str):
+    """Shared corpus for q95/q116: docs 0-249 play history; the batch
+    is docs 250+ plus planted verbatim copies of history texts (id
+    offset 2*10^4). Returns (batch with content_hash, distinct history
+    hashes)."""
     d = _t(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") < 250).select("doc_id", "text")
     fresh = d.filter(F.col("doc_id") >= 250).select("doc_id", "text")
@@ -692,8 +706,36 @@ def q95_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = fresh.unionByName(copies).withColumn("content_hash", F.md5("text"))
     hist_hashes = history.select(F.md5("text").alias("content_hash")).distinct()
+    return batch, hist_hashes
+
+
+@query(
+    "q116_bloom_incremental_dedup",
+    oracle="""
+WITH history AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT b.doc_id + 20000, h.text
+  FROM documents b JOIN history h ON h.doc_id = b.doc_id % 250
+  WHERE b.doc_id >= 250 AND b.doc_id % 5 = 0)
+SELECT b.doc_id FROM batch b
+WHERE md5(b.text) NOT IN (SELECT md5(text) FROM history)
+ORDER BY b.doc_id
+""",
+)
+def q116_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q95's incremental dedup through the bloom-prefilter scale path
+    (operators/dedup.py bloom_prefiltered_antijoin): history hashes
+    compress to a broadcast 128 KiB bitmap, definitely-absent batch
+    rows skip the anti-join entirely, maybe-present rows verify
+    exactly. Shares q95's oracle VERBATIM — a bloom filter has no
+    false negatives, so the pipeline is provably equal to the plain
+    anti-join, and the hash match proves the bitmap/probe
+    implementation honors that."""
+    batch, hist_hashes = _incremental_dedup_inputs(spark, sf_dir)
     return (
-        batch.join(F.broadcast(hist_hashes), "content_hash", "left_anti")
+        dedup.bloom_prefiltered_antijoin(batch, hist_hashes, "content_hash")
         .select("doc_id")
         .orderBy("doc_id")
     )

@@ -207,6 +207,36 @@ def test_minhash_max_bucket_caps_degenerate_buckets(spark):
     assert uncapped.count() >= 1225  # sanity: the cap was load-bearing
 
 
+def test_bloom_prefiltered_antijoin_equals_plain_antijoin(spark):
+    """The bloom prefilter must be invisible in the RESULT at any
+    false-positive rate: tiny m (most rows flagged maybe → verify path
+    dominates) and huge m (most rows skip the join) both equal the
+    plain anti-join. Also: an empty history keeps everything."""
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(
+        [(i, f"key_{i % 40}") for i in range(200)], "row_id long, k string"
+    )
+    history = spark.createDataFrame(
+        [(f"key_{i}",) for i in range(0, 40, 2)], "k string"
+    )
+    expected = sorted(
+        r["row_id"]
+        for r in batch.join(history, "k", "left_anti").collect()
+    )
+    for m_bits in (64, 1 << 16):  # 64 bits -> heavy false positives
+        got = sorted(
+            r["row_id"]
+            for r in dedup.bloom_prefiltered_antijoin(
+                batch, history, "k", m_bits=m_bits, k=3
+            ).collect()
+        )
+        assert got == expected, m_bits
+    empty = history.filter(F.lit(False))
+    kept = dedup.bloom_prefiltered_antijoin(batch, empty, "k").count()
+    assert kept == 200
+
+
 def test_jaccard_max_posting_drops_stop_shingles(spark):
     """Two docs that share ONLY a boilerplate preamble must not pair
     once the preamble's shingles exceed the posting cap; docs sharing
