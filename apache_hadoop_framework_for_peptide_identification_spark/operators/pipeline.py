@@ -267,6 +267,28 @@ def temperature_mixing(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    val_hex_threshold: str = "0ccccccccccccccc",
+    salt: str = "split42",
+) -> DataFrame:
+    """Deterministic train/validation split: a row is 'val' iff
+    md5(salt:id) is lexicographically below ``val_hex_threshold``
+    (hex digits are uniform, so the threshold IS the val fraction —
+    the default '0cccc…' ≈ 0.05). Properties that matter in a training
+    pipeline, all by construction: disjoint and exhaustive (every row
+    gets exactly one label), partitioning/run/cluster-invariant (pure
+    row expression — no RNG state, no shuffle), and stable across
+    re-ingests as long as ids are stable, so a document can never
+    leak from val into train between runs. String comparison on hex is
+    engine-portable — the oracle replays it verbatim."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return df.withColumn(
+        "split", F.when(h < F.lit(val_hex_threshold), "val").otherwise("train")
+    )
+
+
 def stratified_mod_sample(
     df: DataFrame,
     strata_col: str,

@@ -98,6 +98,7 @@ _DRIVER_PRIORITY = [
     "q114_embedding_neardup_verified",
     "q115_variant_json",
     "q116_bloom_incremental_dedup",
+    "q117_hash_split",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -146,7 +147,6 @@ _DRIVER_PRIORITY = [
     "q08_join_left_outer",
     "q13_range_join",
     "q17_rollup",
-    "q22_window_ranking",
     "q82_join_right_outer",
     # (q40/q44/q46/q47/q48/q49/q60/q61 rotate out to make room for
     # q108–q115; all r2-green, still in the local full-registry sweep,

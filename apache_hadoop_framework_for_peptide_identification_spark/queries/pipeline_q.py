@@ -293,6 +293,24 @@ def q108_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q117_hash_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN md5('split42:' || CAST(doc_id AS VARCHAR)) < '0ccccccccccccccc'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+""",
+)
+def q117_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% train/validation split on content-stable ids
+    (operators/pipeline.py hash_split): disjoint, exhaustive,
+    partitioning-invariant, and leak-proof across re-ingests — the
+    oracle replays the same md5 threshold comparison."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return P.hash_split(d, "doc_id").select("doc_id", "split").orderBy("doc_id")
+
+
+@query(
     "q89_source_cap",
     oracle="""
 SELECT doc_id, source, rn FROM (
