@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = [
     "q115_variant_json",
     "q116_bloom_incremental_dedup",
     "q117_hash_split",
+    "q118_ann_lsh_verified",
     # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
     "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
     "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
@@ -146,13 +147,13 @@ _DRIVER_PRIORITY = [
     "q05_project_expressions",
     "q08_join_left_outer",
     "q13_range_join",
-    "q17_rollup",
     "q82_join_right_outer",
-    # (q40/q44/q46/q47/q48/q49/q60/q61 rotate out to make room for
-    # q108–q115; all r2-green, still in the local full-registry sweep,
-    # q40 additionally benched every round, and q44's exact-cosine
-    # shape is re-verified through q68/q98's identical oracles — next
-    # round's window.)
+    # (q17/q22/q35/q40/q44/q46/q47/q48/q49/q60/q61 rotate out to make
+    # room for the 11 new q108–q118 entries; all r2-green, still in
+    # the local full-registry sweep, q40/q42/q44/q50/q67 additionally
+    # benched every round, and q44's exact-cosine shape is re-verified
+    # through q68/q98/q118's identical oracles — first in next round's
+    # window.)
 ]
 
 

@@ -240,10 +240,50 @@ def q44_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q45_ann_lsh", oracle=None)
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (bucketed candidates + exact
-    re-rank). Recall vs brute force asserted in tests/test_similarity.py."""
+    re-rank). Recall vs brute force asserted in tests/test_similarity.py;
+    q118 is the exactness-verification configuration of this same
+    operator with a hash oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     out = similarity.lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
+    ).orderBy("q_id", "rn")
+
+
+@query(
+    "q118_ann_lsh_verified",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])) AS cos_sim
+  FROM embeddings c, q WHERE c.vec_id <> q.q_id)
+SELECT q_id, n_id, cos_sim, rn FROM (
+  SELECT q_id, n_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+  FROM scored)
+WHERE rn <= 5 ORDER BY q_id, rn
+""",
+)
+def q118_ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN in its exactness-verification configuration
+    (1-bit bands: a candidate pair needs only ONE of 16 sign bits to
+    agree, so a true top-5 neighbor — a small-angle pair whose sign
+    bits almost all agree — is in the candidate set with near-total
+    certainty, and the exact re-rank then provably orders it
+    correctly). The q44-shape oracle hash-verifies the ENTIRE LSH
+    machinery: seeded hyperplane signatures, band slicing, bucket
+    equi-join, vector re-join, JVM cosine re-rank, windowed top-k.
+    Completes the verified-sibling set for every LSH tier (q113
+    MinHash, q114 embedding near-dup, this for ANN); q45 remains the
+    production-recall form, pytest-asserted."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_ann_topk(
+        emb, queries, "vec_id", "embedding", k=5, bits=16, bands=16
+    )
     return out.select(
         "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
     ).orderBy("q_id", "rn")
