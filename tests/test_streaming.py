@@ -155,6 +155,69 @@ def test_stream_dedup_drops_duplicate_ids_across_batches(stream_env):
     assert run("dd_run2") == [3]
 
 
+def test_stateful_event_time_timeout_finalizes_sessions(stream_env):
+    """applyInPandasWithState's EventTimeTimeout path (the part
+    stateful_user_totals' NoTimeout form never exercises): per-user
+    session state times out 30 event-time minutes after the user's
+    last event; on timeout the operator emits the FINAL row and clears
+    state — the custom-sessionization pattern, with state lifetime
+    bounded by the watermark exactly like built-in session windows."""
+    from datetime import datetime as dt
+
+    import pandas as pd
+
+    spark, src, ckpt = stream_env
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "final": [True]})
+        else:
+            n = state.get[0] if state.exists else 0
+            last = None
+            for pdf in pdf_iter:
+                n += len(pdf)
+                m = pdf["ts"].max()
+                last = m if last is None else max(last, m)
+            state.update((n,))
+            state.setTimeoutTimestamp(int(last.timestamp() * 1000) + 30 * 60 * 1000)
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "final": [False]})
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        out = (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType="user_id long, n long, final boolean",
+                stateStructType="n long",
+                outputMode="append",
+                timeoutConf="EventTimeTimeout",
+            )
+        )
+        return sorted(
+            (r["user_id"], r["n"], r["final"]) for r in _drive(out, ckpt)
+        )
+
+    _append_events(
+        spark, src, [(1, dt(2024, 1, 1, 10, 0), 1), (2, dt(2024, 1, 1, 10, 1), 1)]
+    )
+    assert run() == [(1, 2, False)]
+    # User 2's 11:00 event pushes the watermark past user 1's 10:31
+    # timeout: user 1's session finalizes (n=2) and its state clears.
+    _append_events(spark, src, [(3, dt(2024, 1, 1, 11, 0), 2)])
+    assert run() == [(1, 2, True), (2, 1, False)]
+    # A LATER event from user 1 starts a FRESH session — the old state
+    # is gone, the count restarts at 1.
+    _append_events(spark, src, [(4, dt(2024, 1, 1, 12, 0), 1)])
+    got = run()
+    assert (1, 1, False) in got, got
+
+
 def test_drop_duplicates_within_watermark(stream_env):
     """dropDuplicatesWithinWatermark (Spark 3.5+, the §2B stream-dedup
     row's newer API): unlike dropDuplicates, state for a key is
