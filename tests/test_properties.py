@@ -208,3 +208,52 @@ def test_quantize_int8_roundtrip_bound(sess, vec):
     r = P.quantize_embeddings_int8(df).collect()[0]
     assert all(-128 <= q <= 127 for q in r["qvec"])
     assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=6),
+    target=st.integers(min_value=10, max_value=300),
+)
+@SETTINGS
+def test_temperature_mixing_quota_invariants(sess, counts, target):
+    """For any strata layout: quotas never exceed the per-stratum
+    population, their sum never exceeds the target (floor division),
+    and the kept set is exactly the quota-many smallest ids per
+    stratum."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    rows = [
+        (s * 100_000 + i, f"s{s}") for s, n in enumerate(counts) for i in range(n)
+    ]
+    df = sess.createDataFrame(rows, "doc_id long, source string")
+    out = P.temperature_mixing(df, "source", "doc_id", target_total=target).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    total_kept = 0
+    for s, n in enumerate(counts):
+        grp = by_src.get(f"s{s}", [])
+        if grp:
+            quota = grp[0]["quota"]
+            assert len(grp) == min(quota, n)
+            # smallest ids kept
+            assert max(r["doc_id"] for r in grp) == s * 100_000 + len(grp) - 1
+            total_kept += len(grp)
+    assert total_kept <= target
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                    max_size=60, unique=True))
+@SETTINGS
+def test_hash_split_disjoint_exhaustive_stable(sess, ids):
+    """Every row gets exactly one label; re-running (and re-ingesting a
+    subset) never flips a label — the leak-proof property."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    df = sess.createDataFrame([(i,) for i in ids], "doc_id long")
+    lab1 = {r["doc_id"]: r["split"] for r in P.hash_split(df, "doc_id").collect()}
+    assert set(lab1) == set(ids)
+    assert set(lab1.values()) <= {"train", "val"}
+    half = sess.createDataFrame([(i,) for i in ids[::2]], "doc_id long")
+    lab2 = {r["doc_id"]: r["split"] for r in P.hash_split(half, "doc_id").collect()}
+    assert all(lab1[i] == lab2[i] for i in lab2)
