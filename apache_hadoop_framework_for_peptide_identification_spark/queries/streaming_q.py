@@ -260,6 +260,91 @@ def q110_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q119_stream_dedup_within_watermark",
+    oracle="""
+WITH e AS (SELECT event_id, date_trunc('milliseconds', ts) AS tsms FROM events),
+m AS (SELECT max(tsms) AS mxms, max(event_id) AS mxid FROM e)
+SELECT event_id,
+       CAST(CASE WHEN tsms < (SELECT mxms + INTERVAL 1 HOUR - INTERVAL 288 HOUR FROM m)
+                 THEN 2 ELSE 1 END AS BIGINT) AS n_emits
+FROM e
+UNION ALL
+SELECT mxid + 1 AS event_id, CAST(1 AS BIGINT) AS n_emits FROM m
+ORDER BY event_id
+""",
+)
+def q119_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (§2B stream-dedup row's newer API):
+    unlike dropDuplicates, a key's state is guaranteed evictable once
+    the watermark passes its event time + delay, so a duplicate
+    arriving AFTER that horizon re-emits — dedup is exact only within
+    the watermark window, the trade-off that keeps state bounded at
+    100 TB/day.
+
+    Three checkpointed availableNow replays (the proven multi-batch
+    technique from q110/tests): (1) every event once — all emit;
+    (2) a single sentinel event at max(ts)+1h — advances the watermark
+    to max(ts)+1h−144h; (3) a fresh-timestamped duplicate of EVERY
+    event — re-emits iff its original state expired, i.e. iff
+    ms-floored event time < floor_ms(max ts)+1h−2·144h. The oracle
+    computes that horizon rule from the raw timestamps (ms floor
+    because Spark's event-time stats track milliseconds; strict `<`
+    because eviction requires expiresAt strictly below the watermark —
+    pinned by tests/test_streaming.py boundary test), so the hash
+    match verifies Spark's state-expiry semantics themselves, not just
+    pass-through dedup."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    mx_id, mx_ts = ev.agg(F.max("event_id"), F.max("ts")).first()
+    sentinel_ts = mx_ts + dt.timedelta(hours=1)
+    dup_ts = sentinel_ts + dt.timedelta(hours=1)
+
+    src = tempfile.mkdtemp(prefix="q119_src_")
+    ckpt = tempfile.mkdtemp(prefix="q119_ckpt_")
+    out = tempfile.mkdtemp(prefix="q119_out_")
+    shutil.rmtree(out)  # foreachBatch writer creates it
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "144 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(
+        [(mx_id + 1, sentinel_ts)], "event_id long, ts timestamp"
+    ).write.mode("append").parquet(src)
+    run_once()
+    ev.select("event_id", F.lit(dup_ts).cast("timestamp").alias("ts")).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_emits"))
+        .orderBy("event_id")
+    )
+
+
+@query(
     "q91_stream_stream_join",
     oracle="""
 SELECT c.user_id, count(*) AS n_pairs

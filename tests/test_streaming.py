@@ -254,6 +254,52 @@ def test_drop_duplicates_within_watermark(stream_env):
     assert run() == [1]
 
 
+def test_drop_duplicates_within_watermark_boundary(stream_env):
+    """Pins the EXACT state-expiry rule q119's oracle encodes: Spark's
+    event-time stats floor timestamps to MILLISECONDS, and eviction is
+    STRICT (state survives when expiresAt == watermark).
+
+    Construction (delay = 30 min): watermark after the sentinel batch
+    is floor_ms(11:00:00.000900) − 30 min = 10:30:00.000 exactly.
+    idA (10:00:00.000500) → expiresAt floor_ms+30 min = 10:30:00.000
+    == watermark → kept → its re-send is SUPPRESSED. Without the ms
+    floor its expiresAt (…000500) would differ from the watermark on
+    both sides and the equality case would never arise; with non-strict
+    eviction idA would re-emit. idB (09:59:59.999500, 1 ms earlier) →
+    expiresAt 10:29:59.999 < watermark → evicted → re-emits."""
+    from datetime import datetime as dt
+
+    spark, src, ckpt = stream_env
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        return sorted(r["event_id"] for r in _drive(deduped, ckpt))
+
+    _append_events(
+        spark,
+        src,
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0, 500), 1),  # idA: boundary key
+            (2, dt(2024, 1, 1, 9, 59, 59, 999500), 1),  # idB: 1 ms earlier
+        ],
+    )
+    assert run() == [1, 2]
+    _append_events(spark, src, [(3, dt(2024, 1, 1, 11, 0, 0, 900), 1)])
+    assert run() == [3]
+    # Fresh-timestamped duplicates of both: only idB's state expired.
+    _append_events(
+        spark,
+        src,
+        [(1, dt(2024, 1, 1, 12, 0), 1), (2, dt(2024, 1, 1, 12, 0), 1)],
+    )
+    assert run() == [2]
+
+
 def test_rate_micro_batch_source(spark, tmp_path):
     """The deterministic rate source (§2B 'rate source for tests'):
     rate-micro-batch emits exactly rowsPerBatch rows per micro-batch
