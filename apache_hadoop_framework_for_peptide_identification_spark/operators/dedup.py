@@ -543,6 +543,120 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, prefix_bits: i
     )
 
 
+def simhash_portable(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash signatures computed ENTIRELY with JVM expressions over a
+    portable token hash — the top 15 hex chars of md5(token) as a
+    60-bit integer, a function both Spark and ANSI-ish SQL engines
+    express identically (q120's oracle recomputes the full signature in
+    DuckDB and hash-matches it).
+
+    Per doc: explode tokens once, one groupBy computing all ``bits``
+    per-bit ±1 sums map-side-partial (sum of bit contributions is
+    associative, so the shuffle carries ``bits`` longs per doc, never
+    tokens), then fold the sign bits into one BIGINT signature. Versus
+    ``simhash64`` (the FNV pandas-UDF production form, q43): no Python
+    anywhere, at the price of md5 per token — use this form when
+    cross-engine reproducibility matters more than raw hash speed.
+
+    Tie rule: a per-bit sum of exactly 0 yields bit 0 (strict ``> 0``)
+    — encoded identically in the oracle.
+    """
+    from functools import reduce as _reduce
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hashed = toks.select("id", h.alias("h"))
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = _reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return sums.select("id", sig.alias("sig"))
+
+
+def simhash_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """All pairs with SimHash hamming distance ≤ ``max_hamming`` via the
+    classic multi-block scheme: split the signature into ``n_blocks``
+    equal bit blocks and generate candidates only where a whole block
+    matches, then exact-verify with bit_count(xor).
+
+    PROVABLY COMPLETE when ``max_hamming <= n_blocks - 1`` (pigeonhole:
+    ≤ n_blocks−1 differing bits cannot touch all n_blocks blocks, so
+    some block is identical and the pair surfaces in that block's
+    bucket join) — asserted, because that inequality is what turns the
+    banded join from a recall heuristic into an exact operator. At
+    scale each block join is equi-keyed on (block_idx, block_value):
+    shuffle carries (id, sig, 2 small ints); hot buckets are capped by
+    block width (2^15 buckets per block at the defaults).
+    """
+    assert bits % n_blocks == 0, "bits must divide evenly into blocks"
+    assert max_hamming <= n_blocks - 1, (
+        "completeness requires max_hamming <= n_blocks - 1 (pigeonhole)"
+    )
+    block_bits = bits // n_blocks
+    sigs = simhash_portable(df, id_col, text_col, bits)
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.shiftrightunsigned(F.col("sig"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("bv"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("id", "sig", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    x = blocks.alias("x")
+    y = blocks.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()  # a pair may collide in several blocks
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",

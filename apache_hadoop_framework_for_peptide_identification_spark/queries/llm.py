@@ -203,9 +203,54 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q43_dedup_simhash", oracle=None)
 def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per doc (FNV-1a token hashes via Arrow-batched
-    pandas UDF — deterministic, but not SQL-expressible)."""
+    pandas UDF — deterministic, but not SQL-expressible; q120 is the
+    oracle-verified sibling covering the same signature+block-join
+    machinery over a portable token hash)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "q120_simhash_verified_pairs",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, unnest(range(0, 60)) t(j)
+  GROUP BY doc_id, j),
+sigs AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS sig
+  FROM bitsums GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def q120_simhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash near-dup pipeline in its exactness configuration
+    (operators/dedup.py simhash_blocked_pairs): portable md5-based
+    signatures, 4-block banded candidates, exact hamming verify. With
+    max_hamming=3 ≤ n_blocks−1 the pigeonhole guarantee makes the
+    blocked join COMPLETE, and the oracle recomputes the ENTIRE
+    signature in SQL (same token hash, same ±1 bit sums, same strict
+    tie rule) plus all-pairs hamming — so the hash match verifies the
+    signatures themselves AND the block-join recall, not just
+    pass-through rows. Gives SimHash the q113/q114/q118 treatment;
+    q43 keeps the FNV pandas-UDF production form (rows-only)."""
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    return dedup.simhash_blocked_pairs(
+        d, "doc_id", "text", max_hamming=3, n_blocks=4, bits=60
+    ).orderBy("id_a", "id_b")
 
 
 # -------------------------------------------------------- similarity

@@ -300,3 +300,39 @@ def test_prefix_jaccard_prefix_is_a_strict_subset(spark):
         F.sum(F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).alias("p")
     ).collect()[0]["p"]
     assert prefix_rows < 0.45 * full
+
+
+def test_simhash_blocked_pairs_complete_vs_brute_force(dup_docs):
+    """Pigeonhole completeness of the 4-block scheme: with
+    max_hamming=3 <= n_blocks-1, the blocked join must produce EXACTLY
+    the brute-force all-pairs hamming<=3 set over the portable
+    signatures — no false negatives (the guarantee q120's oracle
+    relies on) and no spurious pairs (exact verify)."""
+    sigs = dedup.simhash_portable(dup_docs, "doc_id", "text").collect()
+    by_id = {r["id"]: r["sig"] for r in sigs}
+    ids = sorted(by_id)
+    want = {
+        (a, b, bin(by_id[a] ^ by_id[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(by_id[a] ^ by_id[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_blocked_pairs(
+            dup_docs, "doc_id", "text", max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    assert got == want
+    # 3-word edits move several signature bits, so only the closest
+    # planted twins land within hamming 3 — the set-equality above is
+    # the real assertion; this floor just guards against an
+    # accidentally-empty comparison.
+    assert len(got) >= 3
+
+
+def test_simhash_blocked_pairs_rejects_unsound_params():
+    with pytest.raises(AssertionError):
+        dedup.simhash_blocked_pairs(None, "id", "t", max_hamming=4, n_blocks=4)
+    with pytest.raises(AssertionError):
+        dedup.simhash_blocked_pairs(None, "id", "t", n_blocks=7)
