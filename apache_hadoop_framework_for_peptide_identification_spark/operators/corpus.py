@@ -375,13 +375,26 @@ def approx_top_ngrams_check(
     width: int = 16384,
     depth: int = 8,
     seed: int = 42,
+    bound_factor: float = 1.0,
 ) -> DataFrame:
     """CMS error-contract verification on the corpus's exact top-k
     bigrams: for each true heavy hitter, the sketch estimate must
-    satisfy exact ≤ est ≤ exact + ceil((e/width)·N) (the classic CMS
-    guarantee; N = total bigram occurrences). Returns (bigram, n_exact,
-    within_bounds) — all-true is the sketch working as specified, and
-    is what the DuckDB oracle asserts.
+    satisfy exact ≤ est ≤ exact + ceil(bound_factor·(e/width)·N) (at
+    bound_factor=1 the classic CMS guarantee; N = total bigram
+    occurrences). Returns (bigram, n_exact, within_bounds) — all-true
+    is the sketch working as specified, and is what the DuckDB oracle
+    asserts.
+
+    The (e/width)·N bound is PROBABILISTIC — it holds per query with
+    probability ≥ 1−e^(−depth), not absolutely, so a correct sketch
+    can exceed it on an unlucky fixture (round-5 ADVICE item 2). The
+    tight bound_factor=1 contract stays pinned in
+    tests/test_corpus_ops.py on a fixed corpus; q111 asserts
+    bound_factor=2, cutting the per-fixture-regeneration flake odds
+    from ~e^(−depth)·k (≈0.1% at depth 8, k 20) to ~(2e)^(−depth)·k
+    (≈3·10⁻⁵) while still catching any real defect (a broken hash or
+    lossy merge overshoots by orders of magnitude, and under-estimates
+    are impossible for a correct CMS).
 
     The exact pass exists to CHECK the sketch (validation form); the
     production path at 100 TB keeps only cms_cells + candidate heaps.
@@ -394,7 +407,7 @@ def approx_top_ngrams_check(
         docs, text_col, width, depth, seed
     ).collect()}
     total = sum(c for (d, _), c in cells.items() if d == 0)
-    bound = math.ceil(math.e / width * total)
+    bound = math.ceil(bound_factor * math.e / width * total)
     rows = []
     for r in exact:
         est = cms_estimate(cells, r["bigram"], width, depth, seed)

@@ -196,13 +196,18 @@ def q111_cms_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters — the documented 100 TB swap for
     q103's exact count, driver-verified through its error CONTRACT:
     for every true top-20 bigram the sketch estimate must land in
-    [exact, exact + ceil((e/width)·N)]. The oracle pins the exact
+    [exact, exact + ceil(2·(e/width)·N)]. The oracle pins the exact
     top-20 and asserts all-true bounds, so a broken hash, a lossy
     merge, or an under-estimate (impossible for a correct CMS) all
-    hash-mismatch. Sketch: 8 × 16384 int64 cells (1 MiB), merged by
-    cell-wise sum."""
+    hash-mismatch. The asserted bound is 2× the classic (e/width)·N
+    because that bound is probabilistic (≥ 1−e^(−depth) per query) —
+    the 2× margin makes a bound-flake on a regenerated fixture
+    ~3·10⁻⁵ instead of ~10⁻³ while any real defect still overshoots
+    it; the tight 1× contract stays pinned in tests/test_corpus_ops.py
+    (round-5 ADVICE item 2). Sketch: 8 × 16384 int64 cells (1 MiB),
+    merged by cell-wise sum."""
     d = _t(spark, sf_dir, "documents")
-    return C.approx_top_ngrams_check(d, "text", k=20).orderBy(
+    return C.approx_top_ngrams_check(d, "text", k=20, bound_factor=2.0).orderBy(
         F.col("n_exact").desc(), "bigram"
     )
 

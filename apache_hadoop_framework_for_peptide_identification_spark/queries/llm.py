@@ -65,7 +65,10 @@ docs AS (
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
-  WHERE len(toks) >= 3),
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -112,7 +115,10 @@ docs AS (
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
-  WHERE len(toks) >= 3),
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -157,7 +163,10 @@ docs AS (
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
-  WHERE len(toks) >= 3),
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -630,7 +639,10 @@ docs AS (
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
-  WHERE len(toks) >= 3),
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -839,7 +851,10 @@ docs AS (
 sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
   FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
-  WHERE len(toks) >= 3),
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

@@ -336,3 +336,24 @@ def test_simhash_blocked_pairs_rejects_unsound_params():
         dedup.simhash_blocked_pairs(None, "id", "t", max_hamming=4, n_blocks=4)
     with pytest.raises(AssertionError):
         dedup.simhash_blocked_pairs(None, "id", "t", n_blocks=7)
+
+
+def test_exploded_shingles_null_empty_short_semantics(spark):
+    """Edge contract (round-5 ADVICE item 1): NULL text emits NO
+    shingles (exempt from similarity dedup — matches the HOF
+    shingles() form, which explodes a null array to nothing); empty
+    text emits one '' shingle; a short doc (< n tokens) emits its
+    whole text as one partial shingle (the rule q113's oracle
+    encodes)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "just two"), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id"], r["sh"])
+        for r in dedup.exploded_shingles(df, "doc_id", "text", 3).collect()
+    }
+    assert {i for i, _ in got} == {2, 3, 4}
+    assert (2, "") in got
+    assert (3, "just two") in got
+    assert (4, "one two three") in got and (4, "two three four") in got
