@@ -151,6 +151,59 @@ def q107_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q121_prefix_jaccard_corpus",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+  FROM docs, unnest(range(1, len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 4
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 4),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+ORDER BY id_a, id_b
+""",
+)
+def q121_prefix_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's PPJoin at FULL-corpus scope (every document + its twin —
+    10,000 docs at sf0.1): the bench form where plan choice matters.
+    The round-5 bench measured q107 at 1.11× the naive full posting
+    join — an artifact of its 200-doc scope, where the prefix filter's
+    fixed frequency-ordering pass costs more than it prunes. At this
+    scope the prefix theorem's asymptotic win (join only the rarest
+    |s|−⌈t·|s|⌉+1 shingles per doc) dominates; BASELINE.md records the
+    crossover. 4-gram shingles (vs q107's 3-grams): the synthetic
+    fixture's phrase vocabulary is small enough that 3-gram posting
+    lists average df≈19 at this scope (Σdf² ≈ 11M join rows for BOTH
+    plans — collision-bound, not plan-bound); 4-grams restore a
+    realistic df distribution (max df 12) where plan choice is what's
+    measured. Same oracle shape as q107, unbounded corpus."""
+    d = _plant_text_twins(_t(spark, sf_dir, "documents"))
+    return (
+        dedup.prefix_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.6)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "q113_minhash_verified_dedup",
     oracle="""
 WITH corpus AS (

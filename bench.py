@@ -43,6 +43,7 @@ HEADLINE = [
     "q105_length_histogram",
     "q106_textrank_keywords",
     "q107_prefix_jaccard",
+    "q121_prefix_jaccard_corpus",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

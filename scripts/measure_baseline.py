@@ -506,30 +506,24 @@ def q106_textrank_keywords(t):
     return ranks.orderBy(F.col("rank").desc(), "node").limit(20)
 
 
-def q107_prefix_jaccard(t):
-    """Stock exact-Jaccard pairs at threshold 0.6: the FULL posting-list
-    self-join (every shingle joins, no prefix filtering, no length
-    filter) + Jaccard verify — q41's form at q107's threshold, which is
-    what a user reuses before learning the prefix theorem. Same
-    twin-planted corpus as the engine query."""
-    d = t["documents"].filter(F.col("doc_id") < 100).select("doc_id", "text")
+def _posting_join_jaccard(d, n=3):
+    """Shared stock form: full posting-list self-join + Jaccard verify
+    at threshold 0.6 (every n-gram shingle joins — no prefix
+    filtering, no length filter) over the twin-planted corpus ``d``."""
     twins = d.select(
         (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
         F.regexp_replace(F.col("text"), " \\S+\\z", "").alias("text"),
     )
     corpus = d.unionByName(twins)
     toks = F.split(F.col("text"), " ")
-    sh = corpus.filter(F.size(toks) >= 3).select(
+    sh = corpus.filter(F.size(toks) >= n).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
+                        " ", *[F.element_at(toks, i + k) for k in range(n)]
                     ),
                 )
             )
@@ -554,6 +548,24 @@ def q107_prefix_jaccard(t):
     )
 
 
+def q107_prefix_jaccard(t):
+    """Stock exact-Jaccard pairs, q41's form at q107's threshold —
+    what a user reuses before learning the prefix theorem. Same
+    twin-planted 200-doc corpus as the engine query."""
+    return _posting_join_jaccard(
+        t["documents"].filter(F.col("doc_id") < 100).select("doc_id", "text")
+    )
+
+
+def q121_prefix_jaccard_corpus(t):
+    """The same stock posting join at FULL-corpus scope (10,000 docs at
+    sf0.1, 4-gram shingles — see the engine q121 docstring for why
+    3-grams are collision-bound on this fixture) — where its
+    every-shingle-joins cost degrades and the engine's prefix filter
+    shows its asymptotic win (the BASELINE.md crossover row)."""
+    return _posting_join_jaccard(t["documents"].select("doc_id", "text"), n=4)
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -574,6 +586,7 @@ QUERIES = {
     "q105_length_histogram": q105_length_histogram,
     "q106_textrank_keywords": q106_textrank_keywords,
     "q107_prefix_jaccard": q107_prefix_jaccard,
+    "q121_prefix_jaccard_corpus": q121_prefix_jaccard_corpus,
 }
 
 
