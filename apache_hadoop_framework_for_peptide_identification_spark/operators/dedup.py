@@ -375,11 +375,10 @@ def bloom_prefiltered_antijoin(
     )
 
     def _pack_partition(batches):
-        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        bits = np.zeros(m_bits, dtype=bool)
         for pdf in batches:
-            p = pdf["pos"].to_numpy()
-            np.bitwise_or.at(bm, p >> 3, (np.uint8(1) << (7 - (p & 7)).astype(np.uint8)))
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
+            bits[pdf["pos"].to_numpy()] = True  # fully vectorized scatter
+        yield pd.DataFrame({"bm": [np.packbits(bits).tobytes()]})
 
     packed = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in pos_df.mapInPandas(_pack_partition, "bm binary").collect():

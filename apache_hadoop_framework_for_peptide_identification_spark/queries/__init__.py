@@ -77,83 +77,78 @@ from . import graph_q  # noqa: E402,F401
 # sf0.001/sf0.01, and `make sweep-sf01` at sf0.1) — rotation trades WHICH
 # queries get a fresh *driver* verdict, never whether they are verified.
 #
-# Round-5 window. Assembly rule (tightened after r4, VERDICT item 6):
-# (0) any query that FAILED the previous round's driver run or the
-# local oracle sweep goes FIRST — a stale green verdict must never
-# mask a current failure (q55's r2 pass hid its r4 local failure
-# because it sat outside the r4 window); (1) queries whose
-# implementation or oracle changed this round; (2) oldest stale
-# verdicts (r1-only); (3) bench headliners; (4) next-oldest (r2)
-# verdicts with the remaining slots.
+# Round-6 window. Assembly rule (tightened after r4, VERDICT item 6;
+# amended after r5 ADVICE item 3): (0) any query that FAILED the
+# previous round's driver run or the local oracle sweep goes FIRST — a
+# stale green verdict must never mask a current failure; (1) queries
+# whose implementation or oracle changed this round — INCLUDING
+# operator-level rewires that only show up in shared helpers (the r5
+# window omitted q101/q103/q106 after the with_bigrams rewire; they
+# are in this window); (2) oldest stale verdicts; (3) bench
+# headliners; (4) next-oldest verdicts with the remaining slots.
 _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
     # (-1) New this round — never had a driver verdict
-    "q108_temperature_mixing",
-    "q109_orc_roundtrip",
-    "q110_stream_stream_left_outer",
-    "q111_cms_top_ngrams",
-    "q112_semantic_dedup",
-    "q113_minhash_verified_dedup",
-    "q114_embedding_neardup_verified",
-    "q115_variant_json",
-    "q116_bloom_incremental_dedup",
-    "q117_hash_split",
-    "q118_ann_lsh_verified",
-    # (0) Failed in r4 (driver or local) — fixed this round, must re-verify
-    "q51_stream_tumbling",  # streaming ts drift (fixed: footer-derived schema)
-    "q55_stream_sliding",  # same drift, failed locally, stale-green r2 verdict
-    "q91_stream_stream_join",  # same drift
+    "q119_stream_dedup_within_watermark",
+    "q120_simhash_verified_pairs",
+    "q121_prefix_jaccard_corpus",
+    # (0) Nothing failed in r5 (driver 50/50 hash-green; local sweep green)
     # (1) Implementation or oracle changed this round
-    "q52_stream_dedup",  # events_stream source rewritten (footer schema)
-    "q53_session_window",  # catalog ts canonicalization changed
-    "q56_stream_static_join",  # events_stream source rewritten
-    "q57_foreach_batch_sink",  # events_stream source rewritten
-    "q58_stateful_running_totals",  # events_stream source rewritten
-    "q81_embed_text",  # first hard oracle (integer count vectors)
-    "q68_ann_ivf",  # exactness-verification config (full probe) + oracle
-    "q98_ann_pq",  # exactness-verification config (unbounded cands) + oracle
-    "q90_embedding_quantize",  # oracle empty-vector COALESCE (ADVICE r4)
-    "q92_ann_quantized",  # oracle empty-vector COALESCE (ADVICE r4)
-    "q04_tumbling_hourly",  # catalog ts canonicalization changed
-    # (2) Driver verdict is stale (round 1 only) — rotate back in
-    "q07_distinct",
-    "q16_agg_distinct",
-    "q18_cube",
-    "q19_grouping_sets",
-    "q20_collect_agg",
-    "q21_pivot",
-    "q24_window_running",
-    "q25_window_range",
-    "q26_sort_nulls",
-    "q27_global_topk",
-    "q29_systematic_sample",
-    "q30_approx_aggs",
-    "q31_exact_percentiles",
-    "q32_string_funcs",
-    "q33_date_funcs",
-    "q34_math_funcs",
-    "q36_map_funcs",
-    "q37_json_funcs",
+    "q111_cms_top_ngrams",  # 2x probabilistic-bound margin (ADVICE item 2)
+    "q116_bloom_incremental_dedup",  # distributed bloom build + packed probe
+    "q41_ngram_jaccard",  # exploded_shingles null-text rule + oracle short-doc rule
+    "q79_dedup_clusters",  # same shingle-oracle change
+    "q96_dedup_corpus",  # same shingle-oracle change
+    "q107_prefix_jaccard",  # same shingle-oracle change
+    "q113_minhash_verified_dedup",  # same shingle-oracle change
+    # (1b) r5 operator-level rewires deferred from the r5 window
+    # (ADVICE item 3): with_bigrams/bigram_partial_counts consumers
+    "q101_lm_familiarity",
+    "q103_top_ngrams",
+    "q106_textrank_keywords",
+    # (2) Oldest driver verdicts (round 2) — the full stale set fits
+    "q17_rollup",
+    "q22_window_ranking",
+    "q35_array_funcs",
+    "q40_dedup_exact",
+    "q42_dedup_minhash_lsh",
+    "q43_dedup_simhash",
+    "q44_ann_cosine_topk",
+    "q45_ann_lsh",
+    "q46_lang_id",
+    "q47_quality_score",
+    "q48_token_count",
+    "q49_fingerprint",
+    "q54_multimodal_bytes",
+    "q60_scalar_udf",
+    "q61_pandas_udf_charge",
+    "q62_grouped_map_zscore",
+    "q63_grouped_agg_udaf",
+    "q65_python_udtf",
+    "q66_embedding_neardup",
+    "q67_embedding_neardup_lsh",
+    "q69_multimodal_decode",
+    "q71_csv_roundtrip",
+    "q72_json_roundtrip",
+    "q73_text_scan",
+    "q74_salted_agg",
+    "q75_salted_join",
+    "q77_pipe_lines",
+    "q78_windowed_udaf",
     # (3) Bench headliners — keep driver verdicts fresh every round
-    # (q04 already above)
     "q01_scan_filter_agg",
     "q02_join_revenue_topk",
     "q03_window_topk_per_group",
-    # (4) Oldest remaining (round-2) verdicts fill the window; the rest
-    # of the r2/r4-green families stay covered by the local
-    # full-registry sweep (tests/test_oracle_queries.py) and the bench
-    # additionally exercises q42/q44/q50/q67 every round.
-    "q05_project_expressions",
-    "q08_join_left_outer",
-    "q13_range_join",
-    "q82_join_right_outer",
-    # (q17/q22/q35/q40/q44/q46/q47/q48/q49/q60/q61 rotate out to make
-    # room for the 11 new q108–q118 entries; all r2-green, still in
-    # the local full-registry sweep, q40/q42/q44/q50/q67 additionally
-    # benched every round, and q44's exact-cosine shape is re-verified
-    # through q68/q98/q118's identical oracles — first in next round's
-    # window.)
+    "q04_tumbling_hourly",
+    # (4) Next-oldest (round-4) benched headliners fill the window;
+    # everything outside stays covered by the local full-registry
+    # sweep (tests/test_oracle_queries.py, make sweep-sf01).
+    "q50_pipe_tokens",
+    "q83_repetition_filter",
+    "q87_sequence_packing",
+    "q100_paragraph_dedup",
+    "q102_bm25_topk",
 ]
 
 
