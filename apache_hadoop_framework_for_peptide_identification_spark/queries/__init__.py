@@ -93,6 +93,8 @@ _DRIVER_PRIORITY = [
     "q119_stream_dedup_within_watermark",
     "q120_simhash_verified_pairs",
     "q121_prefix_jaccard_corpus",
+    "q122_schema_evolution",
+    "q123_hll_sketch_union",
     # (0) Nothing failed in r5 (driver 50/50 hash-green; local sweep green)
     # (1) Implementation or oracle changed this round
     "q111_cms_top_ngrams",  # 2x probabilistic-bound margin (ADVICE item 2)
@@ -142,13 +144,12 @@ _DRIVER_PRIORITY = [
     "q03_window_topk_per_group",
     "q04_tumbling_hourly",
     # (4) Next-oldest (round-4) benched headliners fill the window;
-    # everything outside stays covered by the local full-registry
-    # sweep (tests/test_oracle_queries.py, make sweep-sf01).
+    # everything outside (incl. the benched-every-round q100/q102)
+    # stays covered by the local full-registry sweep
+    # (tests/test_oracle_queries.py, make sweep-sf01).
     "q50_pipe_tokens",
     "q83_repetition_filter",
     "q87_sequence_packing",
-    "q100_paragraph_dedup",
-    "q102_bm25_topk",
 ]
 
 

@@ -142,6 +142,38 @@ def q109_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q122_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+FROM orders
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus FROM orders
+ORDER BY o_orderkey, o_totalprice NULLS FIRST
+""",
+)
+def q122_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution (the sources-table gap every long-lived
+    ingest hits: files written before and after a column was added must
+    scan as ONE table): two generations with disjoint non-key columns
+    land in the same directory, read back with ``mergeSchema`` — each
+    row surfaces with NULLs for the columns its generation lacked. The
+    oracle reproduces the union-with-nulls from the original table, so
+    a dropped column, a misaligned merge, or generation rows lost all
+    hash-mismatch. At 100 TB mergeSchema costs one footer read per
+    FILE at plan time — enable it per-read (as here), not globally;
+    with a catalog (Delta/Iceberg) the log supplies the merged schema
+    instead."""
+    src = tempfile.mkdtemp(prefix="schema_evo_")
+    o = _t(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_totalprice").write.mode("append").parquet(src)
+    o.select("o_orderkey", "o_orderstatus").write.mode("append").parquet(src)
+    back = spark.read.option("mergeSchema", "true").parquet(src)
+    return back.select("o_orderkey", "o_totalprice", "o_orderstatus").orderBy(
+        "o_orderkey", F.col("o_totalprice").asc_nulls_first()
+    )
+
+
 @query("q69_multimodal_decode", oracle=None)
 def q69_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + frame-sample plumbing over binary payloads

@@ -284,6 +284,63 @@ def q30_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q123_hll_sketch_union",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS hll_ok
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT '__ALL__', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+FROM orders
+ORDER BY o_orderpriority
+""",
+)
+def q123_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches (Spark 3.5+ Datasketches functions — the
+    capability approx_count_distinct lacks): per-group sketches built
+    with hll_sketch_agg, then re-aggregated WITHOUT rescanning the data
+    via hll_union_agg — the shape a 100 TB rollup cube needs, where
+    per-partition sketches merge up a hierarchy instead of re-reading
+    rows. Verified through the error contract (q30/q111 pattern): each
+    group estimate AND the union-of-sketches estimate must land within
+    3·1.04/√2^lgK of its exact distinct count; the union row
+    additionally proves merge associativity end to end (a lossy merge
+    under-counts and breaks the bound). lgK=14 → 3σ ≈ 2.4%."""
+    lg_k = 14
+    rel = 3 * 1.04 / (2 ** (lg_k / 2))
+    o = _t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(lg_k)).alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+    )
+    groups = per_group.select(
+        "o_orderpriority",
+        F.col("exact_custs").cast("bigint").alias("exact_custs"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_custs"))
+            <= rel * F.col("exact_custs")
+        ).alias("hll_ok"),
+    )
+    global_exact = o.agg(F.count_distinct("o_custkey").alias("exact_custs"))
+    union_row = (
+        per_group.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+        )
+        .crossJoin(global_exact)  # single row × single row
+        .select(
+            F.lit("__ALL__").alias("o_orderpriority"),
+            F.col("exact_custs").cast("bigint").alias("exact_custs"),
+            (
+                F.abs(F.col("union_est") - F.col("exact_custs"))
+                <= rel * F.col("exact_custs")
+            ).alias("hll_ok"),
+        )
+    )
+    return groups.unionByName(union_row).orderBy("o_orderpriority")
+
+
+@query(
     "q31_exact_percentiles",
     oracle="""
 SELECT l_returnflag,
