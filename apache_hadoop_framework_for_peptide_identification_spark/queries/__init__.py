@@ -62,6 +62,7 @@ from . import sources_q  # noqa: E402,F401
 from . import pipeline_q  # noqa: E402,F401
 from . import corpus_q  # noqa: E402,F401
 from . import graph_q  # noqa: E402,F401
+from . import sql_surface  # noqa: E402,F401  (wired r6 — was orphaned since r3)
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.
@@ -95,6 +96,12 @@ _DRIVER_PRIORITY = [
     "q121_prefix_jaccard_corpus",
     "q122_schema_evolution",
     "q123_hll_sketch_union",
+    "q124_lateral_topn",
+    "q125_recursive_reachability",
+    "q126_observe_metrics",
+    "q127_parameterized_sql",
+    "q128_xml_roundtrip",
+    "q129_python_datasource",
     # (0) Nothing failed in r5 (driver 50/50 hash-green; local sweep green)
     # (1) Implementation or oracle changed this round
     "q111_cms_top_ngrams",  # 2x probabilistic-bound margin (ADVICE item 2)
@@ -138,18 +145,12 @@ _DRIVER_PRIORITY = [
     "q75_salted_join",
     "q77_pipe_lines",
     "q78_windowed_udaf",
-    # (3) Bench headliners — keep driver verdicts fresh every round
-    "q01_scan_filter_agg",
-    "q02_join_revenue_topk",
-    "q03_window_topk_per_group",
+    # (3) One bench headliner fits after the 11 new entries — q04 (the
+    # streaming-ingest canary). q01–q03/q50/q83/q87 are r4/r5-green,
+    # benched every round, and covered by the local full-registry
+    # sweep (tests/test_oracle_queries.py, make sweep-sf01) — first in
+    # next round's window.
     "q04_tumbling_hourly",
-    # (4) Next-oldest (round-4) benched headliners fill the window;
-    # everything outside (incl. the benched-every-round q100/q102)
-    # stays covered by the local full-registry sweep
-    # (tests/test_oracle_queries.py, make sweep-sf01).
-    "q50_pipe_tokens",
-    "q83_repetition_filter",
-    "q87_sequence_packing",
 ]
 
 

@@ -174,6 +174,73 @@ def q122_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q128_xml_roundtrip",
+    oracle="""
+SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_nation
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def q128_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML sink + scan-back (Spark 4.0 built-in XML source — no
+    spark-xml package): nation written with a rowTag, read back with
+    schema inference, re-aggregated. Proves element naming, type
+    inference (BIGINT keys round-trip as longs), and row framing. XML
+    is a row-framed text format — scans split by rowTag exactly like
+    csv/json lines, so the 100 TB story matches the other text
+    sources."""
+    out = tempfile.mkdtemp(prefix="sink_xml_")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.format("xml").option("rowTag", "nation").mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    return (
+        back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q129_python_datasource",
+    oracle="""
+SELECT CAST(i // 1250 AS INTEGER) AS pid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((i * i) % 97) AS BIGINT) AS sum_val
+FROM range(10000) t(i)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q129_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 `pyspark.sql.datasource`):
+    the engine hosts a user-defined source end to end — driver-side
+    partition planning (8 InputPartitions), executor-side generation,
+    arrow-batched ingestion (sources/pyds.py). The per-partition
+    aggregate pins BOTH the data (closed-form val the oracle
+    reproduces) and the split planning (pid ↔ contiguous 1250-id
+    chunks): a source that mis-plans splits or drops a partition
+    hash-mismatches. The reference's per-split external reader
+    (ExecutorMapper.java:142-226) maps onto exactly this
+    partitions()/read() contract."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthseq")
+        .option("n", 10_000)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        df.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+        .orderBy("pid")
+    )
+
+
 @query("q69_multimodal_decode", oracle=None)
 def q69_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + frame-sample plumbing over binary payloads

@@ -1,6 +1,7 @@
-"""SQL-surface queries (q108–q109): LATERAL correlated subqueries and
-recursive CTEs — Spark 4 SQL features that complete the declared §2B
-relational contract's query-language surface. Both run as
+"""SQL-surface queries (q124–q127): LATERAL correlated subqueries,
+recursive CTEs, observed metrics, and parameterized SQL — Spark 3.4+/4
+API surface that completes the declared §2B relational contract's
+query-language surface. The SQL forms run as
 ``spark.sql`` text against temp views over the fixture parquet, and
 the oracle is (near-)identical SQL on DuckDB — the point is that the
 engine's SQL dialect surface itself matches a reference ANSI engine.
@@ -16,7 +17,7 @@ from . import query
 
 
 @query(
-    "q108_lateral_topn",
+    "q124_lateral_topn",
     oracle="""
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM customer c, LATERAL (
@@ -26,7 +27,7 @@ FROM customer c, LATERAL (
 ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 """,
 )
-def q108_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q124_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer top-2 orders via a LATERAL correlated subquery —
     the dependent-join SQL surface (Spark ≥3.4 DecorrelateInnerQuery).
     Catalyst decorrelates the per-row ORDER BY/LIMIT into a ranked
@@ -71,12 +72,20 @@ WHERE len(t) >= 2
 
 
 @query(
-    "q109_recursive_reachability",
-    oracle=f"WITH edges AS ({_EDGES_SQL}) , r2 AS ({_REACH_SQL.replace('WITH RECURSIVE', 'WITH RECURSIVE').strip()})"
-    .replace("WITH edges AS", "WITH edges AS")  # assembled below instead
-    ,
+    "q125_recursive_reachability",
+    oracle=f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+reach(node, d) AS (
+  SELECT '{_REACH_SEED}' AS node, 0 AS d
+  UNION ALL
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {_REACH_HOPS})
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY dist, node
+""",
 )
-def q109_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q125_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS distances (≤3 hops) from a seed token over the distinct
     bigram co-occurrence graph via WITH RECURSIVE (Spark 4 recursive
     CTE = Catalyst-managed iterative union). Depth-bounded UNION ALL +
@@ -100,3 +109,62 @@ def q109_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = d.select(F.explode(pairs).alias("e")).select("e.src", "e.dst").distinct()
     edges.createOrReplaceTempView("edges")
     return spark.sql(_REACH_SQL)
+
+
+@query(
+    "q126_observe_metrics",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+""",
+)
+def q126_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` (Observation API): pipeline telemetry collected as
+    a side effect of the SAME pass that does the work — no second scan,
+    no collect of data rows. The metrics ride the existing action as
+    accumulator-style aggregates; the write is the ``noop`` sink, so
+    what's measured is exactly the observe machinery. At 100 TB this is
+    the row-count/invariant monitor every ingest step wants for free.
+    Sum in DECIMAL then cast once, so the metric is order-independent
+    and the oracle can pin its exact value."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("q126")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_discounted"]), float(m["sum_qty"]))],
+        "n_rows long, n_discounted long, sum_qty double",
+    )
+
+
+@query(
+    "q127_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q127_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 3.4+ ``spark.sql(..., args=...)``):
+    injection-safe binding — parameters enter the plan as typed
+    literals AFTER parsing, never by string interpolation, which is the
+    contract a query service needs. The oracle inlines the same
+    constants."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "WHERE o_totalprice > :minprice AND o_orderstatus = :status "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        args={"minprice": 150000, "status": "F"},
+    )

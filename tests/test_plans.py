@@ -209,3 +209,29 @@ def test_q113_minhash_pipeline_exchanges_never_carry_text(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchanges, plan
     assert not any("text#" in l for l in exchanges), exchanges
+
+
+def test_python_datasource_uneven_partitions(spark):
+    """Spark 4 Python Data Source (sources/pyds.py): proportional chunking
+    must cover [0, n) exactly once even when parts does not divide n —
+    union of chunks is a partition of the id space (no gaps, no overlap),
+    and the pid column reflects the planned split."""
+    from apache_hadoop_framework_for_peptide_identification_spark.sources import pyds
+
+    pyds.register(spark)
+    df = spark.read.format("synthseq").option("n", 103).option("parts", 7).load()
+    rows = df.collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(103))
+    # per-pid chunks are contiguous and ordered
+    by_pid = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["id"])
+    assert sorted(by_pid) == list(range(7))
+    lo = 0
+    for p in range(7):
+        chunk = sorted(by_pid[p])
+        assert chunk == list(range(chunk[0], chunk[-1] + 1))
+        assert chunk[0] == lo
+        lo = chunk[-1] + 1
+    assert all(r["val"] == (r["id"] * r["id"]) % 97 for r in rows)
