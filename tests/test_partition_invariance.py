@@ -48,6 +48,14 @@ REPRESENTATIVE = [
     # drift with layout (integer ranks make this exact, not just close)
     "q106_textrank_keywords",
     "q107_prefix_jaccard",
+    # round-6 families: portable-SimHash block join, bloom-prefiltered
+    # dedup (the distributed bitmap build must be layout-independent),
+    # sketch merge (hll_union_agg associativity/commutativity across
+    # layouts), custom Python data source (planned splits, not layout)
+    "q120_simhash_verified_pairs",
+    "q116_bloom_incremental_dedup",
+    "q123_hll_sketch_union",
+    "q129_python_datasource",
 ]
 
 
