@@ -235,3 +235,45 @@ def test_python_datasource_uneven_partitions(spark):
         assert chunk[0] == lo
         lo = chunk[-1] + 1
     assert all(r["val"] == (r["id"] * r["id"]) % 97 for r in rows)
+
+
+def test_q124_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL correlated ORDER BY/LIMIT must decorrelate into a
+    ranked-window plan with Spark's WindowGroupLimit pushdown (top-k
+    filtering BEFORE the full window sort materializes) and a
+    broadcast join — never a per-row nested loop."""
+    plan = _plan(spark, "q124_lateral_topn")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q123_hll_sketches_aggregate_map_side(spark):
+    """Sketch build must be partial+final (ObjectHashAggregate both
+    sides of the exchange): the shuffle carries one sketch per
+    (partition, group), never rows."""
+    plan = _plan(spark, "q123_hll_sketch_union")
+    assert plan.count("ObjectHashAggregate") >= 2, plan
+
+
+def test_q121_prefix_join_input_smaller_than_full_postings(spark):
+    """The PPJoin prefix side must be a strict subset of the full
+    posting list (the pruning that produces the q121 crossover) —
+    measured, not assumed, on the same twin-planted corpus."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+    from apache_hadoop_framework_for_peptide_identification_spark.queries.llm import (
+        _plant_text_twins,
+    )
+
+    d = _plant_text_twins(load_table(spark, SF, "documents"))
+    sh = dedup.exploded_shingles(d, "doc_id", "text", 4)
+    full = sh.count()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    t = 0.6
+    prefix_rows = sizes.select(
+        F.sum(F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).alias("p")
+    ).collect()[0]["p"]
+    assert prefix_rows < 0.5 * full, (prefix_rows, full)
