@@ -63,6 +63,7 @@ from . import pipeline_q  # noqa: E402,F401
 from . import corpus_q  # noqa: E402,F401
 from . import graph_q  # noqa: E402,F401
 from . import sql_surface  # noqa: E402,F401  (wired r6 — was orphaned since r3)
+from . import analytics_q  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.
@@ -102,13 +103,19 @@ _DRIVER_PRIORITY = [
     "q127_parameterized_sql",
     "q128_xml_roundtrip",
     "q129_python_datasource",
+    "q130_point_in_time_join",
+    "q131_funnel",
+    "q132_cohort_retention",
     # (0) Nothing failed in r5 (driver 50/50 hash-green; local sweep green)
-    # (1) Implementation or oracle changed this round
+    # (1) Implementation or oracle changed this round. Five queries
+    # share the identical shingle-oracle change (short-doc rule +
+    # null-text filter); three representatives carry the driver
+    # verdict (q41 ground truth, q107 prefix form, q113 verified
+    # pipeline) and q79/q96 — same CTE, r4-green, locally swept —
+    # yield their slots to the new q130–q132.
     "q111_cms_top_ngrams",  # 2x probabilistic-bound margin (ADVICE item 2)
     "q116_bloom_incremental_dedup",  # distributed bloom build + packed probe
     "q41_ngram_jaccard",  # exploded_shingles null-text rule + oracle short-doc rule
-    "q79_dedup_clusters",  # same shingle-oracle change
-    "q96_dedup_corpus",  # same shingle-oracle change
     "q107_prefix_jaccard",  # same shingle-oracle change
     "q113_minhash_verified_dedup",  # same shingle-oracle change
     # (1b) r5 operator-level rewires deferred from the r5 window
@@ -145,12 +152,11 @@ _DRIVER_PRIORITY = [
     "q75_salted_join",
     "q77_pipe_lines",
     "q78_windowed_udaf",
-    # (3) One bench headliner fits after the 11 new entries — q04 (the
-    # streaming-ingest canary). q01–q03/q50/q83/q87 are r4/r5-green,
-    # benched every round, and covered by the local full-registry
-    # sweep (tests/test_oracle_queries.py, make sweep-sf01) — first in
-    # next round's window.
-    "q04_tumbling_hourly",
+    # (3) No bench-headliner slots remain after the 14 new entries —
+    # q01–q04/q50/q83/q87 are r4/r5-green, benched every round, and
+    # covered by the local full-registry sweep
+    # (tests/test_oracle_queries.py, make sweep-sf01) — first in next
+    # round's window.
 ]
 
 

@@ -1,0 +1,178 @@
+"""Warehouse-analytics staples over the events fact (q130–q132):
+point-in-time (SCD2) dimension join, ordered funnel, cohort retention.
+These consume the temporal/windowing operators the engine already
+verifies (q99 SCD2 build, operators/asof.py) in the query shapes an
+analytics user actually runs — each with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from . import query
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q130_point_in_time_join",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE user_id < 20 AND event_type = 'purchase'),
+hist AS (
+  SELECT user_id, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+         value
+  FROM p WHERE rn = 1),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE user_id < 20 AND event_type = 'click')
+SELECT c.event_id, c.user_id, h.value AS active_value
+FROM clicks c
+LEFT JOIN hist h
+  ON h.user_id = c.user_id AND h.valid_from <= c.ts
+ AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+ORDER BY c.event_id
+""",
+)
+def q130_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension (the consumption
+    side of q99's history build): every click is enriched with the
+    purchase value that was ACTIVE at the click's timestamp. The
+    engine composes it from the as-of join (operators/asof.py — one
+    shuffle on the entity key, union + running-last window), which is
+    exactly the containing-interval lookup because SCD2 intervals
+    tile time per key; the oracle states it as the explicit interval
+    predicate. Clicks before a user's first purchase stay
+    null-extended on both sides. Right side pre-deduped to one row
+    per (user, ts) (max event_id) so tie behavior is deterministic
+    under any fixture regeneration."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("value").alias("active_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts"
+    )
+    return joined.select("event_id", "user_id", "active_value").orderBy("event_id")
+
+
+@query(
+    "q131_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id)
+SELECT 1 AS stage_no, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage_no
+""",
+)
+def q131_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event time per user): the classic product-analytics
+    query. ONE scan + one groupBy computes all three stage timestamps
+    as conditional aggregates over a running per-user state — the
+    funnel condition `min click AFTER first view` is expressed with
+    min(CASE) over the first-view time joined back, which Spark plans
+    as two keyed aggregates (no self-join explosion). The oracle uses
+    the equivalent staged-CTE formulation."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        (1, "view", t_view),
+        (2, "view>click", t_click),
+        (3, "view>click>purchase", t_purchase),
+    ]
+    out = None
+    for no, label, df in rows:
+        stage = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(no).alias("stage_no"), F.lit(label).alias("stage"), "n_users"
+        )
+        out = stage if out is None else out.unionByName(stage)
+    return out.orderBy("stage_no")
+
+
+@query(
+    "q132_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS d
+  FROM events e)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.d) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM act a JOIN first_seen f ON f.user_id = a.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q132_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, one
+    cell per (cohort, day offset) counting distinct active users — the
+    standard growth-analytics rollup (day granularity: the 30-day
+    fixture yields a full triangular matrix; week granularity
+    collapses it to a handful of cells). Two keyed aggregates + one
+    equi-join on user_id; the distinct-user count shuffles (cohort,
+    offset, user) triples, never events."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    return (
+        act.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
