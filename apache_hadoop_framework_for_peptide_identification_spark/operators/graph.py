@@ -148,3 +148,60 @@ SELECT node, CAST(pr AS BIGINT) AS rank_int,
        CAST(pr AS DOUBLE) / {float(RANK_SCALE)} AS rank
 FROM pr{iters}"""
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count over the UNDIRECTED simple graph induced by
+    ``edges`` (direction and multiplicity dropped, self-loops removed)
+    → one row (n_nodes, n_edges, n_triangles).
+
+    Degree-oriented enumeration (the standard distributed algorithm):
+    every undirected edge is directed from its lower-(degree, node)
+    endpoint to the higher one, so each triangle's nodes are totally
+    ordered u→v→w and it is found EXACTLY once as a wedge
+    (u→v, u→w) closed by (v→w). The orientation is the scale story:
+    wedges are generated per node from OUT-neighbors only, and a
+    node's out-degree under degree orientation is O(√m) on any graph
+    — the hot-node wedge explosion (sum of deg² at celebrity nodes)
+    structurally cannot happen, while the unoriented form dies there.
+    Two self-equi-joins on node keys; shuffle carries (node, node,
+    key) triples, never adjacency lists.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, kb).otherwise(ka).alias("kv"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = o1.join(o2, (F.col("u") == F.col("u2")) & (F.col("k1") < F.col("k2"))).select(
+        F.col("v1"), F.col("v2")
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )  # single row × single row
+    return stats.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

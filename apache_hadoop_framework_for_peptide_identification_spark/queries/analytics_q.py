@@ -176,3 +176,77 @@ def q132_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "q134_referential_integrity",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)) AS n_unreferenced_parents
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))
+UNION ALL
+SELECT 'events.user_id->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM events),
+       (SELECT CAST(count(*) AS BIGINT) FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = e.user_id)),
+       (SELECT CAST(count(*) AS BIGINT) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM events e
+                           WHERE e.user_id = c.c_custkey))
+ORDER BY relationship
+""",
+)
+def q134_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the post-ingest quality gate every
+    warehouse runs: per FK relationship, child rows, ORPHANS (children
+    whose parent key is missing — broken joins downstream) and
+    UNREFERENCED parents (dimension rows no fact touches — staleness /
+    filter-bug signal). Each direction is one anti-join keyed on the
+    FK (broadcast when the dim is small, AQE otherwise); counts
+    aggregate map-side. The events→customer row exercises a
+    cross-domain key (user ids vs custkeys) where unreferenced
+    parents are the dominant signal."""
+    rels = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for label, child_t, fk, parent_t, pk in rels:
+        child = _t(spark, sf_dir, child_t).select(F.col(fk).alias("__fk"))
+        parent = _t(spark, sf_dir, parent_t).select(F.col(pk).alias("__pk"))
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        n_orph = (
+            child.join(parent, child["__fk"] == parent["__pk"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        n_unref = (
+            parent.join(child, parent["__pk"] == child["__fk"], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_unreferenced_parents"))
+        )
+        row = (
+            n_child.crossJoin(n_orph)  # single row × single row
+            .crossJoin(n_unref)
+            .select(
+                F.lit(label).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                "n_unreferenced_parents",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")

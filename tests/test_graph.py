@@ -62,3 +62,21 @@ def test_engine_matches_unrolled_oracle_on_adhoc_graph(spark, duck):
         for n, ri, _ in duck.execute(G.pagerank_oracle_sql(values, iters=7)).fetchall()
     }
     assert got == want
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (4 triangles) + a square with one diagonal (2 triangles) + a
+    pendant edge and a self-loop + duplicate/reversed edges: the
+    degree-oriented count must see the SIMPLE undirected graph only."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    square_diag = [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"), ("p", "r")]
+    noise = [("b", "a"), ("a", "b"), ("x", "x"), ("d", "x")]
+    edges = spark.createDataFrame(k4 + square_diag + noise, "src string, dst string")
+    row = triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 4 + 2
+    assert row["n_edges"] == 6 + 5 + 1  # dups/self-loop dropped, pendant kept
+    assert row["n_nodes"] == 4 + 4 + 1
