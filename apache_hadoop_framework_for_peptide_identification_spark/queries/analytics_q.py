@@ -250,3 +250,116 @@ def q134_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relationship")
+
+
+@query(
+    "q135_rolling_active_users",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+span AS (
+  SELECT unnest(range(0, 7)) AS off),
+windowed AS (
+  SELECT DISTINCT a.user_id, a.d + to_days(CAST(s.off AS INTEGER)) AS win_end
+  FROM act a, span s),
+days AS (SELECT DISTINCT d FROM act)
+SELECT w.win_end AS day,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS wau
+FROM windowed w JOIN days ON days.d = w.win_end
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q135_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day) — EXACT sliding
+    distinct count, which Spark window frames cannot express (no
+    count(DISTINCT) over a RANGE frame): the scalable form explodes
+    each (user, active-day) pair into the ≤7 window-end days it
+    supports, then one distinct-count per window-end. Shuffle carries
+    (day, user) pairs — 7× the distinct activity pairs, NOT 7× the
+    events — the same offsets trick q55's sliding-window oracle uses.
+    Output restricted to days with actual activity so both engines
+    agree on the domain."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    windowed = (
+        ev.select("user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"))
+        # keep TIMESTAMP (midnight) day keys — date_add would narrow to
+        # DATE and hash-diverge from the oracle's timestamp days
+        .select(
+            "user_id",
+            F.date_add(F.col("d"), F.col("off")).cast("timestamp").alias("win_end"),
+        )
+        .distinct()
+    )
+    days = ev.select(F.col("d").alias("win_end")).distinct()
+    return (
+        windowed.join(days, "win_end")
+        .groupBy(F.col("win_end").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "q136_abc_analysis",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM rev)
+SELECT CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
+            WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS class_revenue
+FROM ranked GROUP BY 1 ORDER BY 1
+""",
+)
+def q136_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis of parts by revenue — the classic BI
+    cumulative-share classification (A = first 50% of revenue, B to
+    80%, C the tail). One aggregate to part level, then a single
+    global cumulative window ordered by (revenue DESC, key) — the
+    deterministic tiebreak keeps the running sum identical across
+    engines, and DECIMAL aggregation keeps cum/total order-exact.
+    The part-level rollup shrinks data BEFORE the global window, so
+    the single-partition window pass handles parts (dimension-sized),
+    never lineitems — acceptable up to ~10⁸ parts; beyond that, a
+    two-pass range-partitioned prefix sum (q88's epoch-shuffle global
+    rank machinery) replaces the single window."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    w_cum = W.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(W.partitionBy()).alias("total_rev"),
+    )
+    share = F.col("cum_rev") / F.col("total_rev")
+    return (
+        ranked.select(
+            F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+            "revenue",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
