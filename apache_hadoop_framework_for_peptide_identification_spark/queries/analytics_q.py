@@ -1,8 +1,10 @@
-"""Warehouse-analytics staples over the events fact (q130–q132):
-point-in-time (SCD2) dimension join, ordered funnel, cohort retention.
-These consume the temporal/windowing operators the engine already
-verifies (q99 SCD2 build, operators/asof.py) in the query shapes an
-analytics user actually runs — each with a full DuckDB oracle.
+"""Warehouse-analytics staples (q130–q132, q134–q138): point-in-time
+(SCD2) dimension join, ordered funnel, cohort retention, referential
+integrity, rolling active users, ABC/Pareto, market-basket pairs,
+event transitions. These consume the temporal/windowing operators the
+engine already verifies (q99 SCD2 build, operators/asof.py) in the
+query shapes an analytics user actually runs — each with a full DuckDB
+oracle.
 """
 
 from __future__ import annotations
@@ -362,4 +364,97 @@ def q136_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("class_revenue"),
         )
         .orderBy("abc_class")
+    )
+
+
+@query(
+    "q137_frequent_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+FROM pairs WHERE support >= 2
+ORDER BY support DESC, part_a, part_b
+""",
+)
+def q137_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs: parts co-ordered in the same order
+    with support ≥ 2 — the pairwise core of association-rule mining.
+    Per-basket pair generation via a self-equi-join on the basket key:
+    cost is Σ(basket size²), bounded by the largest basket (TPC-H
+    orders hold ≤7 items), NOT by part-catalog size — the join never
+    touches part×part space. At 100 TB the same plan holds with a
+    basket-size cap plus a support-threshold pre-prune on single-item
+    frequencies (the A-priori property: a frequent pair needs both
+    parts frequent)."""
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+@query(
+    "q138_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq
+WHERE next_type IS NOT NULL
+  AND next_ts - ts <= INTERVAL 30 MINUTE
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q138_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (the Markov-chain view of user
+    behavior): per user, consecutive event pairs within a 30-minute
+    gap, counted by (from, to) type — the path-analysis primitive
+    behind sankey/flow dashboards. One window shuffle on user_id with
+    an (ts, event_id) tiebreak for determinism under equal
+    timestamps; the gap filter bounds transitions to within-session
+    adjacency. 25 output cells regardless of volume."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        seq.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
     )
