@@ -1019,3 +1019,30 @@ def q98_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann_topk(
         emb, queries, "vec_id", "embedding", k=5, n_candidates=1 << 20
     ).orderBy("q_id", "rn")
+
+
+@query(
+    "q140_fuzzy_name_join",
+    oracle="""
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+FROM n a JOIN n b
+  ON a.name < b.name
+ AND abs(len(a.name) - len(b.name)) <= 3
+ AND levenshtein(a.name, b.name) <= 3
+ORDER BY name_a, name_b
+""",
+)
+def q140_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join over distinct part names
+    (operators/dedup.py fuzzy_name_pairs): entity-resolution's string
+    tier, complementing the token-set tiers (Jaccard/MinHash) and the
+    embedding tiers. The engine turns the |len(a)−len(b)| ≤ k bound
+    into an EQUI-join (side A explodes to its 2k+1 matchable lengths)
+    and verifies with Spark's thresholded levenshtein (early exit at
+    k); the oracle is the plain all-pairs predicate — the hash match
+    proves the length banding loses no pair and the distances agree
+    exactly."""
+    d = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(d, "p_name", max_dist=3).orderBy("name_a", "name_b")

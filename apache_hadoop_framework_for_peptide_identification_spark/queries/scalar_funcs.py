@@ -368,3 +368,38 @@ def q80_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "q139_try_functions",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS safe_ratio,
+       CAST(try_cast(substr(o_orderpriority, 1, 1) AS BIGINT) AS BIGINT)
+         AS prio_num,
+       string_split(o_orderpriority, '-')[3] AS third_part,
+       CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+            ELSE NULL END AS overflow_add
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+""",
+)
+def q139_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe ``try_*`` function family (beyond q39's
+    try_cast): try_divide (zero divisor → NULL, planted via
+    o_custkey%3), try_to_number (digit prefix parses, alpha would
+    NULL), try_element_at (index past the array end → NULL — note
+    1-based like SQL), try_add (BIGINT overflow → NULL instead of a
+    runtime error — the contract that keeps a 100 TB job from dying
+    on one poisoned row). The oracle states each as its explicit
+    NULL-guard form."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias("safe_ratio"),
+        F.expr("try_to_number(substring(o_orderpriority, 1, 1), '9')")
+        .cast("bigint")
+        .alias("prio_num"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias("third_part"),
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey")).alias("overflow_add"),
+    ).orderBy("o_orderkey")
