@@ -370,3 +370,78 @@ def q91_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(joined, output_mode="append")
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("user_id")
+
+
+@query(
+    "q141_stream_update_mode",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q141_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the one streaming sink mode without a
+    registry query until now (complete: q51, append: q52/q110):
+    hourly counts re-emitted per micro-batch only for windows the
+    batch CHANGED. The events replay in two time-ordered halves
+    (split at the median event, so no late data and the boundary
+    window is updated by BOTH batches); each foreachBatch pass lands
+    (batch_id, window, count) rows, and the reconstruction takes each
+    window's LAST emission — which must equal the plain batch
+    group-by exactly. A sink that missed an update, re-emitted a
+    stale count, or dropped the cross-batch window would
+    hash-mismatch."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    # Exact median epoch-micros as the split point — deterministic
+    # across layouts, so the two halves (and therefore the emitted
+    # update batches) are reproducible.
+    split_row = ev.select(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("p")
+    ).first()
+    split_us = int(split_row["p"])
+
+    src = tempfile.mkdtemp(prefix="q141_src_")
+    ckpt = tempfile.mkdtemp(prefix="q141_ckpt_")
+    out = tempfile.mkdtemp(prefix="q141_out_")
+
+    first = ev.filter(F.unix_micros(F.col("ts")) <= split_us)
+    second = ev.filter(F.unix_micros(F.col("ts")) > split_us)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(src)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn("__bid", F.lit(bid))
+                .write.mode("append")
+                .parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first.write.mode("append").parquet(src)
+    run_once()
+    second.write.mode("append").parquet(src)
+    run_once()
+
+    from pyspark.sql import Window as W
+
+    emitted = spark.read.parquet(out)
+    last = W.partitionBy("window_start").orderBy(F.col("__bid").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(last))
+        .filter(F.col("__rn") == 1)
+        .select("window_start", "n_events")
+        .orderBy("window_start")
+    )
