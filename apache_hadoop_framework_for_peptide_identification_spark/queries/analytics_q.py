@@ -458,3 +458,99 @@ def q138_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "q142_longest_streak",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+grp AS (
+  SELECT user_id, d,
+         d - to_days(CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INTEGER)) AS island
+  FROM act),
+streaks AS (
+  SELECT user_id, count(*) AS len FROM grp GROUP BY user_id, island)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY user_id ORDER BY user_id
+""",
+)
+def q142_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern (day minus its per-user row_number is
+    constant exactly within a consecutive run). One window shuffle on
+    user_id over DISTINCT (user, day) pairs — days, not events — then
+    two cheap keyed aggregates. The retention metric behind streak
+    badges and churn features."""
+    from pyspark.sql import Window as W
+
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = act.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("island"),
+    )
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q143_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med_v
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, m.med_v,
+         median(abs(e.value - m.med_v)) AS mad_v
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  GROUP BY e.event_type, m.med_v)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(e.value - m.med_v) > 3 * 1.4826 * m.mad_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m ON m.event_type = e.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def q143_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    (|x − median| > 3·1.4826·MAD — the robust z-score): the
+    data-quality gate that, unlike mean/stddev, is not dragged by the
+    outliers themselves. Three passes over the group (median, MAD,
+    flag), each a keyed aggregate with the tiny per-group stats
+    broadcast back — at 100 TB the exact medians swap to
+    percentile_approx in the same plan shape. Spark's `median` and
+    DuckDB's agree on interpolation, so the boundary is exact."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_v"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_v")
+        .agg(F.median(F.abs(F.col("value") - F.col("med_v"))).alias("mad_v"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med_v"))
+                    > 3 * 1.4826 * F.col("mad_v"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
