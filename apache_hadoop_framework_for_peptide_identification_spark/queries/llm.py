@@ -1046,3 +1046,99 @@ def q140_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     d = _t(spark, sf_dir, "part")
     return dedup.fuzzy_name_pairs(d, "p_name", max_dist=3).orderBy("name_a", "name_b")
+
+
+@query(
+    "q144_normalized_dedup",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT md5(norm_text) AS norm_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM norm GROUP BY norm_text ORDER BY keeper_doc_id
+""",
+)
+def q144_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tier dedup — the step between byte-exact (q40)
+    and fuzzy (MinHash): casefold, strip punctuation, collapse
+    whitespace, THEN hash — catching near-copies that differ only in
+    case/punctuation (the most common duplicate class in web scrapes).
+    Same scale shape as q40: the shuffle carries 16-byte hashes of the
+    normalized form, never text. The normalization is three codegen'd
+    string expressions, reproduced exactly by the oracle (both
+    regexes are RE2-compatible)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", norm.alias("norm_text"))
+        .groupBy(F.md5("norm_text").alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+@query(
+    "q145_passage_chunking",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE text IS NOT NULL),
+chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         array_to_string(toks[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text,
+         CAST(least(len(toks) - i * 24, 32) AS BIGINT) AS n_tokens
+  FROM docs,
+       unnest(range(0, CAST(greatest(ceil((len(toks) - 32) / 24.0) + 1, 1)
+                            AS BIGINT))) AS t(i))
+SELECT doc_id, chunk_idx, chunk_text, n_tokens
+FROM chunks ORDER BY doc_id, chunk_idx
+""",
+)
+def q145_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage chunking with overlap: each document's tokens
+    split into windows of 32 with stride 24 (8-token overlap) —
+    (doc_id, chunk_idx, chunk_text, n_tokens), the retrieval/training
+    prep step between documents and embeddings. Chunk count =
+    ⌈(n−size)/stride⌉+1 (min 1) so the tail is never dropped and no
+    empty trailing chunk is emitted; the final chunk may be short
+    (n_tokens < size). Pure JVM sequence+slice expressions — one
+    narrow pass, no shuffle at all; the explode multiplies rows by
+    ~n/stride, which is the output's inherent size."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    size, stride = 32, 24
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(size)) / F.lit(float(stride))) + 1, F.lit(1)
+    ).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("chunk_idx") * stride, F.lit(size)
+            ).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
