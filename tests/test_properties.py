@@ -257,3 +257,96 @@ def test_hash_split_disjoint_exhaustive_stable(sess, ids):
     half = sess.createDataFrame([(i,) for i in ids[::2]], "doc_id long")
     lab2 = {r["doc_id"]: r["split"] for r in P.hash_split(half, "doc_id").collect()}
     assert all(lab1[i] == lab2[i] for i in lab2)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(30)]), min_size=1, max_size=90
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_passage_chunking_reassembles_exactly(sess, texts):
+    """q145's invariant: stitching each doc's chunks back together —
+    first chunk whole, later chunks contributing their last `stride`
+    tokens — reproduces the original token sequence exactly, and no
+    chunk exceeds `size` tokens. Holds for any doc length including
+    shorter-than-one-window docs."""
+    from pyspark.sql import functions as F2
+
+    size, stride = 32, 24
+    df = sess.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    toks = F2.split(F2.col("text"), " ")
+    n_chunks = F2.greatest(
+        F2.ceil((F2.size(toks) - F2.lit(size)) / F2.lit(float(stride))) + 1, F2.lit(1)
+    ).cast("int")
+    chunks = (
+        df.select(
+            "doc_id",
+            toks.alias("__toks"),
+            F2.explode(F2.sequence(F2.lit(0), n_chunks - 1)).alias("ci"),
+        )
+        .select(
+            "doc_id",
+            "ci",
+            F2.slice(F2.col("__toks"), F2.col("ci") * stride + 1, size).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["ci"])):
+        assert 1 <= len(r["chunk"]) <= size
+        acc = by_doc.setdefault(r["doc_id"], [])
+        if r["ci"] == 0:
+            acc.extend(r["chunk"])
+        else:
+            # chunks overlap by size - stride tokens; the new content
+            # is the part beyond the overlap
+            overlap = size - stride
+            assert acc[-overlap:] == r["chunk"][:overlap] or len(r["chunk"]) < overlap
+            acc.extend(r["chunk"][overlap:] if len(r["chunk"]) >= overlap else [])
+    for i, t in enumerate(texts):
+        assert by_doc[i] == t.split(" "), f"doc {i} reassembly mismatch"
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8), min_size=2, max_size=25
+    )
+)
+@SETTINGS
+def test_fuzzy_name_pairs_complete_vs_brute_force(sess, names):
+    """q140's length banding must produce EXACTLY the brute-force
+    levenshtein <= k pair set — no pair lost to the band explode, no
+    spurious distances — on arbitrary short strings (where distances
+    cluster near the threshold and off-by-ones would show)."""
+    import itertools
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    uniq = sorted(set(names))
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= 3
+    }
+    df = sess.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["lev"])
+        for r in dedup.fuzzy_name_pairs(df, "p_name", max_dist=3).collect()
+    }
+    assert got == want
