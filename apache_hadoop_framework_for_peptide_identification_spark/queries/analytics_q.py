@@ -98,12 +98,12 @@ ORDER BY stage_no
 def q131_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click → purchase, strictly
     increasing event time per user): the classic product-analytics
-    query. ONE scan + one groupBy computes all three stage timestamps
-    as conditional aggregates over a running per-user state — the
-    funnel condition `min click AFTER first view` is expressed with
-    min(CASE) over the first-view time joined back, which Spark plans
-    as two keyed aggregates (no self-join explosion). The oracle uses
-    the equivalent staged-CTE formulation."""
+    query. Three staged keyed aggregates, each joining the previous
+    stage's per-user timestamp back before its min() — user_id-keyed
+    equi-joins against one-row-per-user frames (broadcast-sized), so
+    there is no event-level self-join explosion; per-stage cost is one
+    filtered scan + one keyed aggregate. The oracle is the identical
+    staged-CTE formulation."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     t_view = (
         ev.filter(F.col("event_type") == "view")
