@@ -152,3 +152,26 @@ def test_sequence_packing_at_100k(big_docs):
     )
     assert over == 0
     assert packed.count() == 5000 * REPLICAS
+
+
+def test_simhash_blocked_pairs_at_100k(big_docs):
+    """The q120 machinery at 100k docs: portable signatures (one md5
+    per token, JVM-side) + 4-block banded join must complete without
+    an all-pairs blowup, and every replica family's verbatim copy
+    pair (r=0 vs r=1 — one appended marker word, minimal signature
+    drift) should largely land within hamming 3 — near-dup recovery,
+    the property the operator exists for."""
+    pairs = dedup.simhash_blocked_pairs(
+        big_docs, "doc_id", "text", max_hamming=3, n_blocks=4
+    )
+    fam = (
+        pairs.filter(
+            (F.col("id_a") % 1000 < 2)
+            & (F.col("id_b") % 1000 < 2)
+            & (F.col("id_a") / 1000).cast("long").eqNullSafe(
+                (F.col("id_b") / 1000).cast("long")
+            )
+        )
+        .count()
+    )
+    assert fam >= 2000, f"only {fam}/5000 r0-r1 family pairs within hamming 3"
