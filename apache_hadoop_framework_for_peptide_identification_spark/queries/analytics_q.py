@@ -554,3 +554,52 @@ def q143_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q146_winsorize",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN e.value < b.p01 OR e.value > b.p99
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       avg(least(greatest(e.value, b.p01), b.p99)) AS winsorized_mean
+FROM events e JOIN b ON b.event_type = e.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def q146_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clamp to [p01, p99]) — the feature-prep
+    step that tames heavy tails without dropping rows. Exact
+    interpolated percentiles per group (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, parity proven by q31) broadcast back, then a pure
+    clamp expression; the winsorized mean is the oracle-checked
+    output. At 100 TB swap the exact percentile for
+    `percentile_approx` in the same plan shape — the clamp pass is
+    unchanged."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+            F.avg(clamped).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

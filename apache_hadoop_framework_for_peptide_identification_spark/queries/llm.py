@@ -1142,3 +1142,70 @@ def q145_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "q147_containment_pairs",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(string_split(text, ' ')[1:20], ' ')
+  FROM documents WHERE doc_id < 100),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def q147_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT similarity (asymmetric Jaccard, inter/|A|): finds
+    documents EMBEDDED in others — quotes, excerpts, prefix crops —
+    which symmetric Jaccard misses (a 20-token excerpt of a 56-token
+    doc has J≈0.3 but containment 1.0). The planted positives are
+    20-token prefix crops (id offset 10^4); each crop is fully
+    contained in its source, and the ORDERED pair (crop → source)
+    crosses the 0.9 threshold while the reverse does not — so the
+    oracle verifies the asymmetry itself. Same posting-join shape and
+    stop-shingle/prefix knobs as the Jaccard tier."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    crops = d.select(
+        (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(crops)
+    sh = dedup.exploded_shingles(corpus, "doc_id", "text", 3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .select(
+            "id_a", "id_b", (F.col("inter") / F.col("n_a")).alias("containment")
+        )
+        .filter(F.col("containment") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )
