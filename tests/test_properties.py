@@ -350,3 +350,41 @@ def test_fuzzy_name_pairs_complete_vs_brute_force(sess, names):
         for r in dedup.fuzzy_name_pairs(df, "p_name", max_dist=3).collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_triangle_count_matches_brute_force(sess, edges):
+    """q133's degree-orientation logic vs brute force on random small
+    multigraphs (self-loops, duplicates, both directions): every
+    triangle counted exactly once — orientation off-by-ones double- or
+    zero-count and show up immediately at this density."""
+    import itertools
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.graph import (
+        triangle_count,
+    )
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in simple for n in e})
+    want = sum(
+        1
+        for u, v, w in itertools.combinations(nodes, 3)
+        if (u, v) in simple and (u, w) in simple and (v, w) in simple
+    )
+    df = sess.createDataFrame(
+        [(str(a), str(b)) for a, b in edges] or [("x", "x")],
+        "src string, dst string",
+    )
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == want
+    assert row["n_edges"] == len(simple)
