@@ -354,8 +354,13 @@ def bloom_prefiltered_antijoin(
     Build is distributed (round-5 VERDICT note): each partition packs
     its positions into an m/8-byte bitmap inside mapInPandas, and the
     driver ORs one bitmap PER PARTITION — the treeAggregate-of-packed-
-    bitmaps shape. The driver never materializes positions; its work is
-    O(partitions × m/8 bytes), independent of history size. The probe
+    bitmaps shape. The driver never materializes positions; the
+    exploded positions are coalesced (narrow, no shuffle) to at most
+    64 partitions first, so per-build transient memory is a FIXED
+    ≤ 64 × m/8 bytes (8 MiB at the default m) on the driver and one
+    m-bit scratch array per concurrent task — independent of both
+    history size AND however many partitions the k-way explode
+    inherited from the history scan (round-6 ADVICE item 2). The probe
     indexes the packed bytes directly ((byte >> (7 - (pos & 7))) & 1,
     numpy packbits bit order) — no per-batch m-bit unpack (round-5
     ADVICE item 4).
@@ -363,6 +368,8 @@ def bloom_prefiltered_antijoin(
     import numpy as np
 
     assert m_bits % 8 == 0, "m_bits must be a multiple of 8 (packed bitmap)"
+    spark = history_keys.sparkSession
+    build_parts = min(spark.sparkContext.defaultParallelism, 64)
     pos_df = history_keys.select(
         F.explode(
             F.array(
@@ -372,7 +379,7 @@ def bloom_prefiltered_antijoin(
                 ]
             )
         ).alias("pos")
-    )
+    ).coalesce(build_parts)
 
     def _pack_partition(batches):
         bits = np.zeros(m_bits, dtype=bool)

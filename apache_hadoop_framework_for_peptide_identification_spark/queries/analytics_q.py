@@ -308,7 +308,7 @@ def q135_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rev AS (
   SELECT l_partkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
   FROM lineitem GROUP BY l_partkey),
 ranked AS (
   SELECT l_partkey, revenue,
@@ -316,11 +316,11 @@ ranked AS (
                             ROWS UNBOUNDED PRECEDING) AS cum_rev,
          sum(revenue) OVER () AS total_rev
   FROM rev)
-SELECT CASE WHEN cum_rev / total_rev <= 0.5 THEN 'A'
-            WHEN cum_rev / total_rev <= 0.8 THEN 'B'
+SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.5 THEN 'A'
+            WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8 THEN 'B'
             ELSE 'C' END AS abc_class,
        CAST(count(*) AS BIGINT) AS n_parts,
-       CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS class_revenue
+       CAST(sum(revenue) AS DOUBLE) AS class_revenue
 FROM ranked GROUP BY 1 ORDER BY 1
 """,
 )
@@ -330,7 +330,15 @@ def q136_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     80%, C the tail). One aggregate to part level, then a single
     global cumulative window ordered by (revenue DESC, key) — the
     deterministic tiebreak keeps the running sum identical across
-    engines, and DECIMAL aggregation keeps cum/total order-exact.
+    engines, and revenue stays DECIMAL(18,2) through BOTH window sums
+    (cast to double only at the comparison/projection), so cum/total
+    are exact integers-of-cents on both engines regardless of each
+    engine's float accumulation order (round-6 ADVICE item 1: DuckDB's
+    segment-tree windowed sum vs Spark's sequential running sum could
+    otherwise split a part sitting exactly on the 0.5/0.8 share
+    boundary). The identical exact decimals cast to identical doubles,
+    and IEEE division of identical doubles is deterministic, so the
+    class boundaries cannot diverge after a fixture regeneration.
     The part-level rollup shrinks data BEFORE the global window, so
     the single-partition window pass handles parts (dimension-sized),
     never lineitems — acceptable up to ~10⁸ parts; beyond that, a
@@ -340,7 +348,7 @@ def q136_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
     )
     w_cum = W.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -350,7 +358,7 @@ def q136_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue").over(w_cum).alias("cum_rev"),
         F.sum("revenue").over(W.partitionBy()).alias("total_rev"),
     )
-    share = F.col("cum_rev") / F.col("total_rev")
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
     return (
         ranked.select(
             F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
@@ -361,7 +369,7 @@ def q136_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("class_revenue"),
+            F.sum("revenue").cast("double").alias("class_revenue"),
         )
         .orderBy("abc_class")
     )

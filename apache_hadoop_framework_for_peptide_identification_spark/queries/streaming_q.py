@@ -298,7 +298,21 @@ def q119_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    mx_id, mx_ts = ev.agg(F.max("event_id"), F.max("ts")).first()
+    # Guard (round-6 ADVICE item 3): the horizon-rule oracle predicts
+    # one emit-count row per event_id, which assumes event_id is unique
+    # in the fixture (true today at all SFs). If a regenerated fixture
+    # ever broke that, batch-1 dedup would emit fewer rows than the
+    # oracle and the hash mismatch would not point at the real cause —
+    # fail loudly here instead. Rides the existing aggregate job.
+    mx_id, mx_ts, n_rows, n_ids = ev.agg(
+        F.max("event_id"), F.max("ts"), F.count("event_id"), F.count_distinct("event_id")
+    ).first()
+    if n_rows != n_ids:
+        raise AssertionError(
+            f"q119 fixture contract broken: events.event_id not unique "
+            f"({n_rows} rows, {n_ids} distinct ids) — the per-row CASE oracle "
+            "requires one row per event_id; regenerate or re-derive the oracle"
+        )
     sentinel_ts = mx_ts + dt.timedelta(hours=1)
     dup_ts = sentinel_ts + dt.timedelta(hours=1)
 
