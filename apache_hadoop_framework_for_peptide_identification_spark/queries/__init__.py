@@ -79,84 +79,88 @@ from . import analytics_q  # noqa: E402,F401
 # sf0.001/sf0.01, and `make sweep-sf01` at sf0.1) — rotation trades WHICH
 # queries get a fresh *driver* verdict, never whether they are verified.
 #
-# Round-6 window. Assembly rule (tightened after r4, VERDICT item 6;
+# Round-7 window. Assembly rule (tightened after r4, VERDICT item 6;
 # amended after r5 ADVICE item 3): (0) any query that FAILED the
 # previous round's driver run or the local oracle sweep goes FIRST — a
 # stale green verdict must never mask a current failure; (1) queries
 # whose implementation or oracle changed this round — INCLUDING
-# operator-level rewires that only show up in shared helpers (the r5
-# window omitted q101/q103/q106 after the with_bigrams rewire; they
-# are in this window); (2) oldest stale verdicts; (3) bench
-# headliners; (4) next-oldest verdicts with the remaining slots.
+# operator-level rewires that only show up in shared helpers; (2)
+# oldest stale verdicts; (3) bench headliners; (4) next-oldest
+# verdicts with the remaining slots.
 _DRIVER_WINDOW = 50
 
 _DRIVER_PRIORITY = [
-    # (-1) New this round — never had a driver verdict
-    "q119_stream_dedup_within_watermark",
-    "q120_simhash_verified_pairs",
-    "q121_prefix_jaccard_corpus",
-    "q122_schema_evolution",
-    "q123_hll_sketch_union",
-    "q124_lateral_topn",
-    "q125_recursive_reachability",
-    "q126_observe_metrics",
-    "q127_parameterized_sql",
-    "q128_xml_roundtrip",
-    "q129_python_datasource",
-    "q130_point_in_time_join",
-    "q131_funnel",
-    "q132_cohort_retention",
-    # (0) Nothing failed in r5 (driver 50/50 hash-green; local sweep green)
-    # (1) Implementation or oracle changed this round. Five queries
-    # share the identical shingle-oracle change (short-doc rule +
-    # null-text filter); three representatives carry the driver
-    # verdict (q41 ground truth, q107 prefix form, q113 verified
-    # pipeline) and q79/q96 — same CTE, r4-green, locally swept —
-    # yield their slots to the new q130–q132.
-    "q111_cms_top_ngrams",  # 2x probabilistic-bound margin (ADVICE item 2)
-    "q116_bloom_incremental_dedup",  # distributed bloom build + packed probe
-    "q41_ngram_jaccard",  # exploded_shingles null-text rule + oracle short-doc rule
-    "q107_prefix_jaccard",  # same shingle-oracle change
-    "q113_minhash_verified_dedup",  # same shingle-oracle change
-    # (1b) r5 operator-level rewires deferred from the r5 window
-    # (ADVICE item 3): with_bigrams/bigram_partial_counts consumers
-    "q101_lm_familiarity",
-    "q103_top_ngrams",
-    "q106_textrank_keywords",
-    # (2) Oldest driver verdicts (round 2) — the full stale set fits
-    "q17_rollup",
-    "q22_window_ranking",
-    "q35_array_funcs",
-    "q40_dedup_exact",
-    "q42_dedup_minhash_lsh",
-    "q43_dedup_simhash",
-    "q44_ann_cosine_topk",
-    "q45_ann_lsh",
-    "q46_lang_id",
-    "q47_quality_score",
-    "q48_token_count",
-    "q49_fingerprint",
-    "q54_multimodal_bytes",
-    "q60_scalar_udf",
-    "q61_pandas_udf_charge",
-    "q62_grouped_map_zscore",
-    "q63_grouped_agg_udaf",
-    "q65_python_udtf",
-    "q66_embedding_neardup",
-    "q67_embedding_neardup_lsh",
-    "q69_multimodal_decode",
-    "q71_csv_roundtrip",
-    "q72_json_roundtrip",
-    "q73_text_scan",
-    "q74_salted_agg",
-    "q75_salted_join",
-    "q77_pipe_lines",
-    "q78_windowed_udaf",
-    # (3) No bench-headliner slots remain after the 14 new entries —
-    # q01–q04/q50/q83/q87 are r4/r5-green, benched every round, and
-    # covered by the local full-registry sweep
-    # (tests/test_oracle_queries.py, make sweep-sf01) — first in next
-    # round's window.
+    # (-1) Never had a driver verdict: q133–q147 landed after the r6
+    # window filled (they back 9 SURVEY §2B rows + the update-mode
+    # sink row — r6 VERDICT item 1 prescribes them first), plus the
+    # two new r7 queries (pipeline-spec job composition, E-PIPE at
+    # corpus scale — r6 VERDICT item 7).
+    "q133_triangle_count",
+    "q134_referential_integrity",
+    "q135_rolling_active_users",
+    "q136_abc_analysis",  # also impl changed r7: decimal-exact windows
+    "q137_frequent_pairs",
+    "q138_event_transitions",
+    "q139_try_functions",
+    "q140_fuzzy_name_join",
+    "q141_stream_update_mode",
+    "q142_longest_streak",
+    "q143_mad_outliers",
+    "q144_normalized_dedup",
+    "q145_passage_chunking",
+    "q146_winsorize",
+    "q147_containment_pairs",
+    "q148_pipeline_spec_run",
+    "q149_pipe_corpus_scale",
+    # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
+    # (1) Implementation changed this round: the bloom build now
+    # coalesces its position partitions (round-6 ADVICE item 2) —
+    # different physical plan, same contract; re-verify. (q119's r7
+    # change is a fixture-uniqueness guard that cannot alter output —
+    # it raises or is a no-op — so it keeps its r6 verdict.)
+    "q116_bloom_incremental_dedup",
+    # (3) Bench headliners displaced from the r6 window by the 14 new
+    # entries (r6 VERDICT item 1 names them next).
+    "q01_scan_filter_agg",
+    "q02_join_revenue_topk",
+    "q03_window_topk_per_group",
+    "q04_tumbling_hourly",
+    "q50_pipe_tokens",
+    "q83_repetition_filter",
+    "q87_sequence_packing",
+    # (1-deferred) The shingle-oracle twins (same CTE change as
+    # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
+    "q79_dedup_clusters",
+    "q96_dedup_corpus",
+    # (2) Oldest driver verdicts (round 4) — 23 of the 29 remaining
+    # fit; the 6 deferred to r8 each have a FRESHER driver-verified
+    # sibling covering the same operator family (q09/q10: q08+q82 r5
+    # outer joins + q134 anti-joins; q23: q22 r6 + q24/q25 r5 windows;
+    # q38: q40/q117 hashing; q39: q139 try_*; q80: q35 r6 arrays) and
+    # stay green in the local sf0.001 + sf0.1 sweeps.
+    "q06_filter_predicates",
+    "q11_join_anti",
+    "q12_join_theta_pairs",
+    "q14_asof_join",
+    "q15_agg_stats",
+    "q28_set_ops",
+    "q64_map_in_pandas",
+    "q70_parquet_partitioned_sink",
+    "q76_declarative_plan",
+    "q84_pii_scrub",
+    "q85_contamination_check",
+    "q86_stratified_sample",
+    "q88_epoch_shuffle",
+    "q89_source_cap",
+    "q93_unpivot",
+    "q94_correlated_subqueries",
+    "q95_incremental_dedup",
+    "q97_upsert_merge",
+    "q99_scd2_history",
+    "q100_paragraph_dedup",
+    "q102_bm25_topk",
+    "q104_profile_table",
+    "q105_length_histogram",
 ]
 
 
