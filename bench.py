@@ -44,6 +44,10 @@ HEADLINE = [
     "q106_textrank_keywords",
     "q107_prefix_jaccard",
     "q121_prefix_jaccard_corpus",
+    "q133_triangle_count",
+    "q135_rolling_active_users",
+    "q137_frequent_pairs",
+    "q149_pipe_corpus_scale",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

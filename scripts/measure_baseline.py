@@ -566,6 +566,142 @@ def q121_prefix_jaccard_corpus(t):
     return _posting_join_jaccard(t["documents"].select("doc_id", "text"), n=4)
 
 
+def q133_triangle_count(t):
+    """Stock triangle count: UNORIENTED wedge join (the GraphX/docs
+    example form) — wedges enumerated from EVERY node (cost Σ deg(v)²,
+    the hot-node explosion the engine's degree orientation kills),
+    each triangle found 3× and divided out. Same bigram edge set and
+    same (n_nodes, n_edges, n_triangles) output as the engine's q133."""
+    d = t["documents"]
+    spark = d.sparkSession
+    toks = F.split(F.col("text"), " ")
+    bi = d.filter(F.size(toks) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("x"), F.element_at(toks, i + 1).alias("y")
+                ),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    und = (
+        bi.filter(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .cache()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b"), F.col("a"))
+    )
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    wedges = e1.join(
+        e2, (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v"))
+    ).select(F.col("e1.u").alias("wa"), F.col("e2.v").alias("wc"))
+    closed = wedges.join(
+        und, (F.col("wa") == F.col("a")) & (F.col("wc") == F.col("b"))
+    ).count()
+    n_nodes = sym.select("u").distinct().count()
+    n_edges = und.count()
+    und.unpersist()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, closed // 3)], "n_nodes long, n_edges long, n_triangles long"
+    )
+
+
+def q135_rolling_active_users(t):
+    """Stock 7-day rolling distinct users: SEVEN self-unioned shifted
+    scans of events (one per window offset, the form a user writes when
+    count(DISTINCT) over a RANGE frame errors out), then a distinct
+    count per window end — 7× the event scan+shuffle volume vs the
+    engine's single distinct-activity-pair explode."""
+    ev = t["events"]
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    shifted = None
+    for off in range(7):
+        s = act.select(
+            "user_id", F.date_add(F.col("d"), off).cast("timestamp").alias("win_end")
+        )
+        shifted = s if shifted is None else shifted.union(s)
+    days = act.select(F.col("d").alias("win_end")).distinct()
+    return (
+        shifted.join(days, "win_end")
+        .groupBy(F.col("win_end").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("day")
+    )
+
+
+def q137_frequent_pairs(t):
+    """Stock basket pairs: UNPRUNED self-join — raw lineitem joined to
+    raw lineitem on the order key (duplicate (order, part) lines fan
+    out in the join), deduped AFTER the join, then counted. Identical
+    output to the engine's q137, which dedups items BEFORE the join so
+    the pair fan-out never sees duplicate lines."""
+    li = t["lineitem"]
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa")).alias("a")
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb")).alias("b")
+    pairs = (
+        a.join(b, ["l_orderkey"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select("l_orderkey", "pa", "pb")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+def q149_pipe_corpus_scale(t):
+    """Stock external-tool run at corpus scale: the works-on-my-laptop
+    form — collect the whole (3×-replicated) corpus to the driver,
+    stage ONE file, run the 3-stage awk chain ONCE in a single
+    process, read the output back and re-parallelize. No per-partition
+    amortization, no parallel forks; serialization and the single
+    process are the bottleneck (and at real scale the driver OOMs —
+    which is the point of the engine's per-partition form)."""
+    import subprocess
+    import tempfile
+
+    d = t["documents"]
+    spark = d.sparkSession
+    amp = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"), "doc_id", "text"
+    ).select((F.col("doc_id") + F.col("r") * F.lit(1000000)).alias("doc_id"), "text")
+    rows = amp.collect()
+    with tempfile.TemporaryDirectory(prefix="base149_") as wd:
+        in_path = os.path.join(wd, "in.txt")
+        t1, t2, out_path = (os.path.join(wd, n) for n in ("t1", "t2", "out.txt"))
+        with open(in_path, "w", encoding="utf-8") as f:
+            f.write("doc_id\ttext\n")
+            for r in rows:
+                f.write(f"{r['doc_id']}\t{r['text']}\n")
+        stages = [
+            ["awk", "-F", "\t", "-v", f"out={t1}",
+             'NR > 1 { n = split($2, a, " "); print $1 "\t" n > out }', in_path],
+            ["awk", "-F", "\t", "-v", f"out={t2}",
+             'NR > 1 { print $1 "\t" length($2) > out }', in_path],
+            ["awk", "-F", "\t", "-v", f"out={out_path}",
+             'NR == FNR { t[$1] = $2; next } { print $1 "\t" t[$1] "\t" $2 > out }',
+             t1, t2],
+        ]
+        for argv in stages:
+            subprocess.run(argv, check=True, capture_output=True)
+        out_rows = []
+        with open(out_path, encoding="utf-8") as f:
+            for line in f:
+                i, nt, nc = line.rstrip("\n").split("\t")
+                out_rows.append((int(i), int(nt), int(nc)))
+    return spark.createDataFrame(
+        out_rows, "doc_id long, n_tokens long, n_chars long"
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -587,6 +723,10 @@ QUERIES = {
     "q106_textrank_keywords": q106_textrank_keywords,
     "q107_prefix_jaccard": q107_prefix_jaccard,
     "q121_prefix_jaccard_corpus": q121_prefix_jaccard_corpus,
+    "q133_triangle_count": q133_triangle_count,
+    "q135_rolling_active_users": q135_rolling_active_users,
+    "q137_frequent_pairs": q137_frequent_pairs,
+    "q149_pipe_corpus_scale": q149_pipe_corpus_scale,
 }
 
 
