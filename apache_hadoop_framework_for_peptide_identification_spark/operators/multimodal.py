@@ -67,7 +67,9 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to (width, height, channels).
 
-    STUB: real decoding needs Pillow/opencv, absent here. With
+    STUB: real decoding needs Pillow/opencv, absent here (re-probed
+    round 7, 2026-08-14: `import PIL` and `import cv2` both raise
+    ModuleNotFoundError). With
     ``fake=True`` dimensions are derived deterministically from the
     payload sha1 so downstream plumbing (schema, joins, filters) is
     exercised with realistic value distributions.

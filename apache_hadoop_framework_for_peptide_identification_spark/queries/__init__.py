@@ -112,6 +112,8 @@ _DRIVER_PRIORITY = [
     "q147_containment_pairs",
     "q148_pipeline_spec_run",
     "q149_pipe_corpus_scale",
+    "q150_sketch_top_ngrams",
+    "q151_bucketed_colocated_join",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -132,19 +134,19 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 23 of the 29 remaining
-    # fit; the 6 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 21 of the 29 remaining
+    # fit; the 8 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q09/q10: q08+q82 r5
-    # outer joins + q134 anti-joins; q23: q22 r6 + q24/q25 r5 windows;
-    # q38: q40/q117 hashing; q39: q139 try_*; q80: q35 r6 arrays) and
-    # stay green in the local sf0.001 + sf0.1 sweeps.
+    # outer joins + q134 anti-joins; q12: q13 r5 non-equi joins; q23:
+    # q22 r6 + q24/q25 r5 windows; q38: q40/q117 hashing; q39: q139
+    # try_*; q64: q65/q78 r6 UDF surface; q80: q35 r6 arrays) and
+    # stay green in the local sf0.001 + sf0.1 sweeps; at age 3 they
+    # are first in the r8 window (test_driver_rotation.py bound).
     "q06_filter_predicates",
     "q11_join_anti",
-    "q12_join_theta_pairs",
     "q14_asof_join",
     "q15_agg_stats",
     "q28_set_ops",
-    "q64_map_in_pandas",
     "q70_parquet_partitioned_sink",
     "q76_declarative_plan",
     "q84_pii_scrub",

@@ -260,3 +260,58 @@ def q105_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     return C.equiwidth_histogram(d, n_tok, _HIST_WIDTH).orderBy("bucket")
+
+
+@query(
+    "q150_sketch_top_ngrams",
+    oracle="""
+WITH bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+top AS (SELECT bigram, n FROM cnt ORDER BY n DESC, bigram LIMIT 10)
+SELECT bigram, n AS n_exact, n AS n_est FROM top ORDER BY n_exact DESC, bigram
+""",
+)
+def q150_sketch_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items sketches (Spark 4's native
+    approx_top_k_accumulate / _combine / _estimate, datasketches
+    ItemsSketch underneath) — the built-in counterpart to the
+    hand-rolled count-min pipeline (q111) and the frequency twin of
+    q123's HLL union fabric: per-source sketches accumulate
+    independently, one combine merges them WITHOUT rescanning, and a
+    single estimate serves the corpus-wide heavy hitters. At 100 TB
+    the sketches roll up per partition/day and re-merge at query time.
+
+    Exactness configuration as the oracle contract (the q120/q118
+    pattern): maxItemsTracked=8192 is ~9x the fixture's full bigram
+    vocabulary (931 distinct at sf0.1, measured), and a datasketches
+    frequent-items sketch that never evicts is EXACT — so each of the
+    exact top-10 bigrams (deterministic (count DESC, bigram) order)
+    must carry an estimated count equal to its exact count. The
+    left-join returns NULL n_est (hash mismatch) if the sketch lost or
+    misestimated any of them; the merge path is on the hot path of the
+    contract because the sketches are built per source group."""
+    d = _t(spark, sf_dir, "documents")
+    bg = C.with_bigrams(d, "text").select("source", F.explode("__bg").alias("bigram"))
+    m = 8192
+    per_src = bg.groupBy("source").agg(
+        F.expr(f"approx_top_k_accumulate(bigram, {m})").alias("sk")
+    )
+    combined = per_src.agg(F.expr(f"approx_top_k_combine(sk, {m})").alias("sk"))
+    est = combined.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 1000)")).alias("e")
+    ).select(F.col("e.item").alias("bigram"), F.col("e.count").alias("n_est"))
+    exact_top = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "bigram")
+        .limit(10)
+    )
+    return (
+        exact_top.join(est, "bigram", "left")
+        .select("bigram", "n_exact", "n_est")
+        .orderBy(F.col("n_exact").desc(), "bigram")
+    )

@@ -255,3 +255,64 @@ def q69_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.frame_sample(with_payload, n_frames=3)
     frame_counts = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
     return decoded.join(frame_counts, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q151_bucketed_colocated_join",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_li,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q151_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (sources/bucketing.py, until now
+    plan-asserted in pytest only): both join sides are written
+    bucketed+sorted by the join key through the session catalog, then
+    sort-merge-joined — the planner reads co-located buckets and drops
+    BOTH join-side Exchanges (the zero-shuffle plan is asserted in
+    tests/test_bucketing.py; this query pins the RESULT of that plan
+    against the plain-join oracle). The `merge` hint keeps the
+    demonstration independent of the session's broadcast threshold
+    instead of mutating shared session conf. At 100 TB this is the
+    repeated fact⋈fact answer: the shuffle is paid once at write time,
+    every subsequent join is narrow. Price sums aggregate in
+    DECIMAL(18,2) and cast once — the q08/q09 float-order rule."""
+    import os
+
+    from ..sources.bucketing import read_table, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # External tables at fresh temp locations: a MANAGED location can
+    # outlive the in-memory catalog entry across sessions and fail the
+    # next create with LOCATION_ALREADY_EXISTS.
+    base = tempfile.mkdtemp(prefix="q151_bkt_")
+    write_bucketed(
+        li, "q151_li_bkt", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=os.path.join(base, "li"),
+    )
+    write_bucketed(
+        o, "q151_o_bkt", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=os.path.join(base, "o"),
+    )
+    joined = (
+        read_table(spark, "q151_li_bkt")
+        .hint("merge")
+        .join(
+            read_table(spark, "q151_o_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

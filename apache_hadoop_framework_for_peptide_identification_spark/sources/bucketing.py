@@ -26,11 +26,23 @@ def write_bucketed(
     num_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (optionally sorted) catalog table."""
+    """Persist ``df`` as a bucketed (optionally sorted) catalog table.
+
+    ``path`` makes the table EXTERNAL at that location. Without it the
+    table is managed under the session's warehouse dir — and a managed
+    location can survive the session that owns the catalog entry (the
+    in-memory catalog forgets the table, the directory stays), which
+    fails the next create with LOCATION_ALREADY_EXISTS. The pre-drop
+    below clears the catalog entry; callers that may re-run across
+    sessions should pass a fresh ``path`` (see q151)."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 
