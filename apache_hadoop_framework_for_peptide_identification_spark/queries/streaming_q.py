@@ -459,3 +459,74 @@ def q141_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "n_events")
         .orderBy("window_start")
     )
+
+
+@query(
+    "q153_python_stream_source",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS id,
+       CAST((i * i) % 97 AS BIGINT) AS val,
+       CAST(i // 200 AS BIGINT) AS n_batch
+FROM (SELECT unnest(range(0, 500)) AS i)
+ORDER BY id
+""",
+)
+def q153_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python Data Source (Spark 4 DataSourceStreamReader —
+    q129 covered the batch half of the pyspark.sql.datasource surface;
+    this covers the offset-cursor half): the synthetic closed-form
+    sequence served in 200-id micro-batches through the full contract
+    — initialOffset → latestOffset (cursor advance) → partitions(start,
+    end) (per-batch executor split planning) → read → commit. One
+    continuous run drains 500 ids in batches [0,200) [200,400)
+    [400,500); foreachBatch stamps each row with its batch id, so the
+    result pins WHICH batch every row arrived in — the cursor
+    arithmetic itself, not just the union of rows (a reader that
+    re-served or skipped a range would shift n_batch or duplicate
+    ids). Batch boundaries are pure cursor arithmetic (no wall clock,
+    no data-arrival races), so n_batch = id // 200 exactly, which the
+    oracle reproduces in closed form."""
+    import shutil
+    import tempfile
+    import time
+
+    from ..sources.pyds import register
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="q153_out_")
+    ckpt = tempfile.mkdtemp(prefix="q153_ckpt_")
+    shutil.rmtree(out)  # first foreachBatch write creates it
+
+    stream = (
+        spark.readStream.format("synthseq")
+        .option("n", 500)
+        .option("parts", 4)
+        .option("rows_per_batch", 200)
+        .load()
+        .select("id", "val")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: bdf.withColumn("n_batch", F.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 500:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("q153 stream did not drain 500 ids in 120s")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.read.parquet(out).orderBy("id")

@@ -242,3 +242,59 @@ def q78_windowed_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         mean_udaf("o_totalprice").over(w).alias("cust_avg_price"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q152_arrow_native_udfs",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_totalprice > 1000 GROUP BY 1 ORDER BY 1
+""",
+)
+def q152_arrow_native_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE extension boundary (mapInArrow + applyInArrow —
+    until now mapInArrow was pytest-only and applyInArrow uncovered):
+    pyarrow RecordBatches/Tables cross the worker boundary with NO
+    pandas materialization, the zero-copy tier below
+    mapInPandas/applyInPandas for payloads pandas would mangle or copy
+    (binary blobs, large nested arrays — the multimodal columns' lane).
+    mapInArrow filters batches with pyarrow.compute; applyInArrow then
+    aggregates each status group from one pa.Table. Sums go through
+    integer CENTS (portable floor(x*100 + 0.5), the q90 rounding
+    discipline) so the per-group totals are order-independent exact
+    integers — matching the oracle's DECIMAL sum cast to double once.
+    A built-in filter + decimal groupBy beats this — the row exists to
+    pin the Arrow-native contract end to end."""
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+
+    def flt(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield b.filter(pc.greater(b.column("o_totalprice"), 1000.0))
+
+    filtered = o.mapInArrow(flt, "o_orderstatus string, o_totalprice double")
+
+    def agg(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.floor(
+            pc.add(pc.multiply(table.column("o_totalprice"), 100.0), 0.5)
+        ).cast(pa.int64())
+        total = pc.sum(cents).as_py() or 0
+        return pa.table(
+            {
+                "o_orderstatus": [table.column("o_orderstatus")[0].as_py()],
+                "n_orders": [table.num_rows],
+                "total_price": [total / 100.0],
+            }
+        )
+
+    return (
+        filtered.groupBy("o_orderstatus")
+        .applyInArrow(agg, "o_orderstatus string, n_orders long, total_price double")
+        .orderBy("o_orderstatus")
+    )

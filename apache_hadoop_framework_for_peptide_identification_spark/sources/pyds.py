@@ -20,13 +20,23 @@ schema.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class SyntheticSequenceDataSource(DataSource):
     """`spark.read.format("synthseq").option("n", N).option("parts", P)`:
     ids 0..N-1 in P contiguous chunks, val = (id*id) mod 97 — a closed
-    form any SQL oracle reproduces exactly."""
+    form any SQL oracle reproduces exactly. Also registers a STREAMING
+    reader (`spark.readStream.format("synthseq")`): the same sequence
+    served in watermark-free micro-batches of `rows_per_batch` ids,
+    exercising the full DataSourceStreamReader offset contract
+    (initialOffset → latestOffset → partitions(start, end) → read →
+    commit)."""
 
     @classmethod
     def name(cls) -> str:
@@ -37,6 +47,9 @@ class SyntheticSequenceDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticSequenceReader":
         return SyntheticSequenceReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticSequenceStreamReader":
+        return SyntheticSequenceStreamReader(self.options)
 
 
 class SyntheticSequenceReader(DataSourceReader):
@@ -55,6 +68,73 @@ class SyntheticSequenceReader(DataSourceReader):
             yield (p, i, (i * i) % 97)
 
 
+class SyntheticSequenceStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the same closed-form sequence: the
+    stream position is a single `pos` cursor (JSON offset dict, the
+    streaming analog of the batch reader's split plan); every
+    latestOffset() call advances it by `rows_per_batch` ids until `n`
+    is exhausted, and each batch's [start, end) range is split into
+    `parts` executor-side partitions. At 100 TB the cursor is a shard
+    offset vector (kafka offsets, object-store manifests) — the
+    planning/reading/commit contract exercised here is identical.
+    Deterministic end to end: no wall clock, no randomness, so a
+    checkpointed availableNow replay is byte-stable."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 4))
+        self.rows_per_batch = int(options.get("rows_per_batch", self.n))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.rows_per_batch, self.n)
+        return {"pos": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        span = hi - lo
+        return [
+            InputPartition((lo + span * p // self.parts, lo + span * (p + 1) // self.parts))
+            for p in range(self.parts)
+        ]
+
+    def read(self, partition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield (i % self.parts, i, (i * i) % 97)
+
+    def commit(self, end: dict) -> None:
+        # Offsets below `end` are durable in the sink; nothing to
+        # release for a synthetic source.
+        pass
+
+
 def register(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration.
+
+    Two worker-shipping concerns, both caught by the foreign-CWD
+    driver simulation running a PyDS query FIRST in a fresh session:
+
+    - session.configure → addPyFile ships the package to EXECUTOR
+      workers (batch reads, q129).
+    - The STREAMING source runner is a separate driver-side Python
+      worker (PythonStreamingSourceRunner) that does NOT apply
+      pyFiles, so a by-reference pickle of this module's classes fails
+      to import there. Registering this module for BY-VALUE pickling
+      with Spark's vendored cloudpickle makes the DataSource class
+      self-contained wherever it is unpickled — the same deployment
+      posture a real cluster needs unless the package is installed on
+      every node.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..session import configure
+
+    configure(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(SyntheticSequenceDataSource)
