@@ -277,3 +277,15 @@ def test_q121_prefix_join_input_smaller_than_full_postings(spark):
         F.sum(F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).alias("p")
     ).collect()[0]["p"]
     assert prefix_rows < 0.5 * full, (prefix_rows, full)
+
+
+def test_q151_bucketed_join_has_no_join_side_exchange(spark):
+    """q151's sort-merge join must read co-located buckets: an
+    Exchange hash-partitioned on either JOIN key means the bucketing
+    metadata was lost and the write-time shuffle is being paid again
+    at read time. (The aggregation and presentation sort downstream
+    legitimately exchange on their own keys.)"""
+    plan = _plan(spark, "q151_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan, plan
+    for key in ("hashpartitioning(l_orderkey", "hashpartitioning(o_orderkey"):
+        assert key not in plan, f"join-side shuffle reintroduced: {key}\n{plan}"
