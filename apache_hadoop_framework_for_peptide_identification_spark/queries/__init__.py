@@ -116,6 +116,7 @@ _DRIVER_PRIORITY = [
     "q151_bucketed_colocated_join",
     "q152_arrow_native_udfs",
     "q153_python_stream_source",
+    "q154_udtf_table_argument",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -136,17 +137,18 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 19 of the 29 remaining
-    # fit; the 10 deferred to r8 each have a FRESHER driver-verified
-    # sibling covering the same operator family (q09/q10: q08+q82 r5
-    # outer joins + q134 anti-joins; q12: q13 r5 non-equi joins; q23:
-    # q22 r6 + q24/q25 r5 windows; q38: q40/q117 hashing; q39: q139
-    # try_*; q64: q65/q78 r6 UDF surface + q152 this round; q80: q35
-    # r6 arrays; q86: q108/q117 r5 sampling/splits; q93: q21 r5 pivot
-    # + q17 r6 rollup) and stay green in the local sf0.001 + sf0.1
+    # (2) Oldest driver verdicts (round 4) — 18 of the 29 remaining
+    # fit; the 11 deferred to r8 each have a FRESHER driver-verified
+    # sibling covering the same operator family (q06: q05 r5
+    # expressions/conditionals, filters exercised by nearly every
+    # windowed query; q09/q10: q08+q82 r5 outer joins + q134
+    # anti-joins; q12: q13 r5 non-equi joins; q23: q22 r6 + q24/q25
+    # r5 windows; q38: q40/q117 hashing; q39: q139 try_*; q64:
+    # q65/q78 r6 UDF surface + q152/q154 this round; q80: q35 r6
+    # arrays; q86: q108/q117 r5 sampling/splits; q93: q21 r5 pivot +
+    # q17 r6 rollup) and stay green in the local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
-    "q06_filter_predicates",
     "q11_join_anti",
     "q14_asof_join",
     "q15_agg_stats",

@@ -298,3 +298,61 @@ def q152_arrow_native_udfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInArrow(agg, "o_orderstatus string, n_orders long, total_price double")
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q154_udtf_table_argument",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def q154_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY / ORDER BY
+    (Spark 3.5+/4.x — q65 covered the scalar-argument lateral form):
+    the SQL-native custom per-group operator. Spark instantiates the
+    UDTF once per partition key, streams that key's rows through
+    eval() in the declared ORDER BY, and terminate() emits the
+    per-group result — applyInPandas semantics, but reachable from
+    pure SQL and streaming group order instead of materializing the
+    group (O(1) state here vs the whole-group pandas frame). The
+    first_doc_id output pins the ORDER BY contract (it must equal
+    min(doc_id) only if rows really arrive doc_id-ascending); counts
+    and token totals pin per-key instance isolation — any row leaking
+    across keys breaks both engines' agreement."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, first_doc_id bigint, total_tokens bigint")
+    class LangStats:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._first = None
+            self._tokens = 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            if self._first is None:
+                self._first = row["doc_id"]
+            self._tokens += len((row["text"] or "").split(" "))
+
+        def terminate(self):
+            if self._n:
+                yield (self._lang, self._n, self._first, self._tokens)
+
+    spark.udtf.register("lang_stats_udtf", LangStats)
+    _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text"
+    ).createOrReplaceTempView("docs_for_udtf_v")
+    return spark.sql(
+        """
+        SELECT lang, n_docs, first_doc_id, total_tokens
+        FROM lang_stats_udtf(
+            TABLE(docs_for_udtf_v) PARTITION BY lang ORDER BY doc_id)
+        ORDER BY lang
+        """
+    )
