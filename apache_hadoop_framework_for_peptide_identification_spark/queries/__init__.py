@@ -117,6 +117,7 @@ _DRIVER_PRIORITY = [
     "q152_arrow_native_udfs",
     "q153_python_stream_source",
     "q154_udtf_table_argument",
+    "q155_bitmap_distinct_rollup",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -137,16 +138,17 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 18 of the 29 remaining
-    # fit; the 11 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 17 of the 29 remaining
+    # fit; the 12 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q06: q05 r5
     # expressions/conditionals, filters exercised by nearly every
     # windowed query; q09/q10: q08+q82 r5 outer joins + q134
     # anti-joins; q12: q13 r5 non-equi joins; q23: q22 r6 + q24/q25
     # r5 windows; q38: q40/q117 hashing; q39: q139 try_*; q64:
     # q65/q78 r6 UDF surface + q152/q154 this round; q80: q35 r6
-    # arrays; q86: q108/q117 r5 sampling/splits; q93: q21 r5 pivot +
-    # q17 r6 rollup) and stay green in the local sf0.001 + sf0.1
+    # arrays; q84: corpus-prep siblings q83/q87 take r7 verdicts in
+    # this window; q86: q108/q117 r5 sampling/splits; q93: q21 r5
+    # pivot + q17 r6 rollup) and stay green in the local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
     "q11_join_anti",
@@ -155,7 +157,6 @@ _DRIVER_PRIORITY = [
     "q28_set_ops",
     "q70_parquet_partitioned_sink",
     "q76_declarative_plan",
-    "q84_pii_scrub",
     "q85_contamination_check",
     "q88_epoch_shuffle",
     "q89_source_cap",

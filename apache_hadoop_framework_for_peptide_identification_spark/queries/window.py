@@ -361,3 +361,43 @@ def q31_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q155_bitmap_distinct_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q155_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregates — the
+    third tier of the rollup fabric (q123 HLL: approximate distinct;
+    q150 frequent-items: heavy hitters; this: exact distinct when the
+    id domain is dense enough to afford 4 KiB per 32k-id bucket).
+    Level 1 builds per-(event_type, day, bucket) bitmaps of user ids
+    — bitmap_bucket_number shards the id domain so each bitmap stays
+    a fixed 32768 bits; level 2 rolls daily bitmaps up to event_type
+    by bitmap_or_agg WITHOUT rescanning events, and the final count is
+    the sum of per-bucket popcounts. At 100 TB the daily bitmap table
+    is the materialized layer: any slice's exact distinct users is an
+    OR+popcount over bitmaps, never a re-scan, and unlike HLL the
+    rollup is exactly re-aggregatable along every dimension. The
+    oracle is the plain count(DISTINCT) — exactness IS the contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.col("user_id").alias("uid"),
+    )
+    daily = ev.groupBy(
+        "event_type", "d", F.expr("bitmap_bucket_number(uid)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+    rolled = daily.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        rolled.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
+        .orderBy("event_type")
+    )
