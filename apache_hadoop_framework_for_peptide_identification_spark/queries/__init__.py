@@ -118,6 +118,8 @@ _DRIVER_PRIORITY = [
     "q153_python_stream_source",
     "q154_udtf_table_argument",
     "q155_bitmap_distinct_rollup",
+    "q156_histogram_quantile_rollup",
+    "q157_zorder_layout",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -138,8 +140,8 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 17 of the 29 remaining
-    # fit; the 12 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 15 of the 29 remaining
+    # fit; the 14 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q06: q05 r5
     # expressions/conditionals, filters exercised by nearly every
     # windowed query; q09/q10: q08+q82 r5 outer joins + q134
@@ -148,14 +150,16 @@ _DRIVER_PRIORITY = [
     # q65/q78 r6 UDF surface + q152/q154 this round; q80: q35 r6
     # arrays; q84: corpus-prep siblings q83/q87 take r7 verdicts in
     # this window; q86: q108/q117 r5 sampling/splits; q93: q21 r5
-    # pivot + q17 r6 rollup) and stay green in the local sf0.001 + sf0.1
+    # pivot + q17 r6 rollup; q70: the sink/layout family is re-verified
+    # this round by q151/q157 + r6's q109/q122/q128; q102: corpus
+    # analytics siblings q101/q103/q106 hold r6 verdicts and q102 is
+    # benched every round) and stay green in the local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
     "q11_join_anti",
     "q14_asof_join",
     "q15_agg_stats",
     "q28_set_ops",
-    "q70_parquet_partitioned_sink",
     "q76_declarative_plan",
     "q85_contamination_check",
     "q88_epoch_shuffle",
@@ -165,7 +169,6 @@ _DRIVER_PRIORITY = [
     "q97_upsert_merge",
     "q99_scd2_history",
     "q100_paragraph_dedup",
-    "q102_bm25_topk",
     "q104_profile_table",
     "q105_length_histogram",
 ]

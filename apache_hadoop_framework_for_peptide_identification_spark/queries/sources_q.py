@@ -316,3 +316,53 @@ def q151_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+from ..sources.zorder import write_zordered, zvalue, zvalue_sql  # noqa: E402
+
+
+@query(
+    "q157_zorder_layout",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({zvalue_sql('l_partkey', 'l_suppkey')} AS BIGINT) AS zval
+FROM lineitem
+WHERE l_partkey <= 150 AND l_suppkey <= 8
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q157_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout for two-dimensional data skipping
+    (sources/zorder.py): lineitem is rewritten range-partitioned and
+    sorted by the bit-interleave of (l_partkey, l_suppkey) — a pure
+    32-term shift/mask JVM expression, no UDF — then read back through
+    a 2-D band predicate. The oracle recomputes every surviving row's
+    z-value bit-for-bit in SQL from the RAW table, so the hash match
+    proves the layout rewrite is lossless AND the interleave
+    arithmetic is identical on both engines. The payoff is physical,
+    not logical: each written file covers a small rectangle of the
+    key plane, so predicates on EITHER dimension prune files by
+    footer stats — measured directly in tests/test_zorder.py (the
+    z-layout must overlap strictly fewer files than the natural
+    layout for the same band). One pay-once shuffle at write time,
+    like bucketing; at 100 TB this is the plain-parquet equivalent of
+    a table format's OPTIMIZE ZORDER."""
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="q157_z_"), "li")
+    write_zordered(li, path, "l_partkey", "l_suppkey", num_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter((F.col("l_partkey") <= 150) & (F.col("l_suppkey") <= 8))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            zvalue(F.col("l_partkey"), F.col("l_suppkey")).alias("zval"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

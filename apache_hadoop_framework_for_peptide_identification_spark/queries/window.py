@@ -401,3 +401,87 @@ def q155_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q156_histogram_quantile_rollup",
+    oracle="""
+WITH h AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, bin, n,
+         sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum_n,
+         sum(n) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h),
+m AS (
+  SELECT l_returnflag, min(bin) AS med_bin
+  FROM c WHERE cum_n * 2 >= tot GROUP BY l_returnflag),
+e AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50
+  FROM lineitem GROUP BY 1)
+SELECT m.l_returnflag,
+       CAST((med_bin + 0.5) * 1000 AS DOUBLE) AS est_p50,
+       e.exact_p50,
+       (abs((med_bin + 0.5) * 1000 - e.exact_p50) <= 1000.0) AS within_bin
+FROM m JOIN e ON m.l_returnflag = e.l_returnflag
+ORDER BY m.l_returnflag
+""",
+)
+def q156_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE tier of the rollup fabric (q123 HLL ≈
+    distinct, q155 bitmap = exact distinct, q150 frequent items; Spark
+    exposes percentile_approx but not its sketch as a mergeable
+    column, so this tier is hand-rolled from fixed-width histograms —
+    which merge EXACTLY by summing bin counts): level 1 builds
+    per-(flag, ship-month, bin) counts, level 2 merges months per flag
+    WITHOUT rescanning lineitem, and the median estimate is the
+    midpoint of the first bin whose doubled cumulative count reaches
+    the total (integer comparison — no float rank math to diverge).
+    The ORACLE builds the histogram in ONE level; matching hashes
+    prove the two-level merge is lossless, which is the mergeability
+    contract itself. est_p50 is within half a bin of the true median
+    by construction; the query emits the exact median alongside and
+    the within_bin flag, all deterministic on both engines. At 100 TB
+    the month-level histogram table is the materialized layer: any slice's
+    quantiles come from summing ≤nbins longs per group, never a
+    re-sort of raw data; bin width is the precision/size knob."""
+    li = _t(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_returnflag",
+        F.date_trunc("month", "l_shipdate").alias("m"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("bin"),
+    )
+    monthly = binned.groupBy("l_returnflag", "m", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    merged = monthly.groupBy("l_returnflag", "bin").agg(F.sum("n").alias("n"))
+    w_cum = W.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = merged.select(
+        "l_returnflag",
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    med_bin = (
+        cum.filter(F.col("cum_n") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50")
+    )
+    est = (F.col("med_bin") + 0.5) * 1000
+    return (
+        med_bin.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            est.cast("double").alias("est_p50"),
+            "exact_p50",
+            (F.abs(est - F.col("exact_p50")) <= 1000.0).alias("within_bin"),
+        )
+        .orderBy("l_returnflag")
+    )
