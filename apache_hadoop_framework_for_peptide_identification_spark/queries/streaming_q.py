@@ -530,3 +530,72 @@ def q153_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.read.parquet(out).orderBy("id")
+
+
+@query(
+    "q158_stream_stream_full_outer",
+    oracle="""
+WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+              - INTERVAL 2 HOUR AS w),
+matched AS (
+  SELECT c.c_id, p.p_id FROM c JOIN p
+    ON p.p_user = c.user_id AND p.p_ts >= c.c_ts
+   AND p.p_ts <= c.c_ts + INTERVAL 15 MINUTE),
+left_null AS (
+  SELECT c.c_id, CAST(NULL AS BIGINT) AS p_id
+  FROM c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.p_user = c.user_id AND p.p_ts >= c.c_ts
+                      AND p.p_ts <= c.c_ts + INTERVAL 15 MINUTE)
+    AND c.c_ts + INTERVAL 15 MINUTE < (SELECT w FROM wm)),
+right_null AS (
+  SELECT CAST(NULL AS BIGINT) AS c_id, p.p_id
+  FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c WHERE p.p_user = c.user_id AND p.p_ts >= c.c_ts
+                      AND p.p_ts <= c.c_ts + INTERVAL 15 MINUTE)
+    AND p.p_ts < (SELECT w FROM wm))
+SELECT c_id, p_id FROM matched
+UNION ALL SELECT c_id, p_id FROM left_null
+UNION ALL SELECT c_id, p_id FROM right_null
+ORDER BY c_id NULLS LAST, p_id NULLS LAST
+""",
+)
+def q158_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last join mode
+    (inner: q91, left outer: q110): both sides null-extend, each under
+    its OWN state-eviction rule derived from the interval condition.
+    An unmatched click emits once the global watermark (min over both
+    inputs of max event time − delay) strictly passes c_ts + 15 min
+    (no purchase can still arrive in its window — q110's rule); an
+    unmatched purchase emits once the watermark strictly passes p_ts
+    itself, because a matching click needs c_ts ∈ [p_ts − 15 min,
+    p_ts] and late clicks remain admissible until the watermark
+    reaches p_ts. The oracle reproduces BOTH cutoffs, so the hash
+    match pins the per-side state-watermark derivation Spark performs
+    from the join predicate — the part of outer-join semantics that
+    silently changes row counts if misread. Rows younger than their
+    horizon at stream end never emit their null form; that is the
+    API's contract, not data loss."""
+    from ..streaming.windows import stream_stream_interval_join
+
+    clicks, purchases = _click_purchase_streams(spark, sf_dir)
+    joined = stream_stream_interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        "p_user",
+        "c_ts",
+        "p_ts",
+        within="15 minutes",
+        watermark="2 hours",
+        how="full_outer",
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select("c_id", "p_id").orderBy(
+        F.col("c_id").asc_nulls_last(), F.col("p_id").asc_nulls_last()
+    )
