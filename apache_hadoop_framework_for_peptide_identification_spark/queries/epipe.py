@@ -219,3 +219,40 @@ def q77_pipe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("text")
     return pipe_lines(d, ["grep", "the"]).orderBy("value")
+
+
+@query(
+    "q159_sql_transform",
+    oracle="""
+SELECT doc_id, upper(text) AS text_upper FROM documents ORDER BY doc_id
+""",
+)
+def q159_sql_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT TRANSFORM ... USING — the external-process operator
+    reachable from PURE SQL (Hive-streaming semantics, supported by
+    Spark without Hive since 3.0): rows stream to the child process as
+    tab-separated lines on stdin, its stdout lines come back as rows
+    of the declared AS schema. This is the SQL-surface twin of the
+    E-PIPE group — same per-partition fork amortization as the
+    reference's model (Driver.java:128), but inline in a query instead
+    of a staged chain; `tr` uppercases the ASCII corpus so DuckDB's
+    upper() reproduces it exactly. TRANSFORM emits strings (default
+    SERDE) — the typed contract is restored by explicit casts, the
+    same declared-schema discipline as run_chain. On a cluster the
+    script must exist on every executor (ship via --files /
+    addFile) — here a coreutil makes the query self-contained."""
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("docs_transform_v")
+    return spark.sql(
+        """
+        SELECT CAST(id AS BIGINT) AS doc_id, text_upper
+        FROM (
+          SELECT TRANSFORM(doc_id, text)
+            USING 'tr "a-z" "A-Z"'
+            AS (id string, text_upper string)
+          FROM docs_transform_v
+        )
+        ORDER BY doc_id
+        """
+    )
