@@ -88,3 +88,21 @@ def test_zorder_roundtrip_preserves_rows(spark):
         .first()
     )
     assert row["z"] == 0b100111, bin(row["z"])
+
+
+def test_zvalue_interleave_is_invertible(spark):
+    """Property: the Morton interleave must be a bijection on 16+16-bit
+    pairs — decode(z) == (a, b) for a deterministic sample spanning the
+    bit range. A dropped or shifted term in the 32-term expression
+    breaks this immediately."""
+    pairs = [(a, b) for a in (0, 1, 2, 255, 256, 32767, 65535)
+             for b in (0, 1, 3, 128, 4095, 65535)]
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", zvalue(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        a = b = 0
+        for i in range(16):
+            a |= ((r["z"] >> (2 * i + 1)) & 1) << i
+            b |= ((r["z"] >> (2 * i)) & 1) << i
+        assert (a, b) == (r["a"], r["b"]), (r["a"], r["b"], bin(r["z"]))
