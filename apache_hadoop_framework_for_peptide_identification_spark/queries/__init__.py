@@ -122,6 +122,7 @@ _DRIVER_PRIORITY = [
     "q157_zorder_layout",
     "q158_stream_stream_full_outer",
     "q159_sql_transform",
+    "q160_stateful_timeout_sessions",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -142,8 +143,8 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 13 of the 29 remaining
-    # fit; the 16 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 12 of the 29 remaining
+    # fit; the 17 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q06: q05 r5
     # expressions/conditionals, filters exercised by nearly every
     # windowed query; q09/q10: q08+q82 r5 outer joins + q134
@@ -157,8 +158,9 @@ _DRIVER_PRIORITY = [
     # analytics siblings q101/q103/q106 hold r6 verdicts and q102 is
     # benched every round; q104: q126 r6 same-pass telemetry sibling,
     # benched every round; q105: q156 takes a histogram-family r7
-    # verdict in this window, benched every round) and stay green in
-    # the local sf0.001 + sf0.1
+    # verdict in this window, benched every round; q100: chunk-dedup
+    # siblings q144/q145 take r7 verdicts in this window, benched
+    # every round) and stay green in the local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
     "q11_join_anti",
@@ -173,7 +175,6 @@ _DRIVER_PRIORITY = [
     "q95_incremental_dedup",
     "q97_upsert_merge",
     "q99_scd2_history",
-    "q100_paragraph_dedup",
 ]
 
 

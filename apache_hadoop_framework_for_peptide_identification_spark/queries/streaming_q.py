@@ -599,3 +599,73 @@ def q158_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("c_id", "p_id").orderBy(
         F.col("c_id").asc_nulls_last(), F.col("p_id").asc_nulls_last()
     )
+
+
+@query(
+    "q160_stateful_timeout_sessions",
+    oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+)
+def q160_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMEOUT in the custom stateful operator (q58 covered
+    the accumulate path; this covers state EXPIRY — the closed-session
+    emission every sessionization pipeline rests on): keys emit their
+    totals ONLY from the hasTimedOut branch, after the watermark
+    passes their last event time + 30 min, and their state is removed.
+    Three checkpointed availableNow replays (the q119 technique) drive
+    the watermark: (1) all events — states build, timeouts arm, nothing
+    emits; (2) a sentinel 2 h past max(ts) — the watermark jumps to
+    max(ts)+1 h, timing out every real key; (3) a second sentinel 2 h
+    further — times out sentinel 1 so the run leaves no live state
+    behind except the final sentinel's. Every real user must appear
+    EXACTLY once with its full totals: a key emitted from the update
+    path, emitted twice, or missed by the timeout sweep all break the
+    oracle (the plain per-user batch rollup). Timeouts fire on
+    watermark progress, not wall clock, so the replay is
+    deterministic."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import stateful_totals_on_timeout
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx_ts = ev.agg(F.max("ts")).first()[0]
+
+    src = tempfile.mkdtemp(prefix="q160_src_")
+    ckpt = tempfile.mkdtemp(prefix="q160_ckpt_")
+    out = tempfile.mkdtemp(prefix="q160_out_")
+    shutil.rmtree(out)  # first foreachBatch write creates it
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+            src
+        )
+        q = (
+            stateful_totals_on_timeout(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(src)
+    run_once()
+    for i, sentinel_uid in enumerate((-1, -2)):
+        spark.createDataFrame(
+            [(sentinel_uid, mx_ts + dt.timedelta(hours=2 * (i + 1)), 0.0)],
+            "user_id long, ts timestamp, value double",
+        ).write.mode("append").parquet(src)
+        run_once()
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id")
+    )

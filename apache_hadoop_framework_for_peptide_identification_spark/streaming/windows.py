@@ -167,6 +167,56 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_totals_on_timeout(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-key totals emitted ONLY when the key's state times out on
+    EVENT TIME — the state-expiry half of the stateful contract (q58
+    covers the no-timeout accumulate path): each batch of a user's
+    events updates (count, sum) and re-arms the timeout at that
+    batch's max event time + ``gap``; when the watermark passes the
+    armed timestamp, Spark invokes the function with hasTimedOut=True
+    and an empty input, and ONLY then does the key emit — after which
+    its state is removed. This is the closed-session emission pattern:
+    state is O(keys), every key emits exactly once, and emission is
+    driven by watermark progress, not data arrival.
+
+    Deterministic by construction: event-time timeouts fire on
+    watermark advancement (replay-stable), unlike processing-time
+    timeouts which depend on the wall clock.
+    """
+    import pandas as pd
+
+    gap_ms = {"30 minutes": 30 * 60 * 1000}[gap]
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        last_ms = 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, s))
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
 def run_foreach_batch(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     """foreachBatch sink: reuse the batch parquet writer per micro-batch
     (the §2B foreachBatch row). Exactly-once via the checkpoint +
