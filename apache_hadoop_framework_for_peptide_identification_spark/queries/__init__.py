@@ -123,6 +123,7 @@ _DRIVER_PRIORITY = [
     "q158_stream_stream_full_outer",
     "q159_sql_transform",
     "q160_stateful_timeout_sessions",
+    "q161_stream_session_finalized",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -143,8 +144,8 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 12 of the 29 remaining
-    # fit; the 17 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 11 of the 29 remaining
+    # fit; the 18 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q06: q05 r5
     # expressions/conditionals, filters exercised by nearly every
     # windowed query; q09/q10: q08+q82 r5 outer joins + q134
@@ -160,7 +161,8 @@ _DRIVER_PRIORITY = [
     # benched every round; q105: q156 takes a histogram-family r7
     # verdict in this window, benched every round; q100: chunk-dedup
     # siblings q144/q145 take r7 verdicts in this window, benched
-    # every round) and stay green in the local sf0.001 + sf0.1
+    # every round; q99: q130 r6 point-in-time SCD2 join is the same
+    # interval-history family) and stay green in the local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
     "q11_join_anti",
@@ -174,7 +176,6 @@ _DRIVER_PRIORITY = [
     "q94_correlated_subqueries",
     "q95_incremental_dedup",
     "q97_upsert_merge",
-    "q99_scd2_history",
 ]
 
 

@@ -669,3 +669,92 @@ def q160_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "q161_stream_session_finalized",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q161_stream_session_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows in append mode — q53 verified the
+    session-merging semantics in batch; this verifies the streaming
+    FINALIZATION contract: append mode emits a session only once the
+    watermark proves no event can extend it. Two checkpointed
+    availableNow replays: (1) all events — sessions accumulate in
+    state, nothing final; (2) one sentinel 3 h past max(ts) — the
+    watermark jumps to max(ts)+2 h, strictly past every real
+    session's close (last event + 30 min gap), so EVERY real session
+    finalizes and emits exactly once (the sentinel's own session
+    cannot finalize and is filtered). The oracle reconstructs the
+    same 30-minute-gap sessions with the lag/cumsum idiom, so a
+    session emitted early, split across emissions, or left in state
+    hash-mismatches. State per key is the open sessions only —
+    bounded by the gap horizon at any volume."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    mx_ts = ev.agg(F.max("ts")).first()[0]
+
+    src = tempfile.mkdtemp(prefix="q161_src_")
+    ckpt = tempfile.mkdtemp(prefix="q161_ckpt_")
+    out = tempfile.mkdtemp(prefix="q161_out_")
+    shutil.rmtree(out)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(src)
+    run_once()
+    spark.createDataFrame(
+        [(-1, mx_ts + dt.timedelta(hours=3))], "user_id long, ts timestamp"
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
