@@ -758,3 +758,78 @@ def q161_stream_session_finalized(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q162_watermark_late_drop",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q162_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-ROW DROP, driver-verifiable (previously a pytest:
+    the §2B 'watermark / late data' row): hourly tumbling counts in
+    append mode over two checkpointed replays — (1) all events; (2)
+    fifty CLONED events re-timestamped to min(ts), which is far below
+    the batch-1 watermark (max(ts) − 1 h), plus a sentinel 3 h past
+    max(ts) that finalizes every remaining window. The late clones
+    must be dropped BEFORE aggregation: if Spark admitted them they
+    would either re-emit an already-finalized window (a duplicate
+    window row in the sink) or inflate a pending window's count —
+    both hash-mismatch against the oracle, which is the plain batch
+    hourly rollup of the ORIGINAL events only. Timestamps are chosen
+    far from the watermark boundary, so this pins the drop/admit
+    behavior itself; the exact ms-floor boundary rule is pinned
+    separately (q119 + its boundary pytest). The sentinel's own
+    window is excluded by the window_start ≤ max(ts) filter."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    mn_ts, mx_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+
+    src = tempfile.mkdtemp(prefix="q162_src_")
+    ckpt = tempfile.mkdtemp(prefix="q162_ckpt_")
+    out = tempfile.mkdtemp(prefix="q162_out_")
+    shutil.rmtree(out)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(src)
+    run_once()
+    late = ev.filter(F.col("event_id") < 50).select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+        F.lit(mn_ts).cast("timestamp").alias("ts"),
+    )
+    sentinel = spark.createDataFrame(
+        [(9_999_999, mx_ts + dt.timedelta(hours=3))], "event_id long, ts timestamp"
+    )
+    late.unionByName(sentinel).write.mode("append").parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("window_start") <= F.lit(mx_ts))
+        .orderBy("window_start")
+    )
