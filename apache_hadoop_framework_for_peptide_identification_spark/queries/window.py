@@ -441,9 +441,14 @@ def q156_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     the total (integer comparison — no float rank math to diverge).
     The ORACLE builds the histogram in ONE level; matching hashes
     prove the two-level merge is lossless, which is the mergeability
-    contract itself. est_p50 is within half a bin of the true median
-    by construction; the query emits the exact median alongside and
-    the within_bin flag, all deterministic on both engines. At 100 TB
+    contract itself. Error bound, stated precisely: the LOWER median
+    (the ⌈n/2⌉-th value) always lies inside med_bin, so the midpoint
+    estimate is within half a bin of IT; the interpolated median can
+    drift further only when n is even and the two middle values land
+    in different bins (sparse data straddling a bin edge) — so the
+    query emits the exact median and a within_bin flag, making the
+    realized error reported data (identical on both engines), not an
+    assumed invariant. At 100 TB
     the month-level histogram table is the materialized layer: any slice's
     quantiles come from summing ≤nbins longs per group, never a
     re-sort of raw data; bin width is the precision/size knob."""
