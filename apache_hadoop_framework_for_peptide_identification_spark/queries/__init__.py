@@ -125,6 +125,7 @@ _DRIVER_PRIORITY = [
     "q160_stateful_timeout_sessions",
     "q161_stream_session_finalized",
     "q162_watermark_late_drop",
+    "q163_importance_resampling",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -145,8 +146,8 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 10 of the 29 remaining
-    # fit; the 19 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 9 of the 29 remaining
+    # fit; the 20 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q06: q05 r5
     # expressions/conditionals, filters exercised by nearly every
     # windowed query; q09/q10: q08+q82 r5 outer joins + q134
@@ -164,7 +165,9 @@ _DRIVER_PRIORITY = [
     # siblings q144/q145 take r7 verdicts in this window, benched
     # every round; q99: q130 r6 point-in-time SCD2 join is the same
     # interval-history family; q95: q116 shares q95's oracle VERBATIM
-    # and takes an r7 verdict in this window) and stay green in the
+    # and takes an r7 verdict in this window; q85: q163 takes an r7
+    # verdict with the identical broadcast-the-model topology and q85
+    # keeps its planted-positive pytest) and stay green in the
     # local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
@@ -173,7 +176,6 @@ _DRIVER_PRIORITY = [
     "q15_agg_stats",
     "q28_set_ops",
     "q76_declarative_plan",
-    "q85_contamination_check",
     "q88_epoch_shuffle",
     "q89_source_cap",
     "q94_correlated_subqueries",

@@ -1209,3 +1209,82 @@ def q147_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.9)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q163_importance_resampling",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents) d,
+       unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+feat AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(bigram), 1, 15))::UBIGINT % 4096 AS BIGINT) AS bucket
+  FROM bg),
+tc AS (SELECT bucket, count(*) AS ct FROM feat WHERE source = 'src0' GROUP BY bucket),
+sc AS (
+  SELECT f.doc_id,
+         CAST(sum(coalesce(tc.ct, 0)) AS BIGINT) AS affinity,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM feat f LEFT JOIN tc USING (bucket)
+  GROUP BY f.doc_id)
+SELECT doc_id, affinity, n_bigrams,
+       CAST(affinity AS DOUBLE) / n_bigrams AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 100
+""",
+)
+def q163_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling toward a target domain (the DSIR recipe
+    shape — Xie et al. 2023: score every raw document by hashed-n-gram
+    affinity to a small high-quality target corpus, keep the top
+    quota): bigrams feature-hash into 4096 buckets via the engine's
+    portable md5 hash (the q120/q140 technique, so the oracle
+    recomputes every bucket bit-for-bit), the target corpus (source
+    'src0') aggregates to AT MOST 4096 integer counts, and each doc's
+    affinity is the integer sum of target counts over its bigram
+    occurrences — normalized once by its bigram count in a single
+    float division, so ranking is exact on both engines (DSIR's
+    log-likelihood-ratio weights are deliberately replaced by
+    integer-exact counts: IEEE ln is not bit-identical across
+    engines, and cross-engine verifiability is this registry's
+    contract; swap the broadcast map's values for log-ratios on a
+    real run, the plan is unchanged). 100 TB shape: the target stats
+    are a ≤4096-row broadcast, corpus text never shuffles — only
+    (doc_id, bucket) pairs aggregate map-side; the same
+    broadcast-the-model topology as q85's contamination check and
+    q101's familiarity scorer."""
+    from ..operators.corpus import with_bigrams
+
+    d = _t(spark, sf_dir, "documents")
+    bg = with_bigrams(d, "text").select(
+        "doc_id", "source", F.explode("__bg").alias("bigram")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("bigram"), 1, 15), 16, 10).cast("long"), F.lit(4096)
+    ).alias("bucket")
+    feat = bg.select("doc_id", "source", bucket)
+    tc = (
+        feat.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    scored = (
+        feat.join(F.broadcast(tc), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("ct"), F.lit(0))).alias("affinity"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "affinity",
+            "n_bigrams",
+            (F.col("affinity").cast("double") / F.col("n_bigrams")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+    )
