@@ -289,3 +289,19 @@ def test_q151_bucketed_join_has_no_join_side_exchange(spark):
     assert "SortMergeJoin" in plan, plan
     for key in ("hashpartitioning(l_orderkey", "hashpartitioning(o_orderkey"):
         assert key not in plan, f"join-side shuffle reintroduced: {key}\n{plan}"
+
+
+def test_q163_target_stats_are_broadcast(spark):
+    """q163's scale contract: the ≤4096-row target-count side must
+    BROADCAST — a shuffled hash join here would shuffle every
+    (doc, bucket) pair against the model instead of streaming past a
+    replicated map."""
+    plan = _plan(spark, "q163_importance_resampling")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q150_sketch_estimate_join_is_broadcast(spark):
+    """q150's estimate (≤1000 rows exploded from one combined sketch)
+    joins the exact top-10 — that side must broadcast, never shuffle."""
+    plan = _plan(spark, "q150_sketch_top_ngrams")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
