@@ -126,6 +126,7 @@ _DRIVER_PRIORITY = [
     "q161_stream_session_finalized",
     "q162_watermark_late_drop",
     "q163_importance_resampling",
+    "q164_shared_span_pairs",
     # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
     # (1) Implementation changed this round: the bloom build now
     # coalesces its position partitions (round-6 ADVICE item 2) —
@@ -146,8 +147,8 @@ _DRIVER_PRIORITY = [
     # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
     "q79_dedup_clusters",
     "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 9 of the 29 remaining
-    # fit; the 20 deferred to r8 each have a FRESHER driver-verified
+    # (2) Oldest driver verdicts (round 4) — 8 of the 29 remaining
+    # fit; the 21 deferred to r8 each have a FRESHER driver-verified
     # sibling covering the same operator family (q06: q05 r5
     # expressions/conditionals, filters exercised by nearly every
     # windowed query; q09/q10: q08+q82 r5 outer joins + q134
@@ -167,7 +168,8 @@ _DRIVER_PRIORITY = [
     # interval-history family; q95: q116 shares q95's oracle VERBATIM
     # and takes an r7 verdict in this window; q85: q163 takes an r7
     # verdict with the identical broadcast-the-model topology and q85
-    # keeps its planted-positive pytest) and stay green in the
+    # keeps its planted-positive pytest; q89: q03 takes an r7 verdict
+    # on the identical window-rank-filter plan) and stay green in the
     # local sf0.001 + sf0.1
     # sweeps; at age 3 they are first in the r8 window
     # (test_driver_rotation.py bound).
@@ -177,7 +179,6 @@ _DRIVER_PRIORITY = [
     "q28_set_ops",
     "q76_declarative_plan",
     "q88_epoch_shuffle",
-    "q89_source_cap",
     "q94_correlated_subqueries",
     "q97_upsert_merge",
 ]

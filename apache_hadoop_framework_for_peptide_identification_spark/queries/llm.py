@@ -1288,3 +1288,112 @@ def q163_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(100)
     )
+
+
+_Q164_P16 = " ".join(f"zz{i:02d}" for i in range(1, 17))
+_Q164_P24 = " ".join(f"qq{i:02d}" for i in range(1, 25))
+
+
+@query(
+    "q164_shared_span_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 100 AND doc_id % 10 = 0
+                THEN '{_Q164_P16} {_Q164_P24} ' || text
+              WHEN doc_id < 200 AND doc_id % 5 = 0
+                THEN '{_Q164_P24} ' || text
+              ELSE text END AS text
+  FROM documents),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk
+  FROM tok, unnest(range(0, len(t) // 8)) AS u(i)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.pos AS pa, b.pos AS pb
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b,
+         count(*) AS run_len
+  FROM (
+    SELECT doc_a, doc_b, pa, pa - pb AS diag,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                   ORDER BY pa) AS island
+    FROM pairs)
+  GROUP BY doc_a, doc_b, diag, island)
+SELECT doc_a, doc_b, CAST(max(run_len) AS BIGINT) AS longest_run
+FROM runs GROUP BY doc_a, doc_b
+HAVING max(run_len) >= 2
+ORDER BY doc_a, doc_b
+""",
+)
+def q164_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared passage between document pairs — the plagiarism/
+    excerpt-forensics tier above q147's containment score (which says
+    HOW MUCH overlaps; this says HOW LONG the longest contiguous run
+    is): docs are cut into tumbling 8-token chunks with positions,
+    identical chunks join pairwise (the q100/q147 posting-join shape —
+    chunk keys, never all-pairs), and within each pair the matching
+    positions group by their DIAGONAL (pos_a − pos_b); consecutive
+    positions on one diagonal are a contiguous shared span, extracted
+    with the q142 gaps-and-islands idiom. Two planted passage tiers
+    (24 tokens = 3 chunks on every 5th doc below 200; plus 16 more on
+    every 10th below 100) make runs of 3 and 5 that must surface
+    exactly — a chunker off by one token, a diagonal mixup, or an
+    island split all change longest_run. Planted tokens are outside
+    the fixture vocabulary so the tiers are exact; natural chunk
+    collisions surface identically on both engines. At 100 TB the
+    chunk join carries 16-byte chunk hashes (q100's discipline) and
+    the per-pair diagonal window is bounded by matched positions, not
+    document length."""
+    toks = F.split(F.col("text"), " ")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") < 100) & (F.col("doc_id") % 10 == 0),
+            F.concat(F.lit(_Q164_P16 + " " + _Q164_P24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") < 200) & (F.col("doc_id") % 5 == 0),
+            F.concat(F.lit(_Q164_P24 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_chunks = F.floor(F.size(toks) / 8).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    chunks = d.filter(n_chunks >= 1).select(
+        "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").cast("long").alias("pa"),
+            F.col("b.pos").cast("long").alias("pb"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = pairs.select(
+        "doc_a", "doc_b", "pa", diag
+    ).withColumn("island", F.col("pa") - F.row_number().over(w))
+    runs = islands.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_len").alias("longest_run"))
+        .filter(F.col("longest_run") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
