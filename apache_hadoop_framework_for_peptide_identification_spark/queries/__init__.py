@@ -71,132 +71,110 @@ from . import analytics_q  # noqa: E402,F401
 # The external verification driver records CORRECTNESS verdicts for the
 # first _DRIVER_WINDOW registry entries in registration order (observed in
 # rounds 1 and 2).  Registration order is the lever we control, so each
-# round the window rotates: (1) queries whose implementation changed this
-# round, (2) queries whose most recent driver verdict is oldest, (3) the
-# bench headliners, (4) one representative per family.  Everything outside
-# the window is still verified every round by the local oracle sweep
+# round the window rotates.  Everything outside the window is still
+# verified every round by the local oracle sweep
 # (tests/test_oracle_queries.py parametrizes over the FULL registry at
 # sf0.001/sf0.01, and `make sweep-sf01` at sf0.1) — rotation trades WHICH
 # queries get a fresh *driver* verdict, never whether they are verified.
 #
-# Round-7 window. Assembly rule (tightened after r4, VERDICT item 6;
-# amended after r5 ADVICE item 3): (0) any query that FAILED the
-# previous round's driver run or the local oracle sweep goes FIRST — a
-# stale green verdict must never mask a current failure; (1) queries
-# whose implementation or oracle changed this round — INCLUDING
-# operator-level rewires that only show up in shared helpers; (2)
-# oldest stale verdicts; (3) bench headliners; (4) next-oldest
-# verdicts with the remaining slots.
+# Rounds 3–7 hand-authored the window each round; the r7 VERDICT/ADVICE
+# flagged the structural flaw: the moment the driver commits the round's
+# CORRECTNESS file, the hand-authored window is one round behind and the
+# staleness guard (tests/test_driver_rotation.py) goes red until the next
+# round's builder rotates by hand.  Round 8 makes the rotation
+# SELF-ROTATING: the window is computed at import time from the
+# CORRECTNESS_r*.json history itself, with the r4-onward assembly rule
+# encoded as code instead of prose:
+#   (0) never-driver-verified queries FIRST — new operators never wait a
+#       round for their first driver verdict;
+#   (1) queries whose implementation or oracle changed this round
+#       (_CHANGED_THIS_ROUND — the one hand-maintained pin list, cleared
+#       or rewritten each round) — a stale green verdict must never mask
+#       a current change;
+#   (2) all remaining slots to the OLDEST driver verdicts, oldest round
+#       first, ties broken by query number (deterministic across runs
+#       and CWDs — the history is read from files next to this package,
+#       not the process CWD).
+# When the driver lands CORRECTNESS_r08.json, the next import recomputes
+# and the window IS the round-9 rotation — the tree stays green at round
+# close, the failure mode ADVICE r7 item 1 described.  Capacity stays the
+# builder's own math: ≤ _DRIVER_WINDOW × (MAX_AGE + 1) = 200 queries.
 _DRIVER_WINDOW = 50
 
-_DRIVER_PRIORITY = [
-    # (-1) Never had a driver verdict: q133–q147 landed after the r6
-    # window filled (they back 9 SURVEY §2B rows + the update-mode
-    # sink row — r6 VERDICT item 1 prescribes them first), plus the
-    # two new r7 queries (pipeline-spec job composition, E-PIPE at
-    # corpus scale — r6 VERDICT item 7).
-    "q133_triangle_count",
-    "q134_referential_integrity",
-    "q135_rolling_active_users",
-    "q136_abc_analysis",  # also impl changed r7: decimal-exact windows
-    "q137_frequent_pairs",
-    "q138_event_transitions",
-    "q139_try_functions",
-    "q140_fuzzy_name_join",
-    "q141_stream_update_mode",
-    "q142_longest_streak",
-    "q143_mad_outliers",
-    "q144_normalized_dedup",
-    "q145_passage_chunking",
-    "q146_winsorize",
-    "q147_containment_pairs",
-    "q148_pipeline_spec_run",
-    "q149_pipe_corpus_scale",
-    "q150_sketch_top_ngrams",
-    "q151_bucketed_colocated_join",
-    "q152_arrow_native_udfs",
-    "q153_python_stream_source",
-    "q154_udtf_table_argument",
-    "q155_bitmap_distinct_rollup",
-    "q156_histogram_quantile_rollup",
-    "q157_zorder_layout",
-    "q158_stream_stream_full_outer",
-    "q159_sql_transform",
-    "q160_stateful_timeout_sessions",
-    "q161_stream_session_finalized",
-    "q162_watermark_late_drop",
-    "q163_importance_resampling",
+# Queries whose implementation or oracle changed in the CURRENT round and
+# therefore must take a fresh driver verdict even if their last verdict
+# is recent.  Rewritten each round; stale pins cost a slot, nothing else.
+_CHANGED_THIS_ROUND = [
+    # r8: fake-decode digest switched sha1→md5 so DuckDB can recompute
+    # it — q69's first-ever oracle (VERDICT r7 item 2).
+    "q69_multimodal_decode",
+    # r8: shared-span chunk join re-keyed from raw 8-token strings to
+    # xxhash64 chunk keys (VERDICT r7 item 3 / watch item 4a).
     "q164_shared_span_pairs",
-    # (0) Nothing failed in r6 (driver 50/50 green; local sweeps green)
-    # (1) Implementation changed this round: the bloom build now
-    # coalesces its position partitions (round-6 ADVICE item 2) —
-    # different physical plan, same contract; re-verify. (q119's r7
-    # change is a fixture-uniqueness guard that cannot alter output —
-    # it raises or is a no-op — so it keeps its r6 verdict.)
-    "q116_bloom_incremental_dedup",
-    # (3) Bench headliners displaced from the r6 window by the 14 new
-    # entries (r6 VERDICT item 1 names them next).
-    "q01_scan_filter_agg",
-    "q02_join_revenue_topk",
-    "q03_window_topk_per_group",
-    "q04_tumbling_hourly",
-    "q50_pipe_tokens",
-    "q83_repetition_filter",
-    "q87_sequence_packing",
-    # (1-deferred) The shingle-oracle twins (same CTE change as
-    # q41/q107/q113, which carried the r6 verdict) — deferred from r6.
-    "q79_dedup_clusters",
-    "q96_dedup_corpus",
-    # (2) Oldest driver verdicts (round 4) — 8 of the 29 remaining
-    # fit; the 21 deferred to r8 each have a FRESHER driver-verified
-    # sibling covering the same operator family (q06: q05 r5
-    # expressions/conditionals, filters exercised by nearly every
-    # windowed query; q09/q10: q08+q82 r5 outer joins + q134
-    # anti-joins; q12: q13 r5 non-equi joins; q23: q22 r6 + q24/q25
-    # r5 windows; q38: q40/q117 hashing; q39: q139 try_*; q64:
-    # q65/q78 r6 UDF surface + q152/q154 this round; q80: q35 r6
-    # arrays; q84: corpus-prep siblings q83/q87 take r7 verdicts in
-    # this window; q86: q108/q117 r5 sampling/splits; q93: q21 r5
-    # pivot + q17 r6 rollup; q70: the sink/layout family is re-verified
-    # this round by q151/q157 + r6's q109/q122/q128; q102: corpus
-    # analytics siblings q101/q103/q106 hold r6 verdicts and q102 is
-    # benched every round; q104: q126 r6 same-pass telemetry sibling,
-    # benched every round; q105: q156 takes a histogram-family r7
-    # verdict in this window, benched every round; q100: chunk-dedup
-    # siblings q144/q145 take r7 verdicts in this window, benched
-    # every round; q99: q130 r6 point-in-time SCD2 join is the same
-    # interval-history family; q95: q116 shares q95's oracle VERBATIM
-    # and takes an r7 verdict in this window; q85: q163 takes an r7
-    # verdict with the identical broadcast-the-model topology and q85
-    # keeps its planted-positive pytest; q89: q03 takes an r7 verdict
-    # on the identical window-rank-filter plan) and stay green in the
-    # local sf0.001 + sf0.1
-    # sweeps; at age 3 they are first in the r8 window
-    # (test_driver_rotation.py bound).
-    "q11_join_anti",
-    "q14_asof_join",
-    "q15_agg_stats",
-    "q28_set_ops",
-    "q76_declarative_plan",
-    "q88_epoch_shuffle",
-    "q94_correlated_subqueries",
-    "q97_upsert_merge",
 ]
+
+
+def _verdict_history() -> dict[str, int]:
+    """Latest driver-verdict round per query, from CORRECTNESS_r*.json.
+
+    Reads the files from the repository root (two levels above this
+    package), NOT the process CWD — the driver imports __spark_entry__
+    from a foreign CWD (observed r5).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(_re.search(r"CORRECTNESS_r(\d+)", path).group(1))
+        try:
+            with open(path) as fh:
+                names = _json.load(fh)
+        except (OSError, ValueError):
+            continue  # a malformed artifact must not break imports
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _compute_driver_priority() -> list[str]:
+    assert len(set(_CHANGED_THIS_ROUND)) == len(_CHANGED_THIS_ROUND), "duplicate pins"
+    unknown = [n for n in _CHANGED_THIS_ROUND if n not in REGISTRY]
+    assert not unknown, f"pinned names not in registry: {unknown}"
+
+    latest = _verdict_history()
+
+    def qnum(name: str) -> int:
+        import re as _re
+
+        m = _re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 10**9
+
+    never = sorted((n for n in REGISTRY if n not in latest), key=qnum)
+    pinned = [n for n in _CHANGED_THIS_ROUND if n not in never and n in latest]
+    head = never + pinned
+    assert len(head) <= _DRIVER_WINDOW, (
+        f"{len(never)} never-verified + {len(pinned)} pinned queries exceed the "
+        f"{_DRIVER_WINDOW}-slot driver window — ship fewer new queries this round"
+    )
+    rest = sorted(
+        (n for n in REGISTRY if n not in set(head)),
+        key=lambda n: (latest[n], qnum(n)),
+    )
+    return (head + rest)[:_DRIVER_WINDOW]
 
 
 def _reorder_registry() -> None:
     # Guardrails (ADVICE round 2): the rotation must exactly fill the
-    # driver's verification window, and a typo'd name must fail loudly
-    # instead of silently shrinking coverage.
-    assert len(_DRIVER_PRIORITY) == _DRIVER_WINDOW, (
-        f"driver priority list has {len(_DRIVER_PRIORITY)} entries; "
-        f"the driver verifies exactly the first {_DRIVER_WINDOW}"
-    )
-    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY), "duplicate priority entries"
-    unknown = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
-    assert not unknown, f"priority entries not in registry: {unknown}"
+    # driver's verification window with real, distinct names.
+    priority = _compute_driver_priority()
+    assert len(priority) == min(_DRIVER_WINDOW, len(REGISTRY)), "window underfilled"
+    assert len(set(priority)) == len(priority), "duplicate priority entries"
     ordered: dict[str, QueryDef] = {}
-    for name in _DRIVER_PRIORITY:
+    for name in priority:
         ordered[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():
         if name not in ordered:
