@@ -68,11 +68,15 @@ def decode_image(
     """Decode image payloads to (width, height, channels).
 
     STUB: real decoding needs Pillow/opencv, absent here (re-probed
-    round 7, 2026-08-14: `import PIL` and `import cv2` both raise
+    round 8, 2026-08-14: `import PIL` and `import cv2` both raise
     ModuleNotFoundError). With
     ``fake=True`` dimensions are derived deterministically from the
-    payload sha1 so downstream plumbing (schema, joins, filters) is
-    exercised with realistic value distributions.
+    payload **md5** so downstream plumbing (schema, joins, filters) is
+    exercised with realistic value distributions. md5 (not sha1)
+    because an external SQL oracle can recompute it byte-for-byte —
+    q69's DuckDB oracle derives the same (width, height, n_channels)
+    from hex-pair slices of ``md5(text)`` (r7 VERDICT item 2), turning
+    the stub from rows-only-checked into hash-verified.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,7 +86,7 @@ def decode_image(
                     "image decoding requires Pillow/opencv (not in this container); "
                     "pass fake=True for the deterministic stub"
                 )
-            digests = pdf[payload_col].map(lambda b: hashlib.sha1(b or b"").digest())
+            digests = pdf[payload_col].map(lambda b: hashlib.md5(b or b"").digest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

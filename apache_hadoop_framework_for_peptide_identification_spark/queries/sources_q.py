@@ -241,15 +241,31 @@ def q129_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q69_multimodal_decode", oracle=None)
+@query(
+    "q69_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS INT)       AS width,
+       CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS INT)       AS height,
+       CAST(1 + (('0x' || substr(md5(text), 5, 2))::INT % 2) * 2 AS INT)    AS n_channels,
+       CAST(3 AS BIGINT)                                                    AS n_frames
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""",
+)
 def q69_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + frame-sample plumbing over binary payloads
     (deterministic fake decode — codec libs absent; see
     operators/multimodal.py): payload → (width, height, channels) and
     3 sampled frames per doc, joined on doc_id. Schema/batch shapes
     are the real contract; determinism asserted in
-    tests/test_multimodal.py."""
-    docs = _t(spark, sf_dir, "documents").limit(100)
+    tests/test_multimodal.py. Hash-verified since r8: the fake decode
+    derives dims from the payload md5, which the oracle recomputes
+    from hex-pair slices of DuckDB's md5(text) — byte i of the digest
+    is hex chars [2i, 2i+2). The doc subset is a deterministic
+    doc_id predicate (pushed to the scan), not limit() — limit on an
+    unordered scan is partition-order-dependent and cannot be
+    hash-compared."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     with_payload = multimodal.attach_payload(docs)
     decoded = multimodal.decode_image(with_payload, fake=True)
     frames = multimodal.frame_sample(with_payload, n_frames=3)
