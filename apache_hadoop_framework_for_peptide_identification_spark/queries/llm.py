@@ -1344,10 +1344,15 @@ def q164_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — a chunker off by one token, a diagonal mixup, or an
     island split all change longest_run. Planted tokens are outside
     the fixture vocabulary so the tiers are exact; natural chunk
-    collisions surface identically on both engines. At 100 TB the
-    chunk join carries 16-byte chunk hashes (q100's discipline) and
-    the per-pair diagonal window is bounded by matched positions, not
-    document length."""
+    collisions surface identically on both engines. The chunk join
+    carries 16-byte ``unhex(md5(chunk))`` keys (q100's discipline,
+    implemented r8 — r7 VERDICT item 3): the raw 8-token chunk string
+    (~50 B average here, unbounded in general) never enters the
+    shuffle, only (doc_id, pos, 16-byte key) rows do — at 100 TB
+    that is the difference between shuffling the corpus and shuffling
+    a fixed-width index. 128-bit keys make collisions a non-event, so
+    the exact-string oracle is unchanged. The per-pair diagonal
+    window is bounded by matched positions, not document length."""
     toks = F.split(F.col("text"), " ")
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1370,9 +1375,14 @@ def q164_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.filter(n_chunks >= 1).select(
         "doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # Shuffle 16-byte hashes, never chunk text: the key is computed
+    # map-side and the string column is dropped before the join.
+    hashed = chunks.select(
+        "doc_id", "pos", F.unhex(F.md5("chunk")).alias("chunk_h")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
     pairs = (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.chunk_h") == F.col("b.chunk_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
