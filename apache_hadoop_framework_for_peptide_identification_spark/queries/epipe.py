@@ -59,6 +59,35 @@ def q50_pipe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _assert_tsv_stageable(df, text_col: str = "text") -> None:
+    """q119-style loud fixture-contract guard (r7 ADVICE item 4): the
+    awk TSV chains in q148/q149 assume text is non-null, non-empty and
+    free of tab/newline — a NULL/empty text would emit (0, 0) where the
+    oracle yields NULL, and an embedded tab/newline would mis-parse the
+    TSV. All true in today's fixtures; if a regenerated fixture ever
+    broke it, the hash mismatch would not point at the real cause —
+    fail loudly here instead. One bounded scan (limit 1 short-circuit)."""
+    from pyspark.sql import functions as _F
+
+    bad = (
+        df.filter(
+            _F.col(text_col).isNull()
+            | (_F.length(text_col) == 0)
+            | _F.col(text_col).contains("\t")
+            | _F.col(text_col).contains("\n")
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            "E-PIPE fixture contract broken: documents.text contains a "
+            "NULL/empty value or an embedded tab/newline — the TSV staging "
+            "in q148/q149 cannot represent it; regenerate the fixture or "
+            "switch the chain to a quoted/escaped format"
+        )
+
+
 @query(
     "q148_pipeline_spec_run",
     oracle="""
@@ -86,6 +115,7 @@ def q148_pipeline_spec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.spec import run_algorithm
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_tsv_stageable(d)
     in_dir = tempfile.mkdtemp(prefix="q148_in_")
     out_dir = tempfile.mkdtemp(prefix="q148_out_")
     d.select(
@@ -192,6 +222,7 @@ def q149_pipe_corpus_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     insight, Driver.java:128), so cost scales with partition count,
     not row count."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _assert_tsv_stageable(d)
     amp = d.select(
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"), "doc_id", "text"
     ).select(

@@ -338,7 +338,12 @@ def q154_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._n += 1
             if self._first is None:
                 self._first = row["doc_id"]
-            self._tokens += len((row["text"] or "").split(" "))
+            # NULL text contributes 0 tokens — the oracle's
+            # sum(len(string_split(text,' '))) skips NULLs, and
+            # ('' or '').split(' ') would count 1 (r7 ADVICE item 3;
+            # unreachable in today's fixtures, guarded for regeneration).
+            if row["text"] is not None:
+                self._tokens += len(row["text"].split(" "))
 
         def terminate(self):
             if self._n:

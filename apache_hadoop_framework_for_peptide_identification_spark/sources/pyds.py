@@ -77,8 +77,18 @@ class SyntheticSequenceStreamReader(DataSourceStreamReader):
     `parts` executor-side partitions. At 100 TB the cursor is a shard
     offset vector (kafka offsets, object-store manifests) — the
     planning/reading/commit contract exercised here is identical.
-    Deterministic end to end: no wall clock, no randomness, so a
-    checkpointed availableNow replay is byte-stable."""
+    Deterministic end to end: no wall clock, no randomness, so an
+    availableNow replay within ONE reader instance is byte-stable.
+
+    Restart limitation (r7 ADVICE item 2): the cursor lives in this
+    instance, so a query RESTARTED from a checkpoint constructs a
+    fresh reader whose ``_latest`` restarts at 0 — latestOffset() can
+    then return an offset BEHIND the checkpointed start. partitions()
+    guards that case: it clamps the cursor forward to the committed
+    start and refuses (loudly, not silently-empty) to plan a batch
+    whose end precedes its start. A durable source would persist the
+    cursor with the offset log; for this synthetic sequence the
+    single-run contract plus the guard is the honest behavior."""
 
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 1000))
@@ -95,6 +105,16 @@ class SyntheticSequenceStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["pos"]), int(end["pos"])
+        # Checkpoint-restart guard: a fresh instance's cursor must never
+        # trail the committed start, and an inverted range must fail the
+        # batch rather than silently serve zero rows.
+        self._latest = max(self._latest, lo)
+        if hi < lo:
+            raise ValueError(
+                f"offset range inverted (start={lo}, end={hi}): reader cursor "
+                "restarted behind the checkpoint — this synthetic source does "
+                "not persist its cursor across query restarts"
+            )
         span = hi - lo
         return [
             InputPartition((lo + span * p // self.parts, lo + span * (p + 1) // self.parts))
