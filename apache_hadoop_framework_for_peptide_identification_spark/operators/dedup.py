@@ -225,6 +225,79 @@ def prefix_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT containment-≥-threshold ORDERED pairs via the ASYMMETRIC
+    prefix filter — the scale path for excerpt/quote detection
+    (containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|), sitting above the
+    plain posting join the same way prefix_jaccard_pairs sits above
+    ngram_jaccard_pairs.
+
+    The asymmetry changes the prefix theorem's shape: only side A's
+    prefix shortens. With shingles totally ordered by ascending global
+    document frequency (rarest first, ties by shingle text), a B with
+    containment(A→B) ≥ t must hold ≥ ⌈t·|A|⌉ of A's shingles, so it
+    must intersect A's first |A| − ⌈t·|A|⌉ + 1 shingles (miss them all
+    and at most ⌈t·|A|⌉ − 1 < t·|A| remain) — but B itself joins with
+    its FULL posting list, because nothing bounds which of B's
+    shingles the overlap uses. One extra one-sided prune holds:
+    inter ≤ |B|, so |B| ≥ ⌈t·|A|⌉ or the pair is impossible. At
+    t=0.9 side A explodes ~10% of its shingles — and by construction
+    its RAREST ones, so posting lists are short (the frequency order
+    is the stop-shingle defense). Candidates verify with an exact
+    intersection count; the prefix theorem guarantees no false
+    negatives, which is why the plain posting-join oracle hash-matches
+    this plan.
+
+    Shuffles: shingle-frequency groupBy, per-doc position window,
+    prefix⋈full posting join, pair-verify join — all equi-keyed,
+    never all-pairs. Returns (id_a, id_b, containment), id_a ≠ id_b,
+    BOTH directions evaluated independently (the asymmetry is the
+    point: a 20-token crop is contained in its 54-token source at 1.0
+    while the reverse direction scores ~0.35)."""
+    sh = exploded_shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "sh")
+    ordered = (
+        sh.join(freq, "sh")
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix = ordered.filter(
+        F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select(F.col("id").alias("id_a"), "sh", F.col("__n").alias("n_a"))
+    full = ordered.select(F.col("id").alias("id_b"), "sh", F.col("__n").alias("n_b"))
+    a, b = prefix.alias("a"), full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id_a") != F.col("b.id_b"))
+            & (F.col("b.n_b") >= F.ceil(F.lit(threshold) * F.col("a.n_a"))),
+        )
+        .select("a.id_a", "b.id_b", F.col("a.n_a").alias("n_a"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
+    sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("s_b") == F.col("s_a")))
+        .groupBy("id_a", "id_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (F.col("inter") / F.col("n_a")).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -1407,3 +1407,108 @@ def q164_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("longest_run") >= 2)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q165_containment_prefix_corpus",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(string_split(text, ' ')[1:20], ' ')
+  FROM documents),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+  FROM docs, unnest(range(1, len(toks) - 2)) AS t(i)
+  WHERE len(toks) >= 4
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 4),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def q165_containment_prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs at FULL-corpus scope through the ASYMMETRIC
+    prefix filter (operators/dedup.py containment_prefix_pairs) — the
+    scale path above q147's plain posting join, exactly as q121 is the
+    scale row above q107: every document plus a 20-token prefix crop
+    of every document (id offset 10^5), each crop fully contained in
+    its source (containment 1.0 ordered crop→source; the reverse
+    direction stays far below threshold — the asymmetry the oracle
+    verifies). Only each A-side doc's ~10% RAREST shingles enter the
+    candidate join (prefix theorem, no false negatives) plus the
+    |B| ≥ ⌈t·|A|⌉ size prune; the oracle is the plain every-shingle
+    posting join, so the hash match proves the pruning loses nothing.
+    4-gram shingles, not 3 — this fixture's small phrase vocabulary
+    makes 3-gram posting lists collision-bound (the q121 finding:
+    avg df≈19 at 3-grams), and at 4-grams plan choice is what's
+    measured. The BASELINE.md row benches this against the unpruned
+    stock posting join at the same scope."""
+    d = _t(spark, sf_dir, "documents")
+    crops = d.select(
+        (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(crops)
+    return (
+        dedup.containment_prefix_pairs(corpus, "doc_id", "text", n=4, threshold=0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q166_fuzzy_title_corpus",
+    oracle="""
+WITH t AS (
+  SELECT DISTINCT array_to_string(string_split(text, ' ')[1:6], ' ') AS name
+  FROM documents),
+c AS (SELECT name FROM t
+      UNION
+      SELECT substring(name, 1, length(name) - 2) FROM t)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+FROM c a JOIN c b
+  ON a.name < b.name
+ AND levenshtein(a.name, b.name) <= 3
+ORDER BY name_a, name_b
+""",
+)
+def q166_fuzzy_title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join at CORPUS scope — q140's operator
+    (length-banded equi-join + thresholded levenshtein) where the
+    banding matters: the distinct 6-token title prefixes of every
+    document (~4.8k at sf0.1, lengths spread 21-44 chars across ~24
+    length buckets) plus a drop-last-2-chars twin per title (planted
+    positives at exact distance 2 — the natural title set has ZERO
+    pairs at ≤3, measured, so without planting the row would verify
+    an empty result). The engine explodes side A to its 7 matchable
+    lengths and equi-joins on length, so candidate pairs are bounded
+    per length bucket and verified with the early-exit thresholded
+    levenshtein; the oracle is the unbanded all-pairs predicate — the
+    hash match proves the banding loses no pair. The BASELINE.md row
+    benches this against that stock all-pairs form at the same
+    scope."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
+    titles = d.select(title.alias("name")).distinct()
+    twins = titles.select(
+        F.expr("substring(name, 1, length(name) - 2)").alias("name")
+    )
+    corpus = titles.unionByName(twins)
+    return dedup.fuzzy_name_pairs(corpus, "name", max_dist=3).orderBy(
+        "name_a", "name_b"
+    )

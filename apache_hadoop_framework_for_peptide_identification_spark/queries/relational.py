@@ -837,3 +837,86 @@ def q94_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q94_SQL)
+
+
+@query(
+    "q168_skew_adversarial_join",
+    oracle="""
+WITH big AS (
+  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+              ELSE l_orderkey % 1000 END AS skew_key,
+         l_quantity
+  FROM lineitem, unnest([0, 1, 2, 3, 4]) AS r(r)),
+dim AS (
+  SELECT o_orderkey % 1000 AS skew_key, count(*) AS n_orders_mod
+  FROM orders GROUP BY 1)
+SELECT b.skew_key,
+       CAST(count(*) AS BIGINT) AS n_li,
+       CAST(sum(CAST(b.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(max(d.n_orders_mod) AS BIGINT) AS n_orders_mod
+FROM big b JOIN dim d USING (skew_key)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q168_skew_adversarial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join + salted aggregation under ADVERSARIAL key skew
+    (r7 VERDICT item 4's named candidate — q74/q75 verify the salted
+    operators on natural keys; this query constructs the hot key they
+    exist for): lineitem replicated 5x with a derived key that funnels
+    75% of all rows (~2.3M at sf0.1) onto key 0, joined to a
+    1000-row orders-derived dimension, then aggregated per key. Both
+    phases go through operators/skew.py — the join salts the big side
+    32 ways and replicates the dim per salt, the aggregation runs
+    two-phase on (key, salt) — so no single reducer ever owns the hot
+    key: tests/test_skew.py asserts the post-shuffle partition
+    histogram directly (plain keying puts ~75% of rows in ONE
+    partition; salted keying bounds the max partition near 1/32 of
+    the hot key). Sums aggregate in DECIMAL(18,2) and cast once (the
+    q08 float-order rule). The oracle is the plain unsalted
+    join+group-by — bit-identical results are the salting contract.
+    Note AQE's skew-join split does NOT cover this shape at local
+    scale (the hot partition stays under the 256 MB split threshold)
+    and never covers aggregation skew where partial aggregation is
+    defeated — explicit salting is the 100 TB answer when the skew is
+    known."""
+    from ..operators.skew import salted_agg, salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        .withColumn(
+            "skew_key",
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+            .cast("long"),
+        )
+        .withColumn("qty_d", F.col("l_quantity").cast("decimal(18,2)"))
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("long").alias("skew_key"))
+        .agg(F.count(F.lit(1)).alias("n_orders_mod"))
+    )
+    joined = salted_join(
+        big, dim, on=["skew_key"], salt_cols=["r", "l_orderkey"], buckets=32
+    )
+    return (
+        salted_agg(
+            joined,
+            keys=["skew_key"],
+            aggs=[
+                ("count", "l_orderkey", "n_li"),
+                ("sum", "qty_d", "sum_qty"),
+                ("max", "n_orders_mod", "n_orders_mod"),
+            ],
+            salt_cols=["r", "l_orderkey"],
+            buckets=32,
+        )
+        .withColumn("sum_qty", F.col("sum_qty").cast("double"))
+        .select("skew_key", "n_li", "sum_qty", "n_orders_mod")
+        .orderBy("skew_key")
+    )

@@ -93,6 +93,34 @@ def stream_static_join(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def stream_scd2_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time stream enrichment against an SCD2 dimension: each
+    streamed row left-joins the dimension VERSION whose
+    [valid_from, valid_to) interval contains the row's event time
+    (open current version: valid_to IS NULL). The streaming twin of
+    the batch as-of/point-in-time join (q130) — the dimension history
+    is broadcast per micro-batch, so the stream never shuffles and a
+    dimension refresh between batches is picked up automatically
+    (stream-static joins re-resolve the static side each batch).
+    SCD2 intervals tile time per key, so at most one version matches —
+    no row multiplication. Column names in ``dim`` must not collide
+    with the stream except the key, which is dropped from the dim
+    side."""
+    cond = (
+        (stream[key] == dim[key])
+        & (dim[valid_from] <= stream[ts_col])
+        & (dim[valid_to].isNull() | (stream[ts_col] < dim[valid_to]))
+    )
+    return stream.join(F.broadcast(dim), cond, "left").drop(dim[key])
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -357,3 +357,46 @@ def test_exploded_shingles_null_empty_short_semantics(spark):
     assert (2, "") in got
     assert (3, "just two") in got
     assert (4, "one two three") in got and (4, "two three four") in got
+
+
+def test_containment_prefix_pairs_exact_and_asymmetric(spark):
+    """The asymmetric prefix filter must (a) equal the plain
+    every-shingle posting join exactly — prefix theorem, no false
+    negatives — and (b) surface the ordered crop→source pair at 1.0
+    while the reverse direction stays below threshold."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.dedup import (
+        containment_prefix_pairs,
+        exploded_shingles,
+    )
+
+    base = [
+        (i, " ".join(f"w{i}t{j}" for j in range(12)) + " common tail words here")
+        for i in range(20)
+    ]
+    # crops: first 8 tokens of each doc -> fully contained in source
+    crops = [(i + 1000, " ".join(t.split(" ")[:8])) for i, t in base]
+    df = spark.createDataFrame(base + crops, "id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 9)
+        for r in containment_prefix_pairs(df, "id", "text", n=3, threshold=0.8).collect()
+    }
+
+    # plain posting-join reference computed in-test
+    sh = exploded_shingles(df, "id", "text", 3)
+    sizes = {r["id"]: r["n"] for r in sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("i"))
+        .collect()
+    )
+    want = {
+        (r["ia"], r["ib"]): round(r["i"] / sizes[r["ia"]], 9)
+        for r in inter
+        if r["i"] / sizes[r["ia"]] >= 0.8
+    }
+    assert got == want
+    assert got[(1005, 5)] == 1.0  # crop -> source: fully contained
+    assert (5, 1005) not in got  # source -> crop: asymmetry
