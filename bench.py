@@ -48,6 +48,11 @@ HEADLINE = [
     "q135_rolling_active_users",
     "q137_frequent_pairs",
     "q149_pipe_corpus_scale",
+    "q140_fuzzy_name_join",
+    "q147_containment_pairs",
+    "q164_shared_span_pairs",
+    "q165_containment_prefix_corpus",
+    "q166_fuzzy_title_corpus",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

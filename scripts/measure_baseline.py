@@ -22,13 +22,15 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 
 def tables(spark: SparkSession, sf: str):
     t = {}
-    for name in ("lineitem", "orders", "customer", "nation", "documents", "embeddings"):
+    for name in ("lineitem", "orders", "customer", "nation", "part", "documents", "embeddings"):
         t[name] = spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
     ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
     if dict(ev.dtypes).get("ts") == "bigint":
@@ -702,6 +704,160 @@ def q149_pipe_corpus_scale(t):
     ).orderBy("doc_id")
 
 
+def q140_fuzzy_name_join(t):
+    """Stock fuzzy join: UNBANDED all-pairs levenshtein — every distinct
+    name pair evaluated with the plain (un-thresholded) edit distance,
+    the first form a user writes. Same output contract as the engine's
+    length-banded + early-exit form."""
+    names = t["part"].select(F.col("p_name").alias("name")).distinct()
+    a = names.select(F.col("name").alias("name_a"))
+    b = names.select(F.col("name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 3)
+        .select("name_a", "name_b", F.col("lev").cast("bigint").alias("lev"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+def q166_fuzzy_title_corpus(t):
+    """The same unbanded all-pairs levenshtein at CORPUS scope (~9.5k
+    distinct doc-title prefixes + drop-2-chars twins at sf0.1 — ~45M
+    pairs), where the engine's length banding + thresholded early-exit
+    levenshtein shows its win (q140's crossover row, the q107→q121
+    pattern)."""
+    d = t["documents"]
+    title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
+    titles = d.select(title.alias("name")).distinct()
+    twins = titles.select(F.expr("substring(name, 1, length(name) - 2)").alias("name"))
+    names = titles.unionByName(twins).distinct()
+    a = names.select(F.col("name").alias("name_a"))
+    b = names.select(F.col("name").alias("name_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 3)
+        .select("name_a", "name_b", F.col("lev").cast("bigint").alias("lev"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+def _stock_containment(d, crop_offset, n, threshold=0.9):
+    """Shared stock containment form: interpreted HOF-lambda shingle
+    extraction, distinct applied AFTER the explode (an extra
+    shingle-keyed shuffle), then the full every-shingle posting join —
+    no asymmetric prefix prune, no |B| size prune. Output contract
+    matches the engine's containment_prefix_pairs exactly (same
+    short-doc whole-text rule)."""
+    crops = d.select(
+        (F.col("doc_id") + F.lit(crop_offset)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(crops)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    arr = F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    sh = corpus.select("doc_id", F.explode(arr).alias("sh")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .select("id_a", "id_b", (F.col("inter") / F.col("n_a")).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q147_containment_pairs(t):
+    """Stock containment at q147's registered 200-doc scope (3-gram)."""
+    return _stock_containment(
+        t["documents"].filter(F.col("doc_id") < 100), 10_000, 3
+    )
+
+
+def q165_containment_prefix_corpus(t):
+    """The same full posting join at FULL-corpus scope (10,000 docs at
+    sf0.1, 4-gram shingles) — where every-shingle-joins degrades and
+    the engine's asymmetric prefix filter (rarest ~10% of side A only,
+    plus the |B| size prune) shows its win."""
+    return _stock_containment(t["documents"], 100_000, 4)
+
+
+def q164_shared_span_pairs(t):
+    """Stock shared-span detection: ALL-PAIRS chunk LCS — every doc
+    pair (12.5M at sf0.1) crosses a theta join and a vectorized UDF
+    scans the two chunk sequences' diagonals for the longest common
+    run. The textbook form; cost is quadratic in corpus size where the
+    engine's positioned-chunk posting join only ever touches pairs
+    that share a chunk (~4k). Same planted passages, same output."""
+    from pyspark.sql.functions import pandas_udf
+
+    p16 = " ".join(f"zz{i:02d}" for i in range(1, 17))
+    p24 = " ".join(f"qq{i:02d}" for i in range(1, 25))
+    d = t["documents"].select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") < 100) & (F.col("doc_id") % 10 == 0),
+            F.concat(F.lit(p16 + " " + p24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") < 200) & (F.col("doc_id") % 5 == 0),
+            F.concat(F.lit(p24 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(toks) / 8).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    docs = d.filter(n_chunks >= 1).select("doc_id", chunk_arr.alias("chunks"))
+
+    @pandas_udf("int")
+    def longest_common_run(ca: pd.Series, cb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ca, cb):
+            best = 0
+            la, lb = len(a), len(b)
+            for diag in range(-(lb - 1), la):
+                run = 0
+                i = max(diag, 0)
+                j = i - diag
+                while i < la and j < lb:
+                    if a[i] == b[j]:
+                        run += 1
+                        if run > best:
+                            best = run
+                    else:
+                        run = 0
+                    i += 1
+                    j += 1
+            out.append(best)
+        return pd.Series(out, dtype="int32")
+
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("chunks").alias("ca"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("chunks").alias("cb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("longest_run", longest_common_run("ca", "cb").cast("bigint"))
+        .filter(F.col("longest_run") >= 2)
+        .select("doc_a", "doc_b", "longest_run")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -727,6 +883,11 @@ QUERIES = {
     "q135_rolling_active_users": q135_rolling_active_users,
     "q137_frequent_pairs": q137_frequent_pairs,
     "q149_pipe_corpus_scale": q149_pipe_corpus_scale,
+    "q140_fuzzy_name_join": q140_fuzzy_name_join,
+    "q147_containment_pairs": q147_containment_pairs,
+    "q164_shared_span_pairs": q164_shared_span_pairs,
+    "q165_containment_prefix_corpus": q165_containment_prefix_corpus,
+    "q166_fuzzy_title_corpus": q166_fuzzy_title_corpus,
 }
 
 

@@ -142,3 +142,102 @@ def test_percentile_quantile_cont_parity(spark, q):
     assert sp == pytest.approx(du, abs=0.0, rel=0.0), (
         f"percentile interpolation parity broken at q={q}: spark={sp} duck={du}"
     )
+
+
+def test_md5_prefix_bucket_parity(spark):
+    """Spark conv(substr(md5(s),1,15),16,10) % 4096 == DuckDB
+    ('0x'||substr(md5(s),1,15))::UBIGINT % 4096 (q163's feature-hash
+    buckets; the same portable-md5 technique backs q120/q140).
+    Adversarial inputs: strings whose md5 prefix starts with '0'
+    (leading-zero hex), with 'f' (high bit set — conv must stay
+    unsigned within 60 bits), the empty string, and a non-ASCII
+    string (both engines must hash UTF-8 bytes)."""
+    strs = ["", "a", "the quick", "zz01 zz02", "naïve café", "0", "ffff", "x" * 100]
+    sp = {
+        r["s"]: r["b"]
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select(
+            "s",
+            F.pmod(
+                F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long"),
+                F.lit(4096),
+            ).alias("b"),
+        )
+        .collect()
+    }
+    du = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT s, ('0x' || substr(md5(s), 1, 15))::UBIGINT % 4096 "
+            "FROM (SELECT unnest($s) AS s)",
+            params={"s": strs},
+        ).fetchall()
+    }
+    assert sp == du, f"md5-prefix bucket parity broken: spark={sp} duck={du}"
+
+
+def test_md5_hex_pair_byte_parity(spark):
+    """Byte i of an md5 DIGEST == int(hex_pair[2i:2i+2], 16) of the md5
+    HEX STRING, and Spark's md5() == DuckDB's md5() on UTF-8 input —
+    the q69 decode-stub contract (width/height/channels derive from
+    digest bytes 0..2 in Python hashlib; the oracle re-derives them
+    from hex pairs of DuckDB's md5(text))."""
+    import hashlib
+
+    strs = ["", "doc body 1", "naïve café ☕", "tab\tand newline\n"]
+    for s in strs:
+        digest = hashlib.md5(s.encode("utf-8")).digest()
+        hexstr = hashlib.md5(s.encode("utf-8")).hexdigest()
+        du_hex = duckdb.sql("SELECT md5($s)", params={"s": s}).fetchone()[0]
+        assert du_hex == hexstr, f"DuckDB md5 differs from hashlib for {s!r}"
+        for i in range(3):
+            assert digest[i] == int(hexstr[2 * i : 2 * i + 2], 16)
+    sp_hex = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.md5("s").alias("h"))
+        .collect()
+    }
+    for s in strs:
+        assert sp_hex[s] == hashlib.md5(s.encode("utf-8")).hexdigest(), (
+            f"Spark md5 differs from hashlib for {s!r}"
+        )
+
+
+def test_tumbling_chunk_slicing_parity(spark):
+    """Spark concat_ws(' ', slice(toks, i*8+1, 8)) over
+    sequence(0, floor(n/8)-1) == DuckDB
+    array_to_string(t[i*8+1 : i*8+8], ' ') over range(0, n//8) —
+    q164's chunker. Adversarial token counts: n < 8 (no chunks),
+    n = 8 (one), n = 15 (tail dropped), n = 16 (two exact), n = 17.
+    A disagreement on 1-based slice bounds or tail handling would
+    silently split the engines after a fixture regeneration."""
+    texts = [
+        " ".join(f"t{j}" for j in range(n)) for n in (1, 7, 8, 15, 16, 17, 24)
+    ]
+    toks = F.split(F.col("s"), " ")
+    n_chunks = F.floor(F.size(toks) / 8).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    sp = sorted(
+        (r["s"], r["pos"], r["chunk"])
+        for r in spark.createDataFrame([(t,) for t in texts], "s string")
+        .filter(n_chunks >= 1)
+        .select("s", F.posexplode(chunk_arr).alias("pos", "chunk"))
+        .collect()
+    )
+    du = sorted(
+        duckdb.sql(
+            """
+            SELECT s, CAST(i AS INT) AS pos,
+                   array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk
+            FROM (SELECT s, string_split(s, ' ') AS t
+                  FROM (SELECT unnest($s) AS s)),
+                 unnest(range(0, len(t) // 8)) AS u(i)
+            """,
+            params={"s": texts},
+        ).fetchall()
+    )
+    assert sp == du, f"chunk slicing parity broken: spark={sp[:3]} duck={du[:3]}"
