@@ -109,8 +109,13 @@ _CHANGED_THIS_ROUND = [
     # it — q69's first-ever oracle (VERDICT r7 item 2).
     "q69_multimodal_decode",
     # r8: shared-span chunk join re-keyed from raw 8-token strings to
-    # xxhash64 chunk keys (VERDICT r7 item 3 / watch item 4a).
+    # 16-byte unhex(md5(chunk)) keys (VERDICT r7 item 3 / watch 4a).
     "q164_shared_span_pairs",
+    # NOT pinned (q119-precedent: guard-only changes that raise or are
+    # a no-op cannot alter output): q148/q149's TSV fixture-contract
+    # assert, q153's restart-clamp + inverted-range raise, q154's
+    # NULL-text token rule (unreachable in current fixtures). Each was
+    # re-verified against its oracle in the round-8 session log.
 ]
 
 

@@ -1475,7 +1475,7 @@ def q165_containment_prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 WITH t AS (
   SELECT DISTINCT array_to_string(string_split(text, ' ')[1:6], ' ') AS name
-  FROM documents),
+  FROM documents WHERE doc_id < 1000),
 c AS (SELECT name FROM t
       UNION
       SELECT substring(name, 1, length(name) - 2) FROM t)
@@ -1488,21 +1488,25 @@ ORDER BY name_a, name_b
 """,
 )
 def q166_fuzzy_title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy join at CORPUS scope — q140's operator
-    (length-banded equi-join + thresholded levenshtein) where the
-    banding matters: the distinct 6-token title prefixes of every
-    document (~4.8k at sf0.1, lengths spread 21-44 chars across ~24
-    length buckets) plus a drop-last-2-chars twin per title (planted
-    positives at exact distance 2 — the natural title set has ZERO
-    pairs at ≤3, measured, so without planting the row would verify
-    an empty result). The engine explodes side A to its 7 matchable
-    lengths and equi-joins on length, so candidate pairs are bounded
-    per length bucket and verified with the early-exit thresholded
-    levenshtein; the oracle is the unbanded all-pairs predicate — the
-    hash match proves the banding loses no pair. The BASELINE.md row
-    benches this against that stock all-pairs form at the same
+    """Edit-distance fuzzy join at SCALE scope — q140's operator
+    (length-banded equi-join + thresholded levenshtein) on ~2,000
+    distinct names instead of q140's 64: the 6-token title prefixes of
+    the first 1,000 documents plus a drop-last-2-chars twin per title
+    (planted positives at exact distance 2 — the natural title set
+    has ZERO pairs at ≤3, measured, so without planting the row would
+    verify an empty result). Scope is a doc_id predicate, not the
+    full corpus: the fixture's titles cluster in ~24 length buckets
+    (21–44 chars), so the quadratic stock form at 9.5k names runs a
+    10-minute single-task nested loop while banding only prunes ~2× —
+    ~2M pairs is where the comparison is honest AND measurable. The
+    engine explodes side A to its 7 matchable lengths and equi-joins
+    on length; candidates verify with the early-exit thresholded
+    levenshtein (O(k·n) vs the plain O(n²) DP — the bigger win when
+    lengths cluster). The oracle is the unbanded all-pairs predicate —
+    the hash match proves the banding loses no pair. The BASELINE.md
+    row benches this against that stock all-pairs form at the same
     scope."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
     titles = d.select(title.alias("name")).distinct()
     twins = titles.select(

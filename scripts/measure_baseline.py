@@ -722,12 +722,13 @@ def q140_fuzzy_name_join(t):
 
 
 def q166_fuzzy_title_corpus(t):
-    """The same unbanded all-pairs levenshtein at CORPUS scope (~9.5k
-    distinct doc-title prefixes + drop-2-chars twins at sf0.1 — ~45M
-    pairs), where the engine's length banding + thresholded early-exit
+    """The same unbanded all-pairs levenshtein at SCALE scope (~2k
+    distinct doc-title prefixes + drop-2-chars twins — ~2M pairs,
+    every one through the plain un-thresholded edit-distance DP),
+    where the engine's length banding + thresholded early-exit
     levenshtein shows its win (q140's crossover row, the q107→q121
     pattern)."""
-    d = t["documents"]
+    d = t["documents"].filter(F.col("doc_id") < 1000)
     title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
     titles = d.select(title.alias("name")).distinct()
     twins = titles.select(F.expr("substring(name, 1, length(name) - 2)").alias("name"))
