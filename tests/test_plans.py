@@ -305,3 +305,78 @@ def test_q150_sketch_estimate_join_is_broadcast(spark):
     joins the exact top-10 — that side must broadcast, never shuffle."""
     plan = _plan(spark, "q150_sketch_top_ngrams")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q164_chunk_join_exchanges_never_carry_chunk_text(spark):
+    """q164's r8 contract: the posting join shuffles 16-byte
+    unhex(md5(chunk)) keys — the raw 8-token chunk string must never
+    appear in ANY exchange (at 100 TB that is the difference between
+    shuffling the corpus and shuffling a fixed-width index)."""
+    plan = _plan(spark, "q164_shared_span_pairs")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchanges, plan
+    assert not any("chunk#" in l for l in exchanges), exchanges
+
+
+def test_q165_containment_prefix_strictly_smaller_than_full_postings(spark):
+    """The asymmetric prefix side must be a strict subset of the full
+    posting list (at t=0.9 roughly ~10% of each doc's shingles plus
+    one) — measured on q165's crop-planted corpus, the pruning that
+    produces its BASELINE.md row."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+    d = load_table(spark, SF, "documents")
+    crops = d.select(
+        (F.col("doc_id") + F.lit(100_000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 20)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(crops)
+    sh = dedup.exploded_shingles(corpus, "doc_id", "text", 4)
+    full = sh.count()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    t = 0.9
+    prefix_rows = sizes.select(
+        F.sum(F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).alias("p")
+    ).collect()[0]["p"]
+    assert prefix_rows < 0.2 * full, (prefix_rows, full)
+
+
+def test_q165_has_no_nested_loop_join(spark):
+    """Containment candidates come from equi-joins only — a
+    BroadcastNestedLoopJoin or CartesianProduct here means the prefix
+    join degenerated to all-pairs."""
+    plan = _plan(spark, "q165_containment_prefix_corpus")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q166_fuzzy_join_is_equi_on_length(spark):
+    """The fuzzy join must be an EQUI-join on the exploded length band
+    — a nested-loop join means the banding was lost and every pair
+    pays the levenshtein DP (the stock form this query's BASELINE.md
+    row measures against)."""
+    plan = _plan(spark, "q166_fuzzy_title_corpus")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "blen" in plan, plan
+
+
+def test_q168_salted_exchanges_carry_salt(spark):
+    """q168's skew contract: every pre-aggregation exchange must key on
+    the salt alongside the group key — an exchange hash-partitioned on
+    skew_key ALONE recreates the hot partition the operators exist to
+    prevent."""
+    plan = _plan(spark, "q168_skew_adversarial_join")
+    join_aggr_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "skew_key" in l
+    ]
+    assert join_aggr_exchanges, plan
+    bad = [l for l in join_aggr_exchanges if "__salt" not in l]
+    # the FINAL phase-2 merge legitimately exchanges on skew_key alone
+    # (its input is <= keys x buckets partial rows, never skewed)
+    assert len(bad) <= 1, bad
