@@ -145,12 +145,17 @@ def _verdict_history() -> dict[str, int]:
     return latest
 
 
-def _compute_driver_priority() -> list[str]:
+def _compute_driver_priority(latest: dict[str, int] | None = None) -> list[str]:
+    """Window for the verdict history ``latest`` (read from disk when
+    None). The parameter exists so tests can FORWARD-SIMULATE: feed the
+    history as it will look after this round's verdict file lands and
+    assert the recomputed window still satisfies the age bound."""
     assert len(set(_CHANGED_THIS_ROUND)) == len(_CHANGED_THIS_ROUND), "duplicate pins"
     unknown = [n for n in _CHANGED_THIS_ROUND if n not in REGISTRY]
     assert not unknown, f"pinned names not in registry: {unknown}"
 
-    latest = _verdict_history()
+    if latest is None:
+        latest = _verdict_history()
 
     def qnum(name: str) -> int:
         import re as _re

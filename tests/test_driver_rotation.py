@@ -94,3 +94,36 @@ def test_window_refreshes_oldest_first():
     # test_no_query_exceeds_driver_verdict_age).
     too_old = [a for a in outside_ages if a > MAX_AGE]
     assert not too_old, f"rotation left {len(too_old)} queries aging past the bound"
+
+
+def test_rotation_stays_green_after_this_rounds_verdict_lands():
+    """FORWARD-SIMULATION (the failure mode r7 ADVICE item 1 described):
+    the moment the driver lands this round's CORRECTNESS file, the
+    self-rotating window must already satisfy the age bound for the
+    NEXT round — hand-authored rotations went red at exactly this
+    point. Simulate: grant every current-window query a verdict at
+    round max+1, recompute the priority from that history, and assert
+    no query outside the recomputed window exceeds MAX_AGE."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries import (
+        _DRIVER_WINDOW,
+        REGISTRY,
+        _compute_driver_priority,
+    )
+
+    latest = _verdict_history()
+    if not latest:
+        pytest.skip("no CORRECTNESS_r*.json history (fresh checkout)")
+    this_round = max(latest.values()) + 1
+    sim = dict(latest)
+    for name in list(REGISTRY)[:_DRIVER_WINDOW]:
+        sim[name] = this_round
+    next_window = set(_compute_driver_priority(sim))
+    next_round = this_round + 1
+    stale = {
+        n: next_round - sim[n]
+        for n in REGISTRY
+        if n in sim and n not in next_window and next_round - sim[n] > MAX_AGE
+    }
+    assert not stale, (
+        f"self-rotation would leave stale verdicts the round after this one: {stale}"
+    )
