@@ -119,7 +119,13 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     from ..session import get_spark
 
-    spec = load_spec(argv[1])
+    try:
+        spec = load_spec(argv[1])
+    except (OSError, ValueError) as e:
+        # unreadable path or malformed JSON: a clean diagnostic, not a
+        # traceback (json.JSONDecodeError is a ValueError)
+        print(f"engine-pipe: cannot load spec {argv[1]!r}: {e}", file=sys.stderr)
+        return 2
     header = argv[2].split(",") if len(argv) > 2 else None
     spark = get_spark(app_name=f"epipe-{argv[0]}")
     try:

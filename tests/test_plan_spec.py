@@ -84,3 +84,15 @@ def test_catalog_load_all_and_register_views(spark):
     assert n == tables["lineitem"].count() > 0
     ts_type = dict(spark.sql("SELECT ts FROM events_v").dtypes)["ts"]
     assert ts_type == "timestamp"
+
+
+def test_cli_malformed_or_missing_spec_exits_2(tmp_path):
+    """A spec path that is unreadable or not JSON must produce a clean
+    one-line diagnostic + exit 2 (the usage-error class), not a
+    traceback — probed in the r8 verify session."""
+    from apache_hadoop_framework_for_peptide_identification_spark.plans.spec import main
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert main(["tok", str(bad)]) == 2
+    assert main(["tok", str(tmp_path / "nope.json")]) == 2
