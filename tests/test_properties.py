@@ -388,3 +388,61 @@ def test_triangle_count_matches_brute_force(sess, edges):
     row = triangle_count(df).collect()[0]
     assert row["n_triangles"] == want
     assert row["n_edges"] == len(simple)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.75, 0.9, 1.0]),
+)
+@SETTINGS
+def test_containment_prefix_pairs_complete_vs_brute_force(sess, docs, threshold):
+    """q165's asymmetric prefix filter must produce EXACTLY the
+    brute-force containment >= t ORDERED pair set — no pair lost to
+    the prefix shortening or the |B| size prune, no spurious scores —
+    on arbitrary tiny-vocabulary docs (where shingle sets collide
+    heavily and every boundary case of ceil(t*n) shows). Mirrors the
+    engine's shingle rule: distinct 2-gram shingles; docs shorter than
+    the shingle width contribute their whole text; empty docs emit
+    nothing."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+    n = 2
+
+    def shingle_set(toks):
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingle_set(t) for i, t in enumerate(docs)}
+    want = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= threshold:
+                want.add((a, b, round(c, 9)))
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs) if t]
+    if not rows:
+        return
+    df = sess.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["containment"], 9))
+        for r in dedup.containment_prefix_pairs(
+            df, "doc_id", "text", n=n, threshold=threshold
+        ).collect()
+    }
+    assert got == want
