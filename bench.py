@@ -53,6 +53,7 @@ HEADLINE = [
     "q164_shared_span_pairs",
     "q165_containment_prefix_corpus",
     "q166_fuzzy_title_corpus",
+    "q168_skew_adversarial_join",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

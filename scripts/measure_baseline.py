@@ -859,6 +859,47 @@ def q164_shared_span_pairs(t):
     )
 
 
+def q168_skew_adversarial_join(t):
+    """Stock form of the adversarial-skew workload: plain unsalted
+    join + group-by on the same 75%-hot derived key. At THIS scale the
+    plain form does not suffer — Spark broadcasts the 1000-row dim
+    (no join shuffle) and map-side partial aggregation defuses the
+    algebraic agg skew — so the row measures the COST of the salting
+    insurance (engine ≈ 1× stock), while tests/test_skew.py's
+    partition histogram demonstrates the regime where plain keying
+    collapses to one hot partition and salting is the answer
+    (non-broadcastable dims, known hot keys)."""
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    big = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        .withColumn(
+            "skew_key",
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+            .cast("long"),
+        )
+    )
+    dim = (
+        t["orders"]
+        .groupBy(F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("long").alias("skew_key"))
+        .agg(F.count(F.lit(1)).alias("n_orders_mod"))
+    )
+    return (
+        big.join(dim, "skew_key")
+        .groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.max("n_orders_mod").alias("n_orders_mod"),
+        )
+        .orderBy("skew_key")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -889,6 +930,7 @@ QUERIES = {
     "q164_shared_span_pairs": q164_shared_span_pairs,
     "q165_containment_prefix_corpus": q165_containment_prefix_corpus,
     "q166_fuzzy_title_corpus": q166_fuzzy_title_corpus,
+    "q168_skew_adversarial_join": q168_skew_adversarial_join,
 }
 
 
