@@ -382,3 +382,76 @@ def q157_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q169_corrupt_record_quarantine",
+    oracle="""
+WITH lines AS (
+  SELECT doc_id,
+         '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_tokens":'
+           || len(string_split(text, ' ')) || '}' AS good
+  FROM documents)
+SELECT CASE WHEN doc_id % 7 = 0 THEN TRUE ELSE FALSE END AS is_quarantined,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END  AS doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN substring(good, 1, length(good) - 1) END   AS raw
+FROM lines
+ORDER BY is_quarantined, doc_id, raw
+""",
+)
+def q169_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record QUARANTINE on ingest — the dead-letter routing
+    every large pipeline needs at the edge (a 100 TB scrape is never
+    100% well-formed; failing the job on line 40 billion is not an
+    option, and silently dropping is worse): a JSONL stage with every
+    7th line deterministically truncated (closing brace removed) is
+    read back in PERMISSIVE mode with a declared
+    ``columnNameOfCorruptRecord`` — clean rows parse to typed columns,
+    malformed rows surface with NULL fields and the RAW line preserved
+    for the quarantine sink. The oracle never sees the staged file: it
+    RECONSTRUCTS each line from the documents table (pinning Spark's
+    ``to_json`` field order/formatting byte-for-byte) and applies the
+    same corruption rule — so the hash match verifies the writer's
+    rendering, the reader's malformed-line classification, AND the
+    raw-line preservation together. Scale shape: the permissive scan
+    is a normal parallel file read; the split into clean/quarantine is
+    a narrow filter each way, no shuffle."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    # two-step select so the corruption expression can reference the
+    # rendered line by name
+    staged = (
+        d.select(line.alias("l"), "doc_id")
+        .select(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.expr("substring(l, 1, length(l) - 1)"),
+            )
+            .otherwise(F.col("l"))
+            .alias("value")
+        )
+    )
+    out = tempfile.mkdtemp(prefix="q169_jsonl_")
+    staged.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_tokens long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.select(
+        F.col("_corrupt_record").isNotNull().alias("is_quarantined"),
+        "doc_id",
+        F.col("_corrupt_record").alias("raw"),
+    ).orderBy("is_quarantined", "doc_id", "raw")
