@@ -101,9 +101,14 @@ from . import analytics_q  # noqa: E402,F401
 # builder's own math: ≤ _DRIVER_WINDOW × (MAX_AGE + 1) = 200 queries.
 _DRIVER_WINDOW = 50
 
-# Queries whose implementation or oracle changed in the CURRENT round and
-# therefore must take a fresh driver verdict even if their last verdict
-# is recent.  Rewritten each round; stale pins cost a slot, nothing else.
+# Queries whose implementation or oracle changed in round
+# _CHANGED_IN_ROUND and therefore must take a fresh driver verdict even
+# if their last verdict is recent.  Rewritten each round (update BOTH
+# the list and the round number); a pin expires automatically once the
+# query holds a verdict from _CHANGED_IN_ROUND or later — the driver
+# has then graded the changed implementation and the slot goes back to
+# the oldest-first rotation.
+_CHANGED_IN_ROUND = 8
 _CHANGED_THIS_ROUND = [
     # r8: fake-decode digest switched sha1→md5 so DuckDB can recompute
     # it — q69's first-ever oracle (VERDICT r7 item 2).
@@ -164,7 +169,14 @@ def _compute_driver_priority(latest: dict[str, int] | None = None) -> list[str]:
         return int(m.group(1)) if m else 10**9
 
     never = sorted((n for n in REGISTRY if n not in latest), key=qnum)
-    pinned = [n for n in _CHANGED_THIS_ROUND if n not in never and n in latest]
+    # A pin is satisfied (and its slot freed) once the query holds a
+    # verdict from the pin's round or later — the driver has then
+    # graded the changed implementation.
+    pinned = [
+        n
+        for n in _CHANGED_THIS_ROUND
+        if n not in never and n in latest and latest[n] < _CHANGED_IN_ROUND
+    ]
     head = never + pinned
     assert len(head) <= _DRIVER_WINDOW, (
         f"{len(never)} never-verified + {len(pinned)} pinned queries exceed the "
