@@ -106,11 +106,16 @@ def stream_scd2_enrich(
     [valid_from, valid_to) interval contains the row's event time
     (open current version: valid_to IS NULL). The streaming twin of
     the batch as-of/point-in-time join (q130) — the dimension history
-    is broadcast per micro-batch, so the stream never shuffles and a
-    dimension refresh between batches is picked up automatically
-    (stream-static joins re-resolve the static side each batch).
-    SCD2 intervals tile time per key, so at most one version matches —
-    no row multiplication. Column names in ``dim`` must not collide
+    is broadcast per micro-batch, so the stream never shuffles. SCD2
+    intervals tile time per key, so at most one version matches — no
+    row multiplication. Refresh caveat (measured r8,
+    tests/test_streaming.py): for PLAIN FILE sources the static
+    side's file listing is snapshotted at plan time — dim files
+    appended mid-query are NOT seen by later batches. Within one run
+    that snapshot consistency is exactly what point-in-time semantics
+    want; to pick up dimension refreshes use a catalog-backed table
+    (Delta/Iceberg re-resolve per batch) or rebuild the join per
+    batch in foreachBatch. Column names in ``dim`` must not collide
     with the stream except the key, which is dropped from the dim
     side."""
     cond = (

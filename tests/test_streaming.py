@@ -438,3 +438,53 @@ def test_native_parquet_stream_sink(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == 30
     assert sorted(r["event_id"] for r in back.collect()) == list(range(30))
+
+
+def test_stream_static_dim_is_plan_time_snapshot(spark, tmp_path):
+    """MEASURED r8 semantics pin (the q167 refresh caveat): a
+    plain-parquet static side joined into a stream snapshots its file
+    listing at plan time — dimension files appended between
+    micro-batches are NOT visible to later batches. If a Spark upgrade
+    ever changes this, the q167/SCALE.md documentation must change
+    with it; this test fails first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "old")], "k long, v string").write.parquet(dim_dir)
+    spark.createDataFrame([(1, 100)], "k long, x long").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f1")
+    )
+    spark.createDataFrame([(1, 200)], "k long, x long").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f2")
+    )
+    stream = (
+        spark.readStream.schema("k long, x long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    joined = stream.join(F.broadcast(spark.read.parquet(dim_dir)), "k", "left").select(
+        "k", "x", "v"
+    )
+    captured = {}
+
+    def fb(df, bid):
+        captured[bid] = sorted(tuple(r) for r in df.collect())
+        if bid == 0:
+            spark.createDataFrame([(1, "new")], "k long, v string").write.mode(
+                "append"
+            ).parquet(dim_dir)
+
+    q = (
+        joined.writeStream.foreachBatch(fb)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(captured) == 2, captured
+    # batch 1 ran AFTER the append and still sees only the snapshot
+    assert all(rows == [(1, rows[0][1], "old")] for rows in captured.values()), captured
