@@ -139,12 +139,17 @@ def _verdict_history() -> dict[str, int]:
     repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
     latest: dict[str, int] = {}
     for path in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
-        rnd = int(_re.search(r"CORRECTNESS_r(\d+)", path).group(1))
+        m = _re.search(r"CORRECTNESS_r(\d+)", path)
+        if m is None:
+            continue  # glob-matching but unnumbered filename
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 names = _json.load(fh)
         except (OSError, ValueError):
             continue  # a malformed artifact must not break imports
+        if not isinstance(names, dict):
+            continue  # valid JSON, wrong shape — same rule
         for name in names:
             latest[name] = max(latest.get(name, 0), rnd)
     return latest

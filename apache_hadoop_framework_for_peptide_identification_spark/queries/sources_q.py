@@ -420,6 +420,28 @@ def q169_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
+    # Loud fixture-contract guard (the q148/q119 pattern): the oracle
+    # reconstructs the JSON by plain string concatenation with NO
+    # escaping, and to_json drops null fields — so a lang value
+    # needing JSON escapes, or a NULL doc_id/lang/text, would split
+    # the engines with an opaque hash mismatch. Fail here instead.
+    bad = (
+        d.filter(
+            F.col("doc_id").isNull()
+            | F.col("lang").isNull()
+            | F.col("text").isNull()
+            | ~F.col("lang").rlike("^[A-Za-z-]+$")
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            "q169 fixture contract broken: documents needs non-null doc_id/"
+            "lang/text and an escape-free lang ([A-Za-z-]+) for the "
+            "concatenation oracle to reproduce to_json byte-for-byte; "
+            "regenerate the fixture or add escaping to BOTH sides"
+        )
     line = F.to_json(
         F.struct(
             F.col("doc_id"),

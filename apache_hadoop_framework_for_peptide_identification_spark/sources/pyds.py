@@ -80,15 +80,23 @@ class SyntheticSequenceStreamReader(DataSourceStreamReader):
     Deterministic end to end: no wall clock, no randomness, so an
     availableNow replay within ONE reader instance is byte-stable.
 
-    Restart limitation (r7 ADVICE item 2): the cursor lives in this
-    instance, so a query RESTARTED from a checkpoint constructs a
-    fresh reader whose ``_latest`` restarts at 0 — latestOffset() can
-    then return an offset BEHIND the checkpointed start. partitions()
-    guards that case: it clamps the cursor forward to the committed
-    start and refuses (loudly, not silently-empty) to plan a batch
-    whose end precedes its start. A durable source would persist the
-    cursor with the offset log; for this synthetic sequence the
-    single-run contract plus the guard is the honest behavior."""
+    Restart behavior (r7 ADVICE item 2): the cursor lives in this
+    instance, so a restarted query constructs a fresh reader whose
+    ``_latest`` is 0. Two distinct paths:
+
+    - Restart with an IN-FLIGHT batch: Spark replays it by calling
+      partitions(start, end) from the offset log BEFORE any
+      latestOffset() — the clamp there advances the fresh cursor to
+      the replayed range, so the subsequent latestOffset() continues
+      from the committed position and the stream recovers correctly.
+    - Restart where every batch was committed: latestOffset() runs
+      first on the fresh cursor and can return an offset BEHIND the
+      checkpointed start; the resulting inverted range is refused
+      loudly (ValueError), never served as silently-empty batches.
+
+    A durable source would persist the cursor with the offset log;
+    for this synthetic sequence the in-flight recovery plus the loud
+    refusal is the honest behavior."""
 
     def __init__(self, options) -> None:
         self.n = int(options.get("n", 1000))

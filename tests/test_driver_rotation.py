@@ -18,24 +18,17 @@ wait a round for their first driver verdict.
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import re
-
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# ONE history reader: the tests must see exactly the history the
+# rotation itself uses (same path resolution, same malformed-file
+# rule) — a second diverging copy would let the forward simulation
+# validate a different history than the window computation reads.
+from apache_hadoop_framework_for_peptide_identification_spark.queries import (
+    _verdict_history,
+)
+
 MAX_AGE = 3  # rounds; r6 VERDICT item 6's bound
-
-
-def _verdict_history() -> dict[str, int]:
-    latest: dict[str, int] = {}
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"CORRECTNESS_r(\d+)", path).group(1))
-        for name in json.load(open(path)):
-            latest[name] = max(latest.get(name, 0), rnd)
-    return latest
 
 
 def test_no_query_exceeds_driver_verdict_age():
@@ -64,7 +57,9 @@ def test_no_query_exceeds_driver_verdict_age():
     }
     assert not stale, (
         f"driver verdicts older than {MAX_AGE} rounds and not in this round's "
-        f"window — rotate them in (queries/__init__.py _DRIVER_PRIORITY): "
+        f"window — the self-rotating window failed to absorb them "
+        f"(queries/__init__.py _compute_driver_priority; check the "
+        f"_CHANGED_THIS_ROUND pin count vs window capacity): "
         f"{dict(sorted(stale.items(), key=lambda kv: -kv[1]))}"
     )
 

@@ -488,3 +488,34 @@ def test_stream_static_dim_is_plan_time_snapshot(spark, tmp_path):
     assert len(captured) == 2, captured
     # batch 1 ran AFTER the append and still sees only the snapshot
     assert all(rows == [(1, rows[0][1], "old")] for rows in captured.values()), captured
+
+
+def test_stream_reader_restart_replay_recovers_and_inverted_range_raises():
+    """The q153 source's two restart paths (r7 ADVICE item 2, sharpened
+    r8): replaying an in-flight batch (partitions() called from the
+    offset log before any latestOffset()) must advance the fresh
+    cursor so the stream CONTINUES from the committed position; a
+    fully-committed restart (latestOffset() first, returning an offset
+    behind the checkpoint) must raise on the inverted range, never
+    serve silently-empty batches."""
+    import pytest as _pytest
+
+    from apache_hadoop_framework_for_peptide_identification_spark.sources.pyds import (
+        SyntheticSequenceStreamReader,
+    )
+
+    # in-flight replay: fresh instance, offsets [50, 60) from the log
+    r = SyntheticSequenceStreamReader({"n": "100", "parts": "4", "rows_per_batch": "10"})
+    parts = r.partitions({"pos": 50}, {"pos": 60})
+    rows = [row for p in parts for row in r.read(p)]
+    assert [i for (_, i, _) in rows] == list(range(50, 60))
+    # the NEXT planned batch continues from the committed position
+    assert r.latestOffset() == {"pos": 60}
+
+    # fully-committed restart: fresh cursor yields an offset behind
+    # the checkpointed start -> inverted range must raise
+    r2 = SyntheticSequenceStreamReader({"n": "100", "parts": "4", "rows_per_batch": "10"})
+    behind = r2.latestOffset()  # {"pos": 10} — behind a checkpoint at 50
+    assert behind["pos"] < 50
+    with _pytest.raises(ValueError, match="inverted"):
+        r2.partitions({"pos": 50}, behind)
