@@ -365,6 +365,53 @@ def upsert_snapshot(
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """The INVERSE of upsert_snapshot: derive the change feed between
+    two keyed snapshots — (keys, change_type ∈ added/removed/changed,
+    old_/new_ values) — the CDC-extraction every load audit and
+    incremental-downstream feed needs when the upstream only ships
+    full snapshots. ONE full-outer join on the key (the exact shape
+    table formats use for snapshot comparison); unchanged rows are
+    dropped inside the join projection, so output is proportional to
+    churn, not table size. NULL-safe comparison (``eqNullSafe``) —
+    NULL→value and value→NULL both count as changed, NULL→NULL does
+    not.
+
+    Contract: each snapshot holds at most one row per key (it is a
+    snapshot); duplicate keys would multiply through the join exactly
+    as in upsert_snapshot."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_n"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    in_o = F.coalesce(F.col("__in_o"), F.lit(False))
+    in_n = F.coalesce(F.col("__in_n"), F.lit(False))
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(~in_o, F.lit("added"))
+        .when(~in_n, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return j.select(
+        *key_cols,
+        change.alias("change_type"),
+        *[F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols],
+    ).filter(F.col("change_type").isNotNull())
+
+
 def cap_per_group(df: DataFrame, group_col: str, order_col: str, n: int) -> DataFrame:
     """Keep at most ``n`` rows per group, by ``order_col`` order — the
     per-domain/source cap that web-corpus pipelines apply before

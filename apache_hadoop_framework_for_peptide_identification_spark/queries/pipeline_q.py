@@ -569,3 +569,72 @@ def q99_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@query(
+    "q171_snapshot_diff",
+    oracle="""
+WITH oldt AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice * 2, 'N'
+  FROM orders WHERE o_orderkey % 101 = 0)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+              OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+              THEN 'changed' END AS change_type,
+       o.o_totalprice  AS old_o_totalprice,
+       n.o_totalprice  AS new_o_totalprice,
+       o.o_orderstatus AS old_o_orderstatus,
+       n.o_orderstatus AS new_o_orderstatus
+FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+   OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+   OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+ORDER BY o_orderkey
+""",
+)
+def q171_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC extraction (operators/pipeline.py
+    snapshot_diff — the INVERSE of q97's MERGE): when an upstream only
+    ships full snapshots, the change feed every load audit and
+    incremental consumer needs is DERIVED — one full-outer join on the
+    key classifying each key as added / removed / changed with the old
+    and new values side by side; unchanged keys drop inside the join
+    projection so output is proportional to churn, not table size.
+    The next-generation snapshot is constructed deterministically from
+    orders (every 97th key removed, every 5th price bumped, every
+    101st key re-inserted at an offset key as an add), so all three
+    change classes are planted and the oracle reproduces the exact
+    feed — a missed class, a NULL-comparison slip (eqNullSafe), or a
+    duplicate-key fan-out all hash-mismatch. 100 TB shape: one
+    key-shuffle per side (zero for bucketed snapshots — q151's
+    layout); partition-prune both sides to touched partitions when the
+    upstream marks them."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    survivors = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    inserts = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    new = survivors.unionByName(inserts)
+    return P.snapshot_diff(
+        o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")

@@ -477,3 +477,45 @@ def q169_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id",
         F.col("_corrupt_record").alias("raw"),
     ).orderBy("is_quarantined", "doc_id", "raw")
+
+
+@query(
+    "q170_file_compaction",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def q170_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/compaction.py): documents
+    deliberately shattered into 64 tiny parquet files, rewritten to
+    measured ~target-size files, and the COMPACTED SINK read back and
+    aggregated — a compaction that loses, duplicates, or mangles any
+    row cannot match the oracle's aggregate over the original table.
+    The layout half of the contract (file count shrinks to the
+    measured ceil(total/target), near-uniform sizes) is asserted in
+    tests/test_compaction.py — file counts are not SQL-observable.
+    At 100 TB this is the classic scan killer's remediation: thousands
+    of KB-scale streaming-sink files become one task + one footer read
+    per ~128 MB, paid once with a single round-robin exchange."""
+    import tempfile
+
+    from ..sources.compaction import compact_parquet
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    src = tempfile.mkdtemp(prefix="q170_small_")
+    dst = tempfile.mkdtemp(prefix="q170_compact_")
+    d.repartition(64).write.mode("overwrite").parquet(src)
+    back = compact_parquet(spark, src, dst, target_bytes=4 * 1024 * 1024)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("tok_sum"),
+        )
+        .orderBy("lang")
+    )
