@@ -268,6 +268,13 @@ def containment_prefix_pairs(
         .withColumn("__pos", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
+    # The ordered posting index feeds FOUR branches (prefix, full, and
+    # both verify sides); without materialization each branch re-scans
+    # and re-shingles the corpus from source (12 FileScans observed).
+    # localCheckpoint pins it once — storage ∝ postings, which are
+    # this operator's working set anyway; measured 0.68× wall at
+    # sf0.1 (BASELINE.md r8 notes).
+    ordered = ordered.localCheckpoint(eager=False)
     prefix = ordered.filter(
         F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select(F.col("id").alias("id_a"), "sh", F.col("__n").alias("n_a"))
@@ -283,8 +290,10 @@ def containment_prefix_pairs(
         .select("a.id_a", "b.id_b", F.col("a.n_a").alias("n_a"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
-    sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
+    # verify sides read the SAME checkpointed index (ordered is 1:1
+    # with sh — the freq join adds columns, never rows)
+    sa = ordered.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
+    sb = ordered.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
     inter = (
         cand.join(sa, "id_a")
         .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("s_b") == F.col("s_a")))
