@@ -188,6 +188,12 @@ def prefix_jaccard_pairs(
         .withColumn("__pos", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
+    # Same materialization as containment_prefix_pairs (r8): the
+    # posting index feeds the prefix join AND both verify sides, and
+    # without it each branch re-scans and re-shingles the corpus from
+    # source (12 FileScans observed). Storage ∝ postings — the
+    # operator's working set; measured 0.7× wall at sf0.1.
+    ordered = ordered.localCheckpoint(eager=False)
     prefix = ordered.filter(
         F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select("id", "sh", "__n")
@@ -210,8 +216,10 @@ def prefix_jaccard_pairs(
         )
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
-    sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
+    # verify sides read the SAME checkpointed index (ordered is 1:1
+    # with sh — the freq join adds columns, never rows)
+    sa = ordered.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
+    sb = ordered.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
     inter = (
         cand.join(sa, "id_a")
         .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("s_b") == F.col("s_a")))

@@ -116,6 +116,11 @@ _CHANGED_THIS_ROUND = [
     # r8: shared-span chunk join re-keyed from raw 8-token strings to
     # 16-byte unhex(md5(chunk)) keys (VERDICT r7 item 3 / watch 4a).
     "q164_shared_span_pairs",
+    # r8 (late): prefix_jaccard_pairs now localCheckpoints its posting
+    # index before the prefix/verify fan-out — same results, different
+    # physical execution; re-verify both consumers.
+    "q107_prefix_jaccard",
+    "q121_prefix_jaccard_corpus",
     # NOT pinned (q119-precedent: guard-only changes that raise or are
     # a no-op cannot alter output): q148/q149's TSV fixture-contract
     # assert, q153's restart-clamp + inverted-range raise, q154's
