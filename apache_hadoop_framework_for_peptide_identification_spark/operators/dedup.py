@@ -148,12 +148,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def _materialize_index(df: DataFrame, materialize: str) -> DataFrame:
+    """Materialization policy for a multiply-consumed posting index
+    (ADVICE r8 item 4 — the knob, plus the trade-offs in one place):
+
+    - ``"local_checkpoint"`` (default): lazy ``localCheckpoint`` —
+      fastest (blocks live on executors, lineage truncated), but the
+      blocks are pinned until the session ends (no unpersist handle)
+      and NOT fault-tolerant: losing an executor fails the job instead
+      of recomputing. Right for batch jobs that end soon after.
+    - ``"persist"``: ``MEMORY_AND_DISK`` cache — recomputable on
+      executor loss, and reclaimable (``df.unpersist()`` on the
+      returned frame, or ``spark.catalog.clearCache()``). Right for
+      long-lived sessions calling the operator repeatedly.
+    - ``"none"``: no materialization — each consumer branch re-scans
+      and re-shingles from source (measured ~1.4× wall at sf0.1, 12
+      FileScans for the 4-branch containment plan). Right when the
+      upstream is itself cached or trivially cheap.
+    """
+    if materialize == "local_checkpoint":
+        return df.localCheckpoint(eager=False)
+    if materialize == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize == "none":
+        return df
+    raise ValueError(
+        f"materialize must be 'local_checkpoint', 'persist', or 'none'; got {materialize!r}"
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """EXACT Jaccard-≥-threshold pairs via prefix filtering (SSJoin /
     PPJoin, Chaudhuri'06 / Xiao'08) — the scale path for exact
@@ -188,12 +220,12 @@ def prefix_jaccard_pairs(
         .withColumn("__pos", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    # Same materialization as containment_prefix_pairs (r8): the
-    # posting index feeds the prefix join AND both verify sides, and
-    # without it each branch re-scans and re-shingles the corpus from
-    # source (12 FileScans observed). Storage ∝ postings — the
-    # operator's working set; measured 0.7× wall at sf0.1.
-    ordered = ordered.localCheckpoint(eager=False)
+    # The posting index feeds the prefix join AND both verify sides;
+    # without materialization each branch re-scans and re-shingles the
+    # corpus from source. Storage ∝ postings — the operator's working
+    # set; measured 0.7× wall at sf0.1. Policy/caveats: see
+    # _materialize_index (ADVICE r8 item 4).
+    ordered = _materialize_index(ordered, materialize)
     prefix = ordered.filter(
         F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select("id", "sh", "__n")
@@ -239,6 +271,7 @@ def containment_prefix_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.9,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """EXACT containment-≥-threshold ORDERED pairs via the ASYMMETRIC
     prefix filter — the scale path for excerpt/quote detection
@@ -279,10 +312,11 @@ def containment_prefix_pairs(
     # The ordered posting index feeds FOUR branches (prefix, full, and
     # both verify sides); without materialization each branch re-scans
     # and re-shingles the corpus from source (12 FileScans observed).
-    # localCheckpoint pins it once — storage ∝ postings, which are
-    # this operator's working set anyway; measured 0.68× wall at
-    # sf0.1 (BASELINE.md r8 notes).
-    ordered = ordered.localCheckpoint(eager=False)
+    # Materialized once — storage ∝ postings, which are this
+    # operator's working set anyway; measured 0.68× wall at sf0.1
+    # (BASELINE.md r8 notes). Policy/caveats: see _materialize_index
+    # (ADVICE r8 item 4).
+    ordered = _materialize_index(ordered, materialize)
     prefix = ordered.filter(
         F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
     ).select(F.col("id").alias("id_a"), "sh", F.col("__n").alias("n_a"))

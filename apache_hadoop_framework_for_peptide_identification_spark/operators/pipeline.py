@@ -395,10 +395,13 @@ def snapshot_diff(
     j = o.join(n, key_cols, "full_outer")
     in_o = F.coalesce(F.col("__in_o"), F.lit(False))
     in_n = F.coalesce(F.col("__in_n"), F.lit(False))
-    same = None
+    # Empty compare_cols is a valid call (added/removed-only diff —
+    # e.g. a membership audit): vacuously "same", so no key present in
+    # both snapshots ever classifies as changed (ADVICE r8 item 1 —
+    # previously `~None` raised an opaque TypeError).
+    same = F.lit(True)
     for c in compare_cols:
-        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     change = (
         F.when(~in_o, F.lit("added"))
         .when(~in_n, F.lit("removed"))

