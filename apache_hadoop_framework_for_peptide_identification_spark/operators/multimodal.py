@@ -68,7 +68,7 @@ def decode_image(
     """Decode image payloads to (width, height, channels).
 
     STUB: real decoding needs Pillow/opencv, absent here (re-probed
-    round 8, 2026-08-14: `import PIL` and `import cv2` both raise
+    rounds 8 and 9, 2026-08-14: `import PIL` and `import cv2` both raise
     ModuleNotFoundError). With
     ``fake=True`` dimensions are derived deterministically from the
     payload **md5** so downstream plumbing (schema, joins, filters) is

@@ -16,6 +16,9 @@ runtime re-planning:
   equi-join key becomes (key, salt) and the hot key's matches spread
   across `buckets` tasks. Small-side inflation is the price — use only
   when the small side is modest and the big side's key is hot.
+- hot_key_salted_join (r9): the two-path refinement — measure key
+  frequencies, salt ONLY the hot keys, join cold keys plain, union.
+  Removes the `buckets`× small-side inflation where it buys nothing.
 
 Salts are derived from row content via xxhash64 — deterministic across
 retries/speculation (a random salt would break task re-execution).
@@ -103,3 +106,95 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     return b.join(s, [*on, "__salt"], how).drop("__salt")
+
+
+def detect_hot_keys(
+    big: DataFrame,
+    on: Sequence[str],
+    hot_row_threshold: int,
+    sample_fraction: float | None = None,
+    max_hot_keys: int = 10_000,
+) -> DataFrame:
+    """Join keys of ``big`` holding ≥ ``hot_row_threshold`` rows — the
+    detection half of two-path salting (VERDICT r8 item 3).
+
+    Exact by default: one map-side-combinable count per key (the
+    shuffle carries one partial row per key per partition, not data
+    rows). At 100 TB pass ``sample_fraction`` (e.g. 0.01) to count a
+    Bernoulli sample instead, with the threshold scaled down
+    proportionally — hot keys are, by definition, the keys sampling
+    cannot miss; a borderline key misclassified either way changes
+    only WHICH path joins it, never the join's result.
+
+    Guarded small: the result must broadcast, so > ``max_hot_keys``
+    distinct hot keys raises instead of silently building a huge
+    broadcast (that regime wants AQE skew-join, not explicit salting).
+    """
+    src = big.select(*on)
+    threshold = hot_row_threshold
+    if sample_fraction is not None:
+        src = src.sample(fraction=sample_fraction, seed=42)
+        threshold = max(1, int(hot_row_threshold * sample_fraction))
+    hot = (
+        src.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= threshold)
+        .select(*on)
+    )
+    n_hot = hot.limit(max_hot_keys + 1).count()
+    if n_hot > max_hot_keys:
+        raise ValueError(
+            f"detect_hot_keys found > {max_hot_keys} keys over the threshold — "
+            "that is spread, not skew; use AQE skew-join or plain salted_join"
+        )
+    return hot
+
+
+def hot_key_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt_cols: Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+    hot_row_threshold: int = 100_000,
+    sample_fraction: float | None = None,
+    max_hot_keys: int = 10_000,
+) -> DataFrame:
+    """TWO-PATH skew-safe equi-join (VERDICT r8 item 3 — the standard
+    refinement of ``salted_join``): detect hot keys by measured count,
+    salt ONLY those, and join the cold keys plain. ``salted_join``
+    replicates the whole small side ``buckets``×, paying the inflation
+    even for the cold keys where it buys nothing; here the replication
+    cost is ``|small∩hot| × buckets + |small∖hot|`` — for the typical
+    one-hot-key corpus, ~``buckets`` rows instead of
+    ``buckets × |small|``.
+
+    Correct by partition: both sides split on hot-set membership via a
+    broadcast semi/anti join, and an equi-join key matches across the
+    paths only within its own class — cold big rows cannot match hot
+    small rows (their keys differ by definition) — so
+    ``union(hot ⋈ hot, cold ⋈ cold) == big ⋈ small`` row for row, for
+    every big-side-preserving mode (each big row lives in exactly one
+    path; left null-extension happens in that row's own path).
+
+    Same mode restriction as salted_join (big-side-preserving only);
+    same deterministic xxhash64 salt. The detection scan is one extra
+    pass over ``big``'s key columns — at 100 TB use
+    ``sample_fraction`` to make it a sampled pass (see
+    detect_hot_keys: sampling shifts only the hot/cold boundary,
+    never the result)."""
+    supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"hot_key_salted_join supports big-side-preserving joins only {sorted(supported)}; "
+            f"got {how!r} — unmatched small-side rows would be emitted once per salt bucket"
+        )
+    hot = detect_hot_keys(big, on, hot_row_threshold, sample_fraction, max_hot_keys)
+    big_hot = big.join(F.broadcast(hot), list(on), "left_semi")
+    big_cold = big.join(F.broadcast(hot), list(on), "left_anti")
+    small_hot = small.join(F.broadcast(hot), list(on), "left_semi")
+    small_cold = small.join(F.broadcast(hot), list(on), "left_anti")
+    salted = salted_join(big_hot, small_hot, on, salt_cols, buckets, how)
+    plain = big_cold.join(small_cold, list(on), how)
+    return salted.unionByName(plain)

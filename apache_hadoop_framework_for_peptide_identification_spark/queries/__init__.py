@@ -108,24 +108,20 @@ _DRIVER_WINDOW = 50
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 8
+_CHANGED_IN_ROUND = 9
 _CHANGED_THIS_ROUND = [
-    # r8: fake-decode digest switched sha1→md5 so DuckDB can recompute
-    # it — q69's first-ever oracle (VERDICT r7 item 2).
-    "q69_multimodal_decode",
-    # r8: shared-span chunk join re-keyed from raw 8-token strings to
-    # 16-byte unhex(md5(chunk)) keys (VERDICT r7 item 3 / watch 4a).
-    "q164_shared_span_pairs",
-    # r8 (late): prefix_jaccard_pairs now localCheckpoints its posting
-    # index before the prefix/verify fan-out — same results, different
-    # physical execution; re-verify both consumers.
-    "q107_prefix_jaccard",
-    "q121_prefix_jaccard_corpus",
-    # NOT pinned (q119-precedent: guard-only changes that raise or are
-    # a no-op cannot alter output): q148/q149's TSV fixture-contract
-    # assert, q153's restart-clamp + inverted-range raise, q154's
-    # NULL-text token rule (unreachable in current fixtures). Each was
-    # re-verified against its oracle in the round-8 session log.
+    # r9: plan_compaction sizing moved from driver-side
+    # os.path.getsize to the Hadoop FileSystem API (VERDICT r8 item 2
+    # / ADVICE r8) — same numbers on local FS, but the query's code
+    # path changed; take a fresh verdict.
+    "q170_file_compaction",
+    # NOT pinned (q119-precedent: guard-only or out-of-path changes
+    # cannot alter output): q166's title-length fixture assert (raises
+    # or is a no-op), q171's snapshot_diff empty-compare_cols default
+    # (q171 passes non-empty compare_cols), q107/q121/q165/q147's
+    # materialize knob (default preserves the r8 physical plan
+    # exactly). Each was re-verified against its oracle in the
+    # round-9 session log (foreign-CWD sim, sf0.01).
 ]
 
 

@@ -920,3 +920,89 @@ def q168_skew_adversarial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("skew_key", "n_li", "sum_qty", "n_orders_mod")
         .orderBy("skew_key")
     )
+
+
+@query(
+    "q173_hot_key_two_path_join",
+    oracle="""
+WITH big AS (
+  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+              ELSE l_orderkey % 1000 END AS skew_key,
+         l_quantity
+  FROM lineitem, unnest([0, 1, 2, 3, 4]) AS r(r)),
+dim AS (
+  SELECT o_orderkey % 1000 AS skew_key, count(*) AS n_orders_mod
+  FROM orders WHERE o_orderkey % 1000 < 900 GROUP BY 1)
+SELECT b.skew_key,
+       CAST(count(*) AS BIGINT) AS n_li,
+       CAST(sum(CAST(b.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(max(d.n_orders_mod) AS BIGINT) AS n_orders_mod
+FROM big b LEFT JOIN dim d USING (skew_key)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q173_hot_key_two_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PATH hot-key salted join (VERDICT r8 item 3 — the standard
+    refinement of q168's whole-side salting): the same adversarial
+    fixture as q168 (lineitem ×5, 75% of rows funneled onto key 0)
+    but joined through operators/skew.py hot_key_salted_join, which
+    MEASURES key frequencies first (count ≥ 10k ⇒ hot — only key 0
+    qualifies at every sf), salts and replicates ONLY the hot keys,
+    and joins the ~250 cold keys plain. The dimension replication
+    cost drops from buckets×|dim| (q168: 32×) to |dim∩hot|×32 + 1×
+    the cold remainder — tests/test_skew.py asserts both the split
+    economics and that cold-key partitioning is untouched. The join
+    is LEFT with the dimension truncated to keys < 900, so
+    null-extension is exercised through BOTH paths (hot key 0 joins;
+    cold keys ≥ 900 null-extend) — the oracle is the plain unsalted
+    LEFT join: bit-identical results are the two-path contract. The
+    downstream aggregation is a plain groupBy: partial (map-side)
+    aggregation already absorbs key skew for algebraic aggregates —
+    the explicit salted form (q168) is for when partials are
+    defeated. Sums aggregate in DECIMAL(18,2) and cast once (the q08
+    float-order rule)."""
+    from ..operators.skew import hot_key_salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        .withColumn(
+            "skew_key",
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+            .cast("long"),
+        )
+        .withColumn("qty_d", F.col("l_quantity").cast("decimal(18,2)"))
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "skew_key", F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("long")
+        )
+        .filter(F.col("skew_key") < 900)
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("n_orders_mod"))
+    )
+    joined = hot_key_salted_join(
+        big,
+        dim,
+        on=["skew_key"],
+        salt_cols=["r", "l_orderkey"],
+        buckets=32,
+        how="left",
+        hot_row_threshold=10_000,
+    )
+    return (
+        joined.groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum("qty_d").cast("double").alias("sum_qty"),
+            F.max("n_orders_mod").alias("n_orders_mod"),
+        )
+        .select("skew_key", "n_li", "sum_qty", "n_orders_mod")
+        .orderBy("skew_key")
+    )

@@ -16,6 +16,7 @@ from ..streaming.windows import (
     sliding_agg,
     stateful_user_totals,
     stream_dedup,
+    stream_enrich_refreshed,
     stream_scd2_enrich,
     stream_static_join,
     tumbling_agg,
@@ -903,3 +904,85 @@ def q167_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.orderBy("event_id")
+
+
+@query(
+    "q172_stream_dim_refresh",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       CASE WHEN e.event_id % 2 = 1 AND n.n_nationkey % 2 = 0
+            THEN n.n_name || '_v2' ELSE n.n_name END AS dim_name
+FROM events e JOIN nation n ON n.n_nationkey = e.user_id
+WHERE e.user_id < 20
+ORDER BY e.event_id
+""",
+)
+def q172_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch REFRESHED dimension enrichment (VERDICT r8
+    item 4 — completes q167's documented plan-time-snapshot
+    limitation): the dimension is re-read INSIDE foreachBatch, so a
+    dimension update landing mid-stream is picked up by later batches
+    — the catalog-re-resolve semantics, without a catalog. Two-phase
+    replay through ONE checkpoint (the q161/q162 staging pattern):
+    phase 1 stages the even-event_id rows and runs against dimension
+    v1 (nation as-is); the dimension directory is then OVERWRITTEN
+    with v2 (name suffixed '_v2' for even nationkeys) and the odd
+    rows staged and replayed — the checkpoint guarantees phase-2
+    batches process exactly the new files. The oracle states the
+    phase→version mapping explicitly: '_v2' appears exactly on
+    (odd event_id × even nationkey) rows. A plan-time-snapshot static
+    join (q167's form) would hash-mismatch here — every changed
+    dimension row would surface v1 names in phase 2; conversely a
+    refresh leaking INTO phase 1 (e.g. lazy batch execution deferring
+    the dim read past the overwrite) would stamp '_v2' on even
+    event_ids. The refreshed dimension broadcasts per batch; the
+    stream side never shuffles."""
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select("event_id", "user_id")
+    )
+    dim_v1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("user_id"), F.col("n_name").alias("dim_name")
+    )
+    dim_v2 = dim_v1.select(
+        "user_id",
+        F.when(
+            F.col("user_id") % 2 == 0, F.concat(F.col("dim_name"), F.lit("_v2"))
+        )
+        .otherwise(F.col("dim_name"))
+        .alias("dim_name"),
+    )
+
+    src = tempfile.mkdtemp(prefix="q172_src_")
+    ckpt = tempfile.mkdtemp(prefix="q172_ckpt_")
+    out = tempfile.mkdtemp(prefix="q172_out_")
+    dim_dir = tempfile.mkdtemp(prefix="q172_dim_")
+    shutil.rmtree(out)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+        stream_enrich_refreshed(
+            stream,
+            lambda: spark.read.parquet(dim_dir),
+            on="user_id",
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            how="left",
+        )
+
+    dim_v1.write.mode("overwrite").parquet(dim_dir)
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    run_once()
+    dim_v2.write.mode("overwrite").parquet(dim_dir)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "dim_name")
+        .orderBy("event_id")
+    )

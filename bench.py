@@ -54,6 +54,7 @@ HEADLINE = [
     "q165_containment_prefix_corpus",
     "q166_fuzzy_title_corpus",
     "q168_skew_adversarial_join",
+    "q173_hot_key_two_path_join",
 ]
 
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))

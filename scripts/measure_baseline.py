@@ -900,6 +900,47 @@ def q168_skew_adversarial_join(t):
     )
 
 
+def q173_hot_key_two_path_join(t):
+    """Stock form of the two-path workload: plain unsalted LEFT join +
+    group-by, dim truncated to keys < 900 — identical results to
+    q173. At this scale Spark broadcasts the dim, so the row measures
+    the COST of the two-path insurance (detection scan + split); the
+    refinement's payoff — replicating only the hot subset in the
+    non-broadcastable-dim regime — is asserted structurally in
+    tests/test_skew.py, on rows, not wall clock."""
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    big = (
+        li.select(
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+            "l_orderkey",
+            "l_quantity",
+        )
+        .withColumn(
+            "skew_key",
+            F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+            .otherwise(F.pmod(F.col("l_orderkey"), F.lit(1000)))
+            .cast("long"),
+        )
+    )
+    dim = (
+        t["orders"]
+        .withColumn("skew_key", F.pmod(F.col("o_orderkey"), F.lit(1000)).cast("long"))
+        .filter(F.col("skew_key") < 900)
+        .groupBy("skew_key")
+        .agg(F.count(F.lit(1)).alias("n_orders_mod"))
+    )
+    return (
+        big.join(dim, "skew_key", "left")
+        .groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.max("n_orders_mod").alias("n_orders_mod"),
+        )
+        .orderBy("skew_key")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -931,6 +972,7 @@ QUERIES = {
     "q165_containment_prefix_corpus": q165_containment_prefix_corpus,
     "q166_fuzzy_title_corpus": q166_fuzzy_title_corpus,
     "q168_skew_adversarial_join": q168_skew_adversarial_join,
+    "q173_hot_key_two_path_join": q173_hot_key_two_path_join,
 }
 
 

@@ -490,6 +490,55 @@ def test_stream_static_dim_is_plan_time_snapshot(spark, tmp_path):
     assert all(rows == [(1, rows[0][1], "old")] for rows in captured.values()), captured
 
 
+def test_stream_enrich_refreshed_picks_up_mid_stream_dim_change(spark, tmp_path):
+    """VERDICT r8 item 4 — the refresh twin of the snapshot pin above:
+    stream_enrich_refreshed re-reads the dimension INSIDE
+    foreachBatch, so a dimension OVERWRITE between two replays of the
+    same checkpoint affects ONLY the later batches (phase-1 output is
+    immutable in the sink — already-written rows must keep v1)."""
+    import os
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_enrich_refreshed,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "v1")], "k long, v string").write.parquet(dim_dir)
+    spark.createDataFrame([(1, 100)], "k long, x long").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f1")
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("k long, x long").parquet(src_dir + "/*")
+        stream_enrich_refreshed(
+            stream,
+            lambda: spark.read.parquet(dim_dir),
+            on="k",
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+        )
+
+    run_once()
+    spark.createDataFrame([(1, "v2")], "k long, v string").write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+    spark.createDataFrame([(1, 200)], "k long, x long").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f2")
+    )
+    run_once()
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out_dir).select("k", "x", "v").collect()
+    )
+    # phase 1 keeps v1; phase 2 sees the refreshed v2 — the exact
+    # split a plan-time snapshot (all-v1) or an eager re-read
+    # contaminating history (all-v2) would both break.
+    assert got == [(1, 100, "v1"), (1, 200, "v2")], got
+
+
 def test_stream_reader_restart_replay_recovers_and_inverted_range_raises():
     """The q153 source's two restart paths (r7 ADVICE item 2, sharpened
     r8): replaying an in-flight batch (partitions() called from the
