@@ -129,6 +129,12 @@ def detect_hot_keys(
     Guarded small: the result must broadcast, so > ``max_hot_keys``
     distinct hot keys raises instead of silently building a huge
     broadcast (that regime wants AQE skew-join, not explicit salting).
+
+    The detection runs EXACTLY ONCE: the (guard-bounded) hot set is
+    collected and returned as a LocalRelation, so the four downstream
+    semi/anti splits in hot_key_salted_join broadcast driver-local
+    rows instead of each re-running the count-aggregation over the
+    big side — without this, detection would scan ``big`` five times.
     """
     src = big.select(*on)
     threshold = hot_row_threshold
@@ -141,13 +147,13 @@ def detect_hot_keys(
         .filter(F.col("__n") >= threshold)
         .select(*on)
     )
-    n_hot = hot.limit(max_hot_keys + 1).count()
-    if n_hot > max_hot_keys:
+    rows = hot.limit(max_hot_keys + 1).collect()
+    if len(rows) > max_hot_keys:
         raise ValueError(
             f"detect_hot_keys found > {max_hot_keys} keys over the threshold — "
             "that is spread, not skew; use AQE skew-join or plain salted_join"
         )
-    return hot
+    return big.sparkSession.createDataFrame(rows, schema=hot.schema)
 
 
 def hot_key_salted_join(
@@ -179,11 +185,17 @@ def hot_key_salted_join(
     path; left null-extension happens in that row's own path).
 
     Same mode restriction as salted_join (big-side-preserving only);
-    same deterministic xxhash64 salt. The detection scan is one extra
-    pass over ``big``'s key columns — at 100 TB use
-    ``sample_fraction`` to make it a sampled pass (see
-    detect_hot_keys: sampling shifts only the hot/cold boundary,
-    never the result)."""
+    same deterministic xxhash64 salt. Costs stated plainly: (1) the
+    detection pass over ``big``'s key columns — at 100 TB use
+    ``sample_fraction`` to make it sampled (see detect_hot_keys:
+    sampling shifts only the hot/cold boundary, never the result);
+    (2) ``big`` is scanned twice (once per path), each scan pruned by
+    a broadcast-hash semi/anti filter with NO shuffle — the trade
+    against salted_join's single scan + buckets× small-side
+    replication; the two-path form wins exactly when the replicated
+    small side (or its shuffle) outweighs one extra columnar scan.
+    Measured plan (q173): broadcast joins throughout, zero sort-merge,
+    the hot set a collected LocalRelation (one detection job total)."""
     supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
     if how.lower() not in supported:
         raise ValueError(

@@ -380,3 +380,17 @@ def test_q168_salted_exchanges_carry_salt(spark):
     # the FINAL phase-2 merge legitimately exchanges on skew_key alone
     # (its input is <= keys x buckets partial rows, never skewed)
     assert len(bad) <= 1, bad
+
+
+def test_q173_two_path_join_all_broadcast_no_sort_merge(spark):
+    """The two-path hot-key join's plan contract (docs/SCALE.md joins):
+    every join — the four hot/cold semi-anti splits and both path
+    joins — is broadcast-hash; no sort-merge join, no cartesian
+    product, and the detection result is driver-local (no recomputed
+    aggregation feeding the splits: the only shuffles are the dim
+    build and the final group-by, never a detect-side exchange per
+    branch)."""
+    plan = _plan(spark, "q173_hot_key_two_path_join")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 6, plan
