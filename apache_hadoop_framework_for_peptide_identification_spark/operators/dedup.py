@@ -596,6 +596,111 @@ def minhash_jaccard_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    history: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL MinHash-LSH near-dup: verify a new ``batch`` against
+    ``history`` ∪ ``batch`` WITHOUT ever pairing history×history — the
+    every-ingest form of minhash_jaccard_pairs (r9; the near-dup twin
+    of bloom_prefiltered_antijoin's exact incremental dedup). On a
+    steady-state corpus the history side's band postings are computed
+    once and persisted ((id, band, bucket) — the persistable LSH
+    index); each ingest computes signatures only for its own rows and
+    band-joins batch→index, so per-ingest cost is
+    O(batch + collisions), never O(corpus²) and never a corpus
+    re-signature. Here both sides are signature-computed in one pass
+    (no store in this environment); the pair-generation asymmetry —
+    batch bands on one side, the full posting set on the other, old×old
+    structurally excluded — is the operator, and is exactly what a
+    persisted index drops into.
+
+    The exact-Jaccard verify reads TEXT ONLY FOR CANDIDATE DOCS: the
+    candidate ids semi-join the corpus before shingling, so history
+    text is fetched per collision, not per ingest — at 100 TB the
+    verify's cost follows the (banded, bounded) candidate count. No
+    false negatives beyond LSH recall (1-(1-s^r)^b per pair, ≈1 at the
+    twin similarities the driver corpus plants — the q174 oracle
+    hash-match is the recall proof, same argument as q113).
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, each pair containing
+    ≥1 batch doc. Ids must be disjoint across the two inputs.
+    """
+    rows_per_band = num_hashes // bands
+    h = history.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    b = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    alld = h.unionByName(b)
+    sig = minhash_signatures(alld, "id", "text", num_hashes, shingle_n)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bd).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{bd * rows_per_band + j}") for j in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for bd in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    new_ids = b.select("id")
+    new_banded = banded.join(new_ids, "id", "left_semi")
+    x, y = new_banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    texts = alld.join(cand_ids, "id", "left_semi")
+    sh = exploded_shingles(texts, "id", "text", shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
+    sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("s_b") == F.col("s_a")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens. Near-duplicate texts differ in

@@ -629,3 +629,47 @@ def pq_ann_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (r9 — the
+    standard hybrid-retrieval combiner, Cormack/Clarke/Buettcher '09):
+    score(d) = Σ_lists 1/(k + rank_d), summed over the lists that
+    retrieved d. Rank-based, so the lists' raw scores need no
+    calibration — the property that makes RRF the default way to
+    merge a lexical (BM25) and a semantic (ANN) list.
+
+    Each input holds one row per retrieved id with a 1-based
+    ``rank_col``. The fusion is a union of (id, 1/(k+rank))
+    projections, one groupBy sum, and a TakeOrdered top-k — the
+    inputs are top-k lists (k rows each), so every stage after the
+    upstream retrievals is bounded by Σ list sizes, independent of
+    corpus scale. Ties break on id. Determinism: with two lists the
+    per-id sum is a single commutative double add (exact); above ~3
+    lists the add order could flip the last ulp — quantize ranks'
+    contributions or sort_array first if a byte-stable score matters
+    beyond 6 significant digits.
+    """
+    parts = [
+        df.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(k_const)) + F.col(rank_col).cast("double"))).alias("__c"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("id")
+        .agg(F.sum("__c").alias("rrf"))
+        .select(F.col("id").alias(id_col), "rrf")
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(topk)
+    )

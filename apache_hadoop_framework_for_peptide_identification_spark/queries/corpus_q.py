@@ -315,3 +315,99 @@ def q150_sketch_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bigram", "n_exact", "n_est")
         .orderBy(F.col("n_exact").desc(), "bigram")
     )
+
+
+_Q175_BM25_SCORED = f"""
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS dl
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl,
+         {", ".join(
+             f"sum(CASE WHEN list_contains(t, '{term}') THEN 1 ELSE 0 END) AS df{i}"
+             for i, term in enumerate(_BM25_TERMS)
+         )}
+  FROM base),
+scored AS (
+  SELECT b.doc_id,
+         CAST(0.0 AS DOUBLE)
+         {"".join(
+             f'''
+         + (CASE WHEN len(list_filter(b.t, x -> x = '{term}')) > 0 THEN
+             (floor(ln(CAST(1.0 AS DOUBLE)
+                       + (CAST(s.n AS DOUBLE) - CAST(s.df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(s.df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                   * CAST(1e9 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1e9 AS DOUBLE))
+             * (CAST(len(list_filter(b.t, x -> x = '{term}')) AS DOUBLE)
+                * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+             / (CAST(len(list_filter(b.t, x -> x = '{term}')) AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(b.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+            ELSE CAST(0.0 AS DOUBLE) END)'''
+             for i, term in enumerate(_BM25_TERMS)
+         )}
+           AS bm25
+  FROM base b, stats s)
+"""
+
+
+@query(
+    "q175_hybrid_rrf",
+    oracle=f"""
+WITH {_Q175_BM25_SCORED},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scored QUALIFY rnk <= 20),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT c.vec_id AS doc_id,
+         list_cosine_similarity(q.q_vec, CAST(c.embedding AS DOUBLE[])) AS cos_sim
+  FROM embeddings c, q WHERE c.vec_id <> 0),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rnk
+  FROM sem_scored QUALIFY rnk <= 20),
+contrib AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rnk) AS c FROM sem)
+SELECT doc_id, sum(c) AS rrf FROM contrib
+GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
+def q175_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion (added r9): the
+    lexical list (q102's BM25 machinery, top-20 for the fixed term
+    bag) and the semantic list (q44's brute-force cosine machinery,
+    top-20 for query vector vec_id=0, ids aligned doc_id↔vec_id)
+    fused by operators/similarity.py rrf_fuse — score(d) =
+    Σ 1/(60+rank_d), the calibration-free combiner hybrid search
+    defaults to. Every post-retrieval stage operates on the two
+    20-row lists (the single-task rank windows run on ≤20 rows by
+    construction — the upstream top-k heaps did the data-scale
+    work), so the fusion adds nothing to corpus-scale cost. The
+    oracle recomputes both rankings (quantized-idf BM25 exactly as
+    q102; cosine exactly as q44) and the fused sum — rank agreement
+    plus the exact rational contributions make the double sum
+    hash-stable (two commutative adds per id)."""
+    from ..operators import similarity
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    lex = C.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rnk"),
+    )
+    sem = (
+        similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+        )
+        .select(F.col("n_id").alias("doc_id"), F.col("rn").cast("long").alias("rnk"))
+    )
+    return similarity.rrf_fuse([lex, sem], "doc_id", "rnk", k_const=60, topk=10)

@@ -1530,3 +1530,73 @@ def q166_fuzzy_title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_name_pairs(corpus, "name", max_dist=3).orderBy(
         "name_a", "name_b"
     )
+
+
+@query(
+    "q174_incremental_neardup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 150),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+  AND (id_a >= 10000 OR id_b >= 10000
+       OR (id_a >= 100 AND id_a < 150) OR (id_b >= 100 AND id_b < 150))
+ORDER BY id_a, id_b
+""",
+)
+def q174_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest (added r9 — the near-dup twin of
+    q95/q116's exact incremental dedup): history = docs < 100; the
+    arriving batch = drop-last-word twins of docs < 50 (planted
+    near-dups that MUST be caught against history) plus docs 100–149
+    (novel content that must pass). operators/dedup.py
+    incremental_minhash_pairs band-joins only the batch's bands
+    against the full posting set — history×history pairs are
+    structurally excluded, per-ingest cost is O(batch + collisions),
+    and the exact-Jaccard verify fetches text only for candidate docs
+    (candidate-id semi-join before shingling). The oracle is the
+    all-pairs Jaccard ≥ 0.5 truth RESTRICTED to pairs touching the
+    batch — the hash match proves both recall (every planted twin
+    found: J≈0.99 where band collision probability ≈ 1, the q113
+    argument) and the exclusion (a history×history pair appearing on
+    the Spark side would mismatch)."""
+    d = _t(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    twins = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " \\S+\\z", "").alias("text"),
+        )
+    )
+    novel = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+        "doc_id", "text"
+    )
+    batch = twins.unionByName(novel)
+    return dedup.incremental_minhash_pairs(
+        history, batch, "doc_id", "text", threshold=0.5,
+        num_hashes=64, bands=16, shingle_n=3,
+    ).orderBy("id_a", "id_b")

@@ -431,3 +431,40 @@ def test_containment_prefix_pairs_exact_and_asymmetric(spark):
     assert got == want
     assert got[(1005, 5)] == 1.0  # crop -> source: fully contained
     assert (5, 1005) not in got  # source -> crop: asymmetry
+
+
+def test_incremental_minhash_excludes_history_pairs_and_matches_full(spark):
+    """The incremental form's two contracts (r9): (1) no
+    history×history pair ever surfaces, even when history contains
+    planted near-dups of its own; (2) for pairs touching the batch it
+    agrees exactly with the full-corpus pipeline at the same
+    threshold/banding."""
+    rng = random.Random(81)
+    docs = [_doc(rng, 16) for _ in range(20)]
+    history_rows = [(i, t) for i, t in enumerate(docs)]
+    # planted near-dup INSIDE history — must never appear in output
+    history_rows.append((500, _perturb(rng, docs[0], 1)))
+    batch_rows = [(1000 + i, _perturb(rng, docs[i], 1)) for i in range(8)]
+    batch_rows += [(2000 + i, _doc(rng, 16)) for i in range(4)]  # novel
+    history = spark.createDataFrame(history_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.incremental_minhash_pairs(
+            history, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    batch_ids = {r[0] for r in batch_rows}
+    assert got, "planted twins must be found"
+    assert all(a in batch_ids or b in batch_ids for a, b in got), got
+    assert (0, 500) not in got  # the history-internal near-dup
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_jaccard_pairs(
+            history.unionByName(batch), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    want = {p: j for p, j in full.items() if p[0] in batch_ids or p[1] in batch_ids}
+    assert got == want

@@ -172,3 +172,21 @@ def test_pq_ann_recall_vs_bruteforce(spark):
     for r in similarity.pq_ann_topk(emb, queries, "vec_id", "embedding", k=5, n_candidates=150).collect():
         again.setdefault(r["q_id"], set()).add(r["n_id"])
     assert again == got
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand-built lists: overlap ids sum both reciprocal
+    ranks, single-list ids keep one, ties break on id, top-k cuts."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rnk long")
+    sem = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], "doc_id long, rnk long")
+    out = rrf_fuse([lex, sem], "doc_id", "rnk", k_const=60, topk=3).collect()
+    got = [(r["doc_id"], r["rrf"]) for r in out]
+    import pytest as _pytest
+
+    # 20: 1/62 + 1/61 ; 10: 1/61 + 1/63 ; 40: 1/62 ; 30: 1/63 (cut by topk)
+    assert [d for d, _ in got] == [20, 10, 40]
+    assert got[0][1] == _pytest.approx(1 / 62 + 1 / 61)
+    assert got[1][1] == _pytest.approx(1 / 61 + 1 / 63)
+    assert got[2][1] == _pytest.approx(1 / 62)
