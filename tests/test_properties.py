@@ -446,3 +446,114 @@ def test_containment_prefix_pairs_complete_vs_brute_force(sess, docs, threshold)
         ).collect()
     }
     assert got == want
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        ),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        ),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SETTINGS
+def test_snapshot_diff_upsert_round_trip(sess, old_rows, new_rows):
+    """snapshot_diff and upsert_snapshot are inverses (r9): applying
+    the change feed diff(old→new) to `old` — upsert added+changed,
+    delete removed — must reproduce `new` EXACTLY, for arbitrary keyed
+    snapshots including NULL values and NULL→value / value→NULL
+    transitions. This is the algebraic contract a CDC consumer relies
+    on; any misclassification (a changed row reported unchanged, a
+    NULL-comparison slip) breaks the round trip."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    old = sess.createDataFrame(old_rows or [(99, None)], "k int, v string")
+    new = sess.createDataFrame(new_rows or [(98, None)], "k int, v string")
+    if not old_rows:
+        old = old.filter("k < 0")
+    if not new_rows:
+        new = new.filter("k < 0")
+
+    diff = P.snapshot_diff(old, new, ["k"], ["v"]).collect()
+    changes = sess.createDataFrame(
+        [
+            (r["k"], r["new_v"], r["change_type"] == "removed")
+            for r in diff
+        ]
+        or [(97, None, False)],
+        "k int, v string, is_delete boolean",
+    )
+    if not diff:
+        changes = changes.filter("k < 0")
+    rebuilt = {
+        r["k"]: r["v"]
+        for r in P.upsert_snapshot(old, changes, ["k"], delete_col="is_delete").collect()
+    }
+    want = dict(new_rows)
+    assert rebuilt == want
+
+
+@given(
+    big_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key: 0 is usually hot
+            st.integers(min_value=0, max_value=1000),  # payload/salt source
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    small_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # includes keys big lacks
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    hot_threshold=st.sampled_from([1, 3, 10**6]),
+)
+@SETTINGS
+def test_hot_key_two_path_join_equals_plain_property(
+    sess, big_rows, small_rows, how, hot_threshold
+):
+    """q173's operator contract under arbitrary tiny frames, every
+    supported mode, and every hot/cold boundary (threshold 1 = all
+    keys hot ⇒ degenerates to salted_join; 10^6 = none hot ⇒
+    degenerates to the plain join; 3 = a genuine mixed split):
+    union(hot⋈hot, cold⋈cold) == plain join as an exact multiset."""
+    from collections import Counter
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import hot_key_salted_join
+
+    big = sess.createDataFrame(big_rows or [(99, 0)], "k int, payload int")
+    small = sess.createDataFrame(small_rows or [(99, 0)], "k int, dim int")
+    if not big_rows:
+        big = big.filter("k < 0")
+    if not small_rows:
+        small = small.filter("k < 0")
+
+    plain = Counter(map(tuple, big.join(small, ["k"], how).collect()))
+    two_path = Counter(
+        map(
+            tuple,
+            hot_key_salted_join(
+                big, small, on=["k"], salt_cols=["payload"], buckets=4,
+                how=how, hot_row_threshold=hot_threshold,
+            ).collect(),
+        )
+    )
+    assert two_path == plain
