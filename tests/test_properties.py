@@ -557,3 +557,51 @@ def test_hot_key_two_path_join_equals_plain_property(
         )
     )
     assert two_path == plain
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=20),  # retrieved ids, dups pruned below
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    k_const=st.sampled_from([1, 60]),
+    topk=st.sampled_from([3, 10]),
+)
+@SETTINGS
+def test_rrf_fuse_matches_brute_force(sess, lists, k_const, topk):
+    """rrf_fuse vs a literal reimplementation: for arbitrary ranked
+    lists (each deduped to one row per id, rank = position), the fused
+    scores, the (score desc, id) ordering, and the top-k cut must all
+    agree. Scores compare after round-6-significant-digit
+    canonicalization — the same rule the driver's comparator applies."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import rrf_fuse
+
+    ranked = []
+    truth: dict[int, float] = {}
+    for lst in lists:
+        seen = []
+        for i in lst:
+            if i not in seen:
+                seen.append(i)
+        ranked.append(
+            sess.createDataFrame(
+                [(d, r + 1) for r, d in enumerate(seen)] or [(999, 1)],
+                "doc_id int, rnk int",
+            ).filter("doc_id < 900" if not seen else "doc_id >= 0")
+        )
+        for r, d in enumerate(seen):
+            truth[d] = truth.get(d, 0.0) + 1.0 / (k_const + r + 1)
+
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    got = [
+        (r["doc_id"], r["rrf"])
+        for r in rrf_fuse(ranked, "doc_id", "rnk", k_const=k_const, topk=topk).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9), (gd, gs, ws)

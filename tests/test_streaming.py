@@ -568,3 +568,54 @@ def test_stream_reader_restart_replay_recovers_and_inverted_range_raises():
     assert behind["pos"] < 50
     with _pytest.raises(ValueError, match="inverted"):
         r2.partitions({"pos": 50}, behind)
+
+
+def test_stream_enrich_refreshed_multi_key_inner_and_three_phases(spark, tmp_path):
+    """stream_enrich_refreshed generality: composite join key, inner
+    mode (unmatched stream rows dropped per batch), and THREE replays
+    with a distinct dimension version each — every sink row must carry
+    exactly the version live at its own phase."""
+    import os
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_enrich_refreshed,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def run_once():
+        stream = spark.readStream.schema("k1 long, k2 string, x long").parquet(
+            src_dir + "/*"
+        )
+        stream_enrich_refreshed(
+            stream,
+            lambda: spark.read.parquet(dim_dir),
+            on=["k1", "k2"],
+            out_dir=out_dir,
+            checkpoint_dir=ckpt,
+            how="inner",
+        )
+
+    for phase in (1, 2, 3):
+        spark.createDataFrame(
+            [(1, "a", f"v{phase}")], "k1 long, k2 string, v string"
+        ).write.mode("overwrite").parquet(dim_dir)
+        spark.createDataFrame(
+            # (1,'a') matches; (2,'b') has no dim row — inner drops it
+            [(1, "a", 100 * phase), (2, "b", 100 * phase + 1)],
+            "k1 long, k2 string, x long",
+        ).coalesce(1).write.parquet(os.path.join(src_dir, f"f{phase}"))
+        run_once()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir).select("k1", "k2", "x", "v").collect()
+    )
+    assert got == [
+        (1, "a", 100, "v1"),
+        (1, "a", 200, "v2"),
+        (1, "a", 300, "v3"),
+    ], got
