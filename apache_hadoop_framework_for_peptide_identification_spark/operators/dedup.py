@@ -1003,3 +1003,38 @@ def fuzzy_name_pairs(
         .filter(F.col("lev") >= 0)
         .select("name_a", "name_b", F.col("lev").cast("bigint").alias("lev"))
     )
+
+
+def quality_keeper_dedup(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Keep the HIGHEST-QUALITY doc per near-dup cluster (r9) — the
+    keeper rule production corpora actually want (keep the longest /
+    best-scored copy, C4/RefinedWeb-style), where exact_dedup and the
+    q96 pipeline keep min-id. Ties break on min id, so keeper choice
+    is deterministic for any quality column.
+
+    Composition: edges → connected_components → one window over the
+    cluster-labeled nodes ordered by (quality desc, id) → anti-join
+    the losers back out. Costs beyond the edge generator: the CC
+    iterations (lineage-truncated, see connected_components) plus ONE
+    shuffle of (id, cluster, quality) triples — O(cluster members),
+    never corpus-wide, and docs in no cluster bypass everything via
+    the anti-join. The quality column is whatever the pipeline already
+    computed (token count, LM score, q47's composite); swapping the
+    keeper rule never touches the edge generator, which is why the
+    LSH/PPJoin scale paths drop in unchanged.
+    """
+    cc = connected_components(edges)
+    qual = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
+    ranked = cc.join(qual, "id").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(F.col("__q").desc(), F.col("id"))
+        ),
+    )
+    losers = ranked.filter(F.col("__rn") > 1).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -1600,3 +1600,73 @@ def q174_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         history, batch, "doc_id", "text", threshold=0.5,
         num_hashes=64, bands=16, shingle_n=3,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q176_quality_keeper_dedup",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 100),
+q AS (SELECT doc_id, (doc_id * 37) % 101 AS qual FROM corpus),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+walk(node, label) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+ranked AS (
+  SELECT cc.node,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.qual DESC, cc.node) AS rn
+  FROM cc JOIN q ON q.doc_id = cc.node)
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+ORDER BY c.doc_id
+""",
+)
+def q176_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED keeper selection (added r9): q96's end-to-end
+    dedup with the keeper rule production corpora actually use — keep
+    the HIGHEST-QUALITY doc per cluster (C4/RefinedWeb-style), not
+    the minimum id. The quality column here is the deterministic
+    surrogate (doc_id·37) mod 101, deliberately DECORRELATED from id
+    order so in roughly half the twin clusters the TWIN outranks its
+    original and the keeper differs from q96's — the oracle's
+    (quality desc, id) window proves the argmax and its min-id
+    tie-break, not just cluster membership. In a real pipeline the
+    quality column is whatever scoring already ran (token count, LM
+    familiarity q101, composite q47); only the keeper window changes,
+    the edge generator and anti-join are q96's unchanged — which is
+    also the scale story (one extra shuffle of (id, cluster, quality)
+    triples, O(cluster members))."""
+    d = _plant_text_twins(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ).withColumn("qual", (F.col("doc_id") * 37) % 101)
+    edges = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.2)
+    return (
+        dedup.quality_keeper_dedup(d, edges, "doc_id", "qual")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

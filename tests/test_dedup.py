@@ -468,3 +468,26 @@ def test_incremental_minhash_excludes_history_pairs_and_matches_full(spark):
     }
     want = {p: j for p, j in full.items() if p[0] in batch_ids or p[1] in batch_ids}
     assert got == want
+
+
+def test_quality_keeper_dedup_argmax_ties_and_bystanders(spark):
+    """quality_keeper_dedup (r9): per cluster the max-quality doc
+    survives; quality ties break to min id; docs in no cluster are
+    untouched."""
+    rows = [
+        # cluster {1,2,3}: 2 has top quality
+        (1, "x", 5), (2, "x", 9), (3, "x", 7),
+        # cluster {10,11}: tie -> min id 10 survives
+        (10, "y", 4), (11, "y", 4),
+        # bystander, no edges
+        (99, "z", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, qual long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.quality_keeper_dedup(df, edges, "doc_id", "qual").collect()
+    )
+    assert kept == [2, 10, 99]
