@@ -656,6 +656,8 @@ def rrf_fuse(
     contributions or sort_array first if a byte-stable score matters
     beyond 6 significant digits.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     parts = [
         df.select(
             F.col(id_col).alias("id"),

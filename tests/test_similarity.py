@@ -190,3 +190,12 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[0][1] == _pytest.approx(1 / 62 + 1 / 61)
     assert got[1][1] == _pytest.approx(1 / 61 + 1 / 63)
     assert got[2][1] == _pytest.approx(1 / 62)
+
+
+def test_rrf_fuse_rejects_empty_input():
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import rrf_fuse
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one ranked list"):
+        rrf_fuse([], "doc_id", "rnk")
