@@ -139,8 +139,26 @@ def detect_hot_keys(
     src = big.select(*on)
     threshold = hot_row_threshold
     if sample_fraction is not None:
+        # Guard (ADVICE r9): an out-of-range fraction would pass
+        # straight through to sample(), and a scaled threshold that
+        # rounds to ~1 classifies EVERY sampled key as hot — a silent
+        # detection collapse that usually surfaces only as the opaque
+        # max_hot_keys error downstream.
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1]; got {sample_fraction}"
+            )
+        scaled = hot_row_threshold * sample_fraction
+        if scaled < 10:
+            raise ValueError(
+                f"hot_row_threshold * sample_fraction = {scaled:.3g} < 10: at this "
+                "sampling rate the expected sample count of a borderline-hot key is "
+                "too small to separate hot keys from noise (any key seen once would "
+                "classify as hot). Raise sample_fraction or hot_row_threshold, or "
+                "use exact detection (sample_fraction=None)."
+            )
         src = src.sample(fraction=sample_fraction, seed=42)
-        threshold = max(1, int(hot_row_threshold * sample_fraction))
+        threshold = max(1, int(scaled))
     hot = (
         src.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -108,20 +108,25 @@ _DRIVER_WINDOW = 50
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 9
+_CHANGED_IN_ROUND = 10
 _CHANGED_THIS_ROUND = [
-    # r9: plan_compaction sizing moved from driver-side
-    # os.path.getsize to the Hadoop FileSystem API (VERDICT r8 item 2
-    # / ADVICE r8) — same numbers on local FS, but the query's code
-    # path changed; take a fresh verdict.
-    "q170_file_compaction",
+    # r10: incremental_minhash_pairs split into build_lsh_index +
+    # ingest_neardup (VERDICT r9 item 2) and gained the
+    # disjoint-id guard (ADVICE r9) — q174 now routes through the
+    # split API; take a fresh verdict on the new code path.
+    "q174_incremental_neardup",
+    # r10: stream_enrich_refreshed's foreachBatch sink became
+    # idempotent-per-batch (overwrite of a batch_id=N partition dir,
+    # ADVICE r9) — q172's on-disk layout and read-back path changed.
+    "q172_stream_dim_refresh",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
-    # cannot alter output): q166's title-length fixture assert (raises
-    # or is a no-op), q171's snapshot_diff empty-compare_cols default
-    # (q171 passes non-empty compare_cols), q107/q121/q165/q147's
-    # materialize knob (default preserves the r8 physical plan
-    # exactly). Each was re-verified against its oracle in the
-    # round-9 session log (foreign-CWD sim, sf0.01).
+    # cannot alter output): detect_hot_keys' sample_fraction
+    # validation (raises or is a no-op; q173 uses exact detection),
+    # the _band_postings factor-out (structurally identical
+    # expression tree; q113 holds an r6 verdict so it is in the r10
+    # window regardless and re-verifies the shared banding). Each was
+    # re-verified against its oracle in the round-10 session log
+    # (foreign-CWD sim, sf0.01).
 ]
 
 

@@ -146,8 +146,14 @@ def stream_enrich_refreshed(
     affects only later batches.
 
     The refreshed dimension is broadcast per batch (the stream side
-    never shuffles); the sink reuses the batch parquet writer under
-    the checkpoint + batch-id contract, like run_foreach_batch. Cost
+    never shuffles); the sink is IDEMPOTENT PER BATCH (ADVICE r9): each
+    micro-batch overwrites its own ``batch_id=N`` subdirectory, so a
+    batch replayed after a failure (crash between the write and the
+    checkpoint commit) replaces its previous attempt instead of
+    appending duplicates — overwrite-by-batch-id is the standard
+    exactly-once foreachBatch recipe for non-transactional sinks.
+    Readers see ``batch_id`` as a discovered partition column on
+    ``spark.read.parquet(out_dir)``; select it away if unwanted. Cost
     at 100 TB: one dimension scan + broadcast per micro-batch —
     bound it by keeping the dimension path pruned (partition pruning
     applies inside the loader's read) or by lowering trigger
@@ -158,7 +164,9 @@ def stream_enrich_refreshed(
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
         dim = dim_loader()
-        bdf.join(F.broadcast(dim), on_cols, how).write.mode("append").parquet(out_dir)
+        bdf.join(F.broadcast(dim), on_cols, how).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(fb)

@@ -470,6 +470,60 @@ def test_incremental_minhash_excludes_history_pairs_and_matches_full(spark):
     assert got == want
 
 
+def test_ingest_neardup_reuses_one_index_across_batches(spark):
+    """The r10 split API (VERDICT r9 item 2): build_lsh_index runs ONCE
+    on history; two successive batch ingests both join that one posting
+    frame (batch 2 joins index ∪ batch 1's appended postings — history
+    is never re-signatured), and the union of their pairs equals the
+    monolithic all-at-once form on (history, batch1 ∪ batch2)."""
+    rng = random.Random(82)
+    docs = [_doc(rng, 16) for _ in range(20)]
+    history = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(1000 + i, _perturb(rng, docs[i], 1)) for i in range(5)]
+        + [(1500, _doc(rng, 16))],
+        "doc_id long, text string",
+    )
+    # batch 2 plants twins of history docs AND of a batch-1 doc — the
+    # cross-batch pair only appears if ingest 2 sees batch 1's postings.
+    b1_rows = {r["doc_id"]: r["text"] for r in b1.collect()}
+    b2 = spark.createDataFrame(
+        [(2000 + i, _perturb(rng, docs[5 + i], 1)) for i in range(5)]
+        + [(2500, _perturb(rng, b1_rows[1000], 1))],
+        "doc_id long, text string",
+    )
+
+    idx = dedup.build_lsh_index(history, "doc_id", "text")
+    p1 = dedup.ingest_neardup(b1, idx, history, "doc_id", "text", threshold=0.5)
+    idx2 = idx.unionByName(dedup.build_lsh_index(b1, "doc_id", "text"))
+    corpus2 = history.unionByName(b1)
+    p2 = dedup.ingest_neardup(b2, idx2, corpus2, "doc_id", "text", threshold=0.5)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in p1.unionByName(p2).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.incremental_minhash_pairs(
+            history, b1.unionByName(b2), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert (1000, 2500) in got  # the cross-batch twin pair
+
+
+def test_ingest_neardup_rejects_overlapping_ids(spark):
+    """ADVICE r9: an id on both sides must raise, not silently merge
+    shingle sets."""
+    h = spark.createDataFrame([(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "a b c d f"), (3, "k l m n o")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="present in both"):
+        dedup.incremental_minhash_pairs(h, b, "doc_id", "text").collect()
+
+
 def test_quality_keeper_dedup_argmax_ties_and_bystanders(spark):
     """quality_keeper_dedup (r9): per cluster the max-quality doc
     survives; quality ties break to min id; docs in no cluster are

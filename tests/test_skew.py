@@ -168,6 +168,20 @@ def test_detect_hot_keys_exact_and_sampled(spark, skewed):
     assert "hot" in sampled  # 18k-row key cannot be missed at 10%
 
 
+def test_detect_hot_keys_sampling_guards(spark, skewed):
+    """ADVICE r9: an out-of-range fraction or a scaled threshold that
+    floors to ~1 (classifying every sampled key as hot) must raise up
+    front, not surface as the opaque max_hot_keys error."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import detect_hot_keys
+
+    with pytest.raises(ValueError, match=r"sample_fraction must be in \(0, 1\]"):
+        detect_hot_keys(skewed, ["k"], 1_000, sample_fraction=0.0)
+    with pytest.raises(ValueError, match=r"sample_fraction must be in \(0, 1\]"):
+        detect_hot_keys(skewed, ["k"], 1_000, sample_fraction=1.5)
+    with pytest.raises(ValueError, match="too small to separate"):
+        detect_hot_keys(skewed, ["k"], 100_000, sample_fraction=1e-6)
+
+
 def test_detect_hot_keys_refuses_spread(spark, skewed):
     from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import detect_hot_keys
 
