@@ -1111,3 +1111,106 @@ def quality_keeper_dedup(
     )
     losers = ranked.filter(F.col("__rn") > 1).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+    min_run: int = 2,
+) -> DataFrame:
+    """EXACT SUBSTRING dedup at span granularity (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr shape, r10 — VERDICT r9 item 4): remove repeated long
+    passages CORPUS-WIDE, keeping the first occurrence, and reassemble
+    each document from its surviving spans. Completes the dedup
+    ladder's span tier: paragraph dedup (q100) drops aligned chunks by
+    global frequency with no keeper order, shared-span detection
+    (q164) finds repeated passages but does not remove them — this
+    operator is the remover.
+
+    Granularity is the tumbling ``chunk_tokens``-token chunk (the
+    q100/q164 chunking): a chunk OCCURRENCE is a duplicate when the
+    same chunk content appeared earlier in corpus order — (id, pos)
+    lexicographic, so the first document keeps its copy and later
+    copies (including self-repetition later in the SAME document) are
+    candidates. A duplicate occurrence is actually REMOVED only when
+    it sits in a run of ≥ ``min_run`` consecutive duplicate chunks
+    (the q164 diagonal-island idiom, here per-document): an incidental
+    single-chunk collision — a common sentence — survives, while a
+    repeated passage of ≥ min_run×chunk_tokens tokens is excised, which
+    is exactly the long-substring threshold of the paper quantized to
+    chunks. Trailing tokens beyond the last full chunk are always kept.
+
+    100 TB shuffle discipline: duplicate detection shuffles ONLY
+    (16-byte md5 key, id, pos) postings — one map-side-combinable
+    min-struct aggregate per chunk key, pruned to keys seen ≥2× before
+    the posting join — and the island window shuffles (id, pos) integer
+    pairs partitioned by document. Document TEXT moves exactly once:
+    the final removal-set join keyed by id (removal sets are
+    output-proportional — only documents that lose a span appear;
+    broadcast when small, co-located when the corpus is bucketed by
+    id). Reassembly is map-side array surgery on the already-joined
+    row — chunk strings are re-derived from the doc's own text column,
+    never shuffled.
+
+    Returns (id, clean_text, n_removed): the reassembled text and how
+    many chunks were excised (0 for untouched documents).
+    """
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))
+    )
+    posted = d.select("id", F.posexplode(chunk_arr).alias("pos", "chunk")).select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.unhex(F.md5("chunk")).alias("chunk_h"),
+    )
+    firsts = (
+        posted.groupBy("chunk_h")
+        .agg(F.min(F.struct("id", "pos")).alias("f"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("chunk_h", "f")
+    )
+    dups = (
+        posted.join(firsts, "chunk_h")
+        .filter((F.col("id") != F.col("f.id")) | (F.col("pos") != F.col("f.pos")))
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
+    # Run length via a count window, not groupBy+self-join: the window
+    # keyed (id, island) is satisfied by the island window's existing
+    # hashpartitioning(id) (id ⊆ clustering keys → no new exchange,
+    # just a sort), and it avoids re-evaluating the whole detection
+    # subtree twice — the self-join form measured 1.15× the stock
+    # window at sf0.1 for exactly that reason.
+    removed = (
+        isl.withColumn(
+            "run_len", F.count(F.lit(1)).over(Window.partitionBy("id", "island"))
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("id", "pos")
+    )
+    rm = removed.groupBy("id").agg(F.collect_list("pos").alias("__rm"))
+    joined = d.join(rm, "id", "left")
+    rm_set = F.coalesce(F.col("__rm"), F.array().cast("array<long>"))
+    kept_chunks = F.filter(
+        F.transform(idx, lambda i: F.struct(i.alias("i"), F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)).alias("c"))),
+        lambda s: ~F.array_contains(rm_set, s["i"].cast("long")),
+    )
+    tail = F.slice(toks, n_chunks * chunk_tokens + 1, F.size(toks) - n_chunks * chunk_tokens)
+    clean = F.array_join(
+        F.concat(F.transform(kept_chunks, lambda s: s["c"]), tail), " "
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
+    )

@@ -1670,3 +1670,100 @@ def q176_quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+_Q177_P24 = " ".join(f"rr{i:02d}" for i in range(1, 25))  # 3 chunks of 8
+_Q177_P8 = " ".join(f"ss{i:02d}" for i in range(1, 9))    # exactly 1 chunk
+_Q177_Q24 = " ".join(f"tt{i:02d}" for i in range(1, 25))  # doc 3's self-repeat
+
+
+@query(
+    "q177_exact_substring_dedup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 3 THEN '{_Q177_Q24} {_Q177_Q24} ' || text
+              WHEN doc_id % 10 = 0 AND doc_id < 100 THEN '{_Q177_P24} ' || text
+              WHEN doc_id % 10 = 5 AND doc_id < 100 THEN '{_Q177_P8} ' || text
+              ELSE text END AS text
+  FROM documents),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+ch AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk
+  FROM tok, unnest(range(0, len(t) // 8)) AS u(i)),
+tails AS (
+  SELECT doc_id, array_to_string(t[(len(t)//8)*8+1 : len(t)], ' ') AS tail
+  FROM tok),
+rn AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+  FROM ch),
+dup AS (SELECT doc_id, pos FROM rn WHERE rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dup),
+runs AS (SELECT doc_id, island, count(*) AS run_len FROM isl GROUP BY 1, 2),
+removed AS (
+  SELECT i.doc_id, i.pos FROM isl i
+  JOIN runs r ON r.doc_id = i.doc_id AND r.island = i.island
+  WHERE r.run_len >= 2),
+kept AS (
+  SELECT c.doc_id, string_agg(c.chunk, ' ' ORDER BY c.pos) AS kept_text
+  FROM ch c LEFT JOIN removed rm ON rm.doc_id = c.doc_id AND rm.pos = c.pos
+  WHERE rm.doc_id IS NULL
+  GROUP BY c.doc_id),
+nrem AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN coalesce(k.kept_text, '') = '' THEN coalesce(t.tail, '')
+            WHEN coalesce(t.tail, '') = '' THEN k.kept_text
+            ELSE k.kept_text || ' ' || t.tail END AS clean_text,
+       CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed
+FROM tails t
+LEFT JOIN kept k ON k.doc_id = t.doc_id
+LEFT JOIN nrem n ON n.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q177_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup at span granularity (added r10 — VERDICT
+    r9 item 4; the Lee et al. 2022 ExactSubstr shape): repeated long
+    passages are REMOVED corpus-wide, first occurrence kept, documents
+    reassembled — the remover tier above q164's detector and q100's
+    frequency-based paragraph dropper. Three planted tiers prove each
+    rule under one hash: a 24-token passage prepended to every 10th doc
+    below 100 (docs 10..90 lose a 3-chunk run; doc 0, the corpus-order
+    first, keeps it), an 8-token single chunk prepended to every
+    (10k+5)th doc (a run of 1 < min_run — every copy SURVIVES, the
+    incidental-collision keeper rule), and doc 3 carrying a unique
+    24-token passage TWICE (self-repetition: first copy kept, second
+    excised). Tails beyond the last full chunk always survive, n_removed
+    counts excised chunks. operators/dedup.py exact_substring_dedup:
+    detection shuffles (16-byte md5 key, id, pos) postings pruned to
+    keys seen >=2x, the island window shuffles integer pairs, and doc
+    text moves exactly once — the output-proportional removal-set join.
+    A chunker off by one token, a keeper ordered other than (doc_id,
+    pos), a min_run miscount, or a reassembly gluing spaces wrong all
+    hash-mismatch."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == 3,
+            F.concat(F.lit(_Q177_Q24 + " " + _Q177_Q24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100),
+            F.concat(F.lit(_Q177_P24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 5) & (F.col("doc_id") < 100),
+            F.concat(F.lit(_Q177_P8 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        dedup.exact_substring_dedup(d, "doc_id", "text", chunk_tokens=8, min_run=2)
+        .orderBy("doc_id")
+    )

@@ -51,6 +51,7 @@ HEADLINE = [
     "q140_fuzzy_name_join",
     "q147_containment_pairs",
     "q164_shared_span_pairs",
+    "q177_exact_substring_dedup",
     "q165_containment_prefix_corpus",
     "q166_fuzzy_title_corpus",
     "q168_skew_adversarial_join",

@@ -941,6 +941,93 @@ def q173_hot_key_two_path_join(t):
     )
 
 
+def q177_exact_substring_dedup(t):
+    """Stock exact-substring (span) dedup: the window+collect_list form
+    a straightforward port of the keeper rule produces — row_number()
+    over RAW CHUNK STRINGS for first occurrence (a full sort-based
+    window keyed on unbounded text, where the engine runs one map-side
+    -combinable min-struct aggregate over 16-byte keys pruned to keys
+    seen >=2x), then groupBy(doc).collect_list of every surviving chunk
+    string to reassemble (the whole corpus text crosses the shuffle,
+    where the engine moves text once through an output-proportional
+    removal-set join and reassembles map-side). Same planted passages,
+    same output."""
+    from pyspark.sql import Window as W
+
+    p24 = " ".join(f"rr{i:02d}" for i in range(1, 25))
+    p8 = " ".join(f"ss{i:02d}" for i in range(1, 9))
+    q24 = " ".join(f"tt{i:02d}" for i in range(1, 25))
+    d = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == 3, F.concat(F.lit(q24 + " " + q24 + " "), F.col("text"))
+        )
+        .when(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100),
+            F.concat(F.lit(p24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 5) & (F.col("doc_id") < 100),
+            F.concat(F.lit(p8 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.floor(F.size(toks) / 8).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk_arr = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8))
+    )
+    ch = d.select("doc_id", F.posexplode(chunk_arr).alias("pos", "chunk")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "chunk"
+    )
+    rn = ch.withColumn(
+        "rn", F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "pos"))
+    )
+    dup = rn.filter(F.col("rn") > 1).select("doc_id", "pos")
+    isl = dup.withColumn(
+        "island",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    removed = (
+        isl.withColumn(
+            "run_len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "island"))
+        )
+        .filter(F.col("run_len") >= 2)
+        .select("doc_id", "pos")
+    )
+    kept = ch.join(removed, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text")
+    )
+    nrem = removed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    tail = F.slice(toks, n_chunks * 8 + 1, F.size(toks) - n_chunks * 8)
+    tails = d.select("doc_id", F.array_join(tail, " ").alias("tail"))
+    return (
+        tails.join(kept_agg, "doc_id", "left")
+        .join(nrem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce(F.col("kept_text"), F.lit("")) == "", F.coalesce(F.col("tail"), F.lit("")))
+            .when(F.coalesce(F.col("tail"), F.lit("")) == "", F.col("kept_text"))
+            .otherwise(F.concat(F.col("kept_text"), F.lit(" "), F.col("tail")))
+            .alias("clean_text"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -969,11 +1056,13 @@ QUERIES = {
     "q140_fuzzy_name_join": q140_fuzzy_name_join,
     "q147_containment_pairs": q147_containment_pairs,
     "q164_shared_span_pairs": q164_shared_span_pairs,
+    "q177_exact_substring_dedup": q177_exact_substring_dedup,
     "q165_containment_prefix_corpus": q165_containment_prefix_corpus,
     "q166_fuzzy_title_corpus": q166_fuzzy_title_corpus,
     "q168_skew_adversarial_join": q168_skew_adversarial_join,
     "q173_hot_key_two_path_join": q173_hot_key_two_path_join,
 }
+
 
 
 def main() -> None:

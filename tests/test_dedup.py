@@ -524,6 +524,37 @@ def test_ingest_neardup_rejects_overlapping_ids(spark):
         dedup.incremental_minhash_pairs(h, b, "doc_id", "text").collect()
 
 
+def test_exact_substring_dedup_spans_keeper_and_tails(spark):
+    """exact_substring_dedup (r10, Lee et al. 2022 shape): a repeated
+    >=min_run-chunk passage is excised from every occurrence after the
+    corpus-order first (including self-repetition within one doc); a
+    single-chunk incidental collision survives; tails and zero-chunk
+    docs are untouched."""
+    P = " ".join(f"p{i}" for i in range(16))  # 2 chunks of 8
+    S = " ".join(f"s{i}" for i in range(8))   # 1 chunk
+    Q = " ".join(f"q{i}" for i in range(16))  # unique to doc 6
+    rows = [
+        (0, P + " a b c"),
+        (1, P + " d e f"),                    # cross-doc dup run of 2
+        (2, S + " " + " ".join(f"x{i}" for i in range(8))),
+        (3, S + " " + " ".join(f"y{i}" for i in range(8))),  # run of 1
+        (4, P + " " + P),                     # all 4 chunks dup of doc 0
+        (5, "short"),                         # zero chunks
+        (6, Q + " " + Q),                     # self-repetition only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.exact_substring_dedup(df, "doc_id", "text").collect()
+    }
+    assert got[0] == (P + " a b c", 0)        # first occurrence keeps
+    assert got[1] == ("d e f", 2)             # span excised, tail kept
+    assert got[3][1] == 0 and got[3][0].startswith(S)  # min_run keeper
+    assert got[4] == ("", 4)                  # fully excised
+    assert got[5] == ("short", 0)             # zero-chunk doc untouched
+    assert got[6] == (Q, 2)                   # self-repeat: first copy kept
+
+
 def test_quality_keeper_dedup_argmax_ties_and_bystanders(spark):
     """quality_keeper_dedup (r9): per cluster the max-quality doc
     survives; quality ties break to min id; docs in no cluster are
