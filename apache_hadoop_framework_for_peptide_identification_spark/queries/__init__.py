@@ -29,14 +29,43 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# Benchmark-only forms, NOT exposed to the verification driver (r10 —
+# the registry-capacity decision, VERDICT r9 item 3 option (a)): the
+# four rows-only bench headliners (q42 MinHash-LSH candidates, q43
+# FNV-SimHash, q45 LSH-ANN, q67 hyperplane-LSH near-dup) have no SQL
+# oracle BY DESIGN (probabilistic candidate sets at bench scope) while
+# each one's machinery is hash-verified through an oracle sibling
+# (q113/q120/q118/q114). Keeping them in the driver registry spent 4
+# window slots per rotation cycle on a rows-only signal; here they stay
+# benchmarked (bench.py resolves BENCH_REGISTRY too) and locally tested
+# (tests/test_oracle_queries.py smoke-runs them every round) without
+# consuming driver capacity.
+BENCH_REGISTRY: dict[str, QueryDef] = {}
+
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Register a query builder under ``name`` with an optional oracle."""
 
     def deco(fn):
-        if name in REGISTRY:
+        if name in REGISTRY or name in BENCH_REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = QueryDef(name, fn, oracle, doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def bench_query(name: str, doc: str = ""):
+    """Register a benchmark-only query: runs in bench.py and the local
+    rows-only smoke sweep, never graded by the external driver. Reserve
+    for forms whose semantics are deliberately un-oracle-able AND whose
+    machinery holds a hash verdict through a sibling registry query —
+    both facts belong in the docstring."""
+
+    def deco(fn):
+        if name in REGISTRY or name in BENCH_REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        BENCH_REGISTRY[name] = QueryDef(name, fn, None, doc or (fn.__doc__ or ""))
         return fn
 
     return deco
@@ -99,7 +128,42 @@ from . import analytics_q  # noqa: E402,F401
 # and the window IS the round-9 rotation — the tree stays green at round
 # close, the failure mode ADVICE r7 item 1 described.  Capacity stays the
 # builder's own math: ≤ _DRIVER_WINDOW × (MAX_AGE + 1) = 200 queries.
+#
+# CAPACITY POLICY (r10 — VERDICT r9 item 3). The 200-query ceiling is
+# structural: every registered query needs a window slot at least every
+# MAX_AGE+1 = 4 rounds, and the window is 50. The standing policy:
+#   (a) The four deliberately-oracle-less bench forms (q42/q43/q45/q67)
+#       are retired from this registry into BENCH_REGISTRY — still
+#       benchmarked and smoke-tested every round, sibling-hash-verified
+#       (q113/q120/q118/q114), no longer consuming 4 slots per cycle.
+#       Driver registry after retirement + q177: 172.
+#   (b) Growth is capped at ≤5 new driver queries per round while the
+#       registry is ≤185, ≤3 while ≤194, and 0 at ≥200 — enforced by
+#       the headroom assertion below, which fails the import (and the
+#       whole test suite) before a round can overshoot. New queries are
+#       reserved for genuinely new operator rows (the reference surface
+#       is complete; additions are production-gap LLM-pipeline ops),
+#       never for variants an existing oracle already proves.
+#   (c) A new form whose machinery an existing query already
+#       hash-verifies registers as bench_query (or as a pytest), not as
+#       a driver query.
+# tests/test_driver_rotation.py forward-simulates two rounds of maximum
+# policy growth on top of the live history and asserts the age bound
+# holds — the ceiling can never arrive as a surprise.
 _DRIVER_WINDOW = 50
+_MAX_AGE = 3  # driver-verdict age bound; tests/test_driver_rotation.py
+_CAPACITY = _DRIVER_WINDOW * (_MAX_AGE + 1)  # 200
+
+
+def _policy_growth_cap(registry_size: int) -> int:
+    """Max NEW driver queries the capacity policy allows next round."""
+    if registry_size >= _CAPACITY:
+        return 0
+    if registry_size > 194:
+        return min(3, _CAPACITY - registry_size)
+    if registry_size > 185:
+        return 3
+    return 5
 
 # Queries whose implementation or oracle changed in round
 # _CHANGED_IN_ROUND and therefore must take a fresh driver verdict even
@@ -161,17 +225,26 @@ def _verdict_history() -> dict[str, int]:
     return latest
 
 
-def _compute_driver_priority(latest: dict[str, int] | None = None) -> list[str]:
+def _compute_driver_priority(
+    latest: dict[str, int] | None = None,
+    names: list[str] | None = None,
+) -> list[str]:
     """Window for the verdict history ``latest`` (read from disk when
-    None). The parameter exists so tests can FORWARD-SIMULATE: feed the
-    history as it will look after this round's verdict file lands and
-    assert the recomputed window still satisfies the age bound."""
+    None) over the query set ``names`` (the live registry when None).
+    Both parameters exist so tests can FORWARD-SIMULATE: feed the
+    history as it will look after this round's verdict file lands —
+    and, for the capacity-policy simulation, a registry grown by
+    hypothetical future queries — and assert the recomputed window
+    still satisfies the age bound."""
     assert len(set(_CHANGED_THIS_ROUND)) == len(_CHANGED_THIS_ROUND), "duplicate pins"
     unknown = [n for n in _CHANGED_THIS_ROUND if n not in REGISTRY]
     assert not unknown, f"pinned names not in registry: {unknown}"
 
     if latest is None:
         latest = _verdict_history()
+    if names is None:
+        names = list(REGISTRY)
+    name_set = set(names)
 
     def qnum(name: str) -> int:
         import re as _re
@@ -179,14 +252,14 @@ def _compute_driver_priority(latest: dict[str, int] | None = None) -> list[str]:
         m = _re.match(r"q(\d+)", name)
         return int(m.group(1)) if m else 10**9
 
-    never = sorted((n for n in REGISTRY if n not in latest), key=qnum)
+    never = sorted((n for n in names if n not in latest), key=qnum)
     # A pin is satisfied (and its slot freed) once the query holds a
     # verdict from the pin's round or later — the driver has then
     # graded the changed implementation.
     pinned = [
         n
         for n in _CHANGED_THIS_ROUND
-        if n not in never and n in latest and latest[n] < _CHANGED_IN_ROUND
+        if n in name_set and n not in never and n in latest and latest[n] < _CHANGED_IN_ROUND
     ]
     head = never + pinned
     assert len(head) <= _DRIVER_WINDOW, (
@@ -194,7 +267,7 @@ def _compute_driver_priority(latest: dict[str, int] | None = None) -> list[str]:
         f"{_DRIVER_WINDOW}-slot driver window — ship fewer new queries this round"
     )
     rest = sorted(
-        (n for n in REGISTRY if n not in set(head)),
+        (n for n in names if n not in set(head)),
         key=lambda n: (latest[n], qnum(n)),
     )
     return (head + rest)[:_DRIVER_WINDOW]
@@ -203,6 +276,11 @@ def _compute_driver_priority(latest: dict[str, int] | None = None) -> list[str]:
 def _reorder_registry() -> None:
     # Guardrails (ADVICE round 2): the rotation must exactly fill the
     # driver's verification window with real, distinct names.
+    assert len(REGISTRY) <= _CAPACITY, (
+        f"driver registry ({len(REGISTRY)}) exceeds the structural capacity "
+        f"{_CAPACITY} = window {_DRIVER_WINDOW} × (age bound {_MAX_AGE} + 1) — "
+        "verdicts WILL go stale; retire queries to BENCH_REGISTRY or stop adding"
+    )
     priority = _compute_driver_priority()
     assert len(priority) == min(_DRIVER_WINDOW, len(REGISTRY)), "window underfilled"
     assert len(set(priority)) == len(priority), "duplicate priority entries"

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import dedup, similarity
 from ..operators import text as T
-from . import query
+from . import bench_query, query
 
 
 def _t(spark, sf_dir, name):
@@ -251,7 +251,7 @@ def q113_minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q42_dedup_minhash_lsh", oracle=None)
+@bench_query("q42_dedup_minhash_lsh")
 def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (xxhash64 signatures are
     Spark-specific → rows-only driver check; recall vs exact Jaccard is
@@ -262,7 +262,7 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("q43_dedup_simhash", oracle=None)
+@bench_query("q43_dedup_simhash")
 def q43_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per doc (FNV-1a token hashes via Arrow-batched
     pandas UDF — deterministic, but not SQL-expressible; q120 is the
@@ -344,7 +344,7 @@ def q44_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
-@query("q45_ann_lsh", oracle=None)
+@bench_query("q45_ann_lsh")
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (bucketed candidates + exact
     re-rank). Recall vs brute force asserted in tests/test_similarity.py;
@@ -558,7 +558,7 @@ def q66_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q67_embedding_neardup_lsh", oracle=None)
+@bench_query("q67_embedding_neardup_lsh")
 def q67_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH banding + exact cosine
     filter — candidate shuffle bounded by bucket sizes, never

@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+from apache_hadoop_framework_for_peptide_identification_spark.queries import BENCH_REGISTRY, REGISTRY
 from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
 
 # B1-B4 (BASELINE.md) + the LLM-pipeline + E-PIPE + corpus headliners.
@@ -67,7 +67,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
+        fn = (REGISTRY.get(name) or BENCH_REGISTRY[name]).fn
         fn(spark, sf_dir).collect()  # warm-up (JIT, file listing, broadcast)
         best = float("inf")
         for _ in range(N_RUNS):

@@ -122,3 +122,46 @@ def test_rotation_stays_green_after_this_rounds_verdict_lands():
     assert not stale, (
         f"self-rotation would leave stale verdicts the round after this one: {stale}"
     )
+
+
+def test_capacity_policy_two_rounds_out():
+    """CAPACITY-POLICY simulation (r10 — VERDICT r9 item 3): starting
+    from the live history, land this round's verdict, then simulate TWO
+    further rounds each growing the registry by the policy-maximum
+    number of new queries (_policy_growth_cap). Every simulated round's
+    window must seat all never-verified newcomers, and after each
+    verdict lands no query may age past the bound — i.e. the declared
+    growth rate provably fits inside the 50-slot / age-3 structure."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries import (
+        _DRIVER_WINDOW,
+        REGISTRY,
+        _compute_driver_priority,
+        _policy_growth_cap,
+    )
+
+    latest = _verdict_history()
+    if not latest:
+        pytest.skip("no CORRECTNESS_r*.json history (fresh checkout)")
+    sim = dict(latest)
+    names = list(REGISTRY)
+    this_round = max(latest.values()) + 1
+    for n in names[:_DRIVER_WINDOW]:  # this round's verdict lands
+        sim[n] = this_round
+    for k in (1, 2):  # two future rounds at max policy growth
+        rnd = this_round + k
+        growth = _policy_growth_cap(len(names))
+        names = names + [f"q{800 + 10 * k + i}_sim_new" for i in range(growth)]
+        window = _compute_driver_priority(sim, names)
+        newcomers = [n for n in names if n not in sim]
+        missing = [n for n in newcomers if n not in set(window)]
+        assert not missing, f"round +{k}: newcomers without a slot: {missing}"
+        for n in window:
+            sim[n] = rnd
+        next_round = rnd + 1
+        next_window = set(_compute_driver_priority(sim, names))
+        stale = {
+            n: next_round - sim[n]
+            for n in names
+            if n in sim and n not in next_window and next_round - sim[n] > MAX_AGE
+        }
+        assert not stale, f"round +{k}: capacity policy would strand verdicts: {stale}"

@@ -10,10 +10,15 @@ import pytest
 from tests.conftest import SF_ORACLE
 from tests.oracle import compare
 
-from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+from apache_hadoop_framework_for_peptide_identification_spark.queries import BENCH_REGISTRY, REGISTRY
 
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
-WEAK_QUERIES = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+# Rows-only coverage: driver-registry queries without an oracle, plus
+# the bench-only forms (q42/q43/q45/q67 — retired from the driver
+# registry r10 per the capacity policy, still smoke-run every round).
+WEAK_QUERIES = sorted(
+    [n for n, q in REGISTRY.items() if not q.oracle] + list(BENCH_REGISTRY)
+)
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
@@ -27,7 +32,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", WEAK_QUERIES)
 def test_weak_query_runs(spark, name):
-    q = REGISTRY[name]
+    q = REGISTRY.get(name) or BENCH_REGISTRY[name]
     df = q.fn(spark, SF_ORACLE)
     rows = df.count()
     assert rows >= 0

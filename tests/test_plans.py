@@ -7,13 +7,13 @@ from __future__ import annotations
 
 import pytest
 
-from apache_hadoop_framework_for_peptide_identification_spark.queries import REGISTRY
+from apache_hadoop_framework_for_peptide_identification_spark.queries import BENCH_REGISTRY, REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF)
+    df = (REGISTRY.get(name) or BENCH_REGISTRY[name]).fn(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
