@@ -68,8 +68,8 @@ def decode_image(
     """Decode image payloads to (width, height, channels).
 
     STUB: real decoding needs Pillow/opencv, absent here (re-probed
-    rounds 8 and 9, 2026-08-14: `import PIL` and `import cv2` both raise
-    ModuleNotFoundError). With
+    rounds 8-10, latest 2026-08-14 r10: `import PIL` and `import cv2`
+    both raise ModuleNotFoundError). With
     ``fake=True`` dimensions are derived deterministically from the
     payload **md5** so downstream plumbing (schema, joins, filters) is
     exercised with realistic value distributions. md5 (not sha1)
