@@ -50,6 +50,22 @@ def test_q40_shuffles_hash_not_text(spark):
     assert not any("text#" in l for l in exchanges), exchanges
 
 
+def test_q177_detection_exchanges_never_carry_text(spark):
+    """Exact substring-span dedup: every hash-partitioned exchange in
+    the detection path must carry the 16-byte chunk key / integer
+    positions, never document text or raw chunk strings. The one place
+    text may move is the final removal-set join keyed by id (broadcast
+    at this scale, co-located via bucketing at 100 TB) — so exchanges
+    carrying `text#` are allowed ONLY if they partition on the doc id,
+    and `chunk#` (the raw chunk string) must appear in none."""
+    plan = _plan(spark, "q177_exact_substring_dedup")
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan
+    assert not any("chunk#" in l and "chunk_h#" not in l for l in exchanges), exchanges
+    bad_text = [l for l in exchanges if "text#" in l and "id#" not in l]
+    assert not bad_text, bad_text
+
+
 def test_q44_corpus_never_shuffles(spark):
     """Brute-force ANN broadcasts the query side; the corpus join must
     be broadcast, with the only exchange the final window/rank."""
