@@ -206,6 +206,74 @@ def contamination_overlap(
     )
 
 
+def remove_reference_spans(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    pad: int = 0,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination (r10): excise from each corpus doc
+    every token covered by a word n-gram that also appears in the
+    ``reference`` (eval) set — plus ``pad`` surrounding tokens each
+    side, the GPT-3-style removal window — and reassemble the doc.
+    The remover counterpart of :func:`contamination_overlap`, which
+    only counts/flags: production decontamination prefers cutting the
+    leaked span over dropping a long document that is 99% clean.
+    Detection is ALIGNMENT-FREE (sliding n-grams, unlike the
+    chunk-aligned exact_substring_dedup): a snippet leaked mid-sentence
+    is found at any offset. A doc with fewer than ``n`` tokens cannot
+    contain a full n-gram and is never modified — same boundary rule
+    as contamination_overlap's shingle emitter.
+
+    100 TB discipline (the q85/q177 composition): the reference's
+    distinct n-gram hashes BROADCAST (eval sets are KBs–MBs by
+    definition), so corpus text never shuffles for detection — the
+    posting side carries (id, position, 8-byte xxhash64) only. Covered
+    positions groupBy to one integer-array row per CONTAMINATED doc
+    (output-proportional), join back to the corpus by id, and the
+    token surgery is map-side lambda work on the already-joined row.
+    Per-token coverage checks cost O(tokens × hits) per contaminated
+    doc — fine at realistic contamination density; at pathological
+    density merge the hit starts into intervals first.
+
+    Returns (id, clean_text, n_removed) — n_removed counts removed
+    TOKENS (0 for untouched docs).
+    """
+    from pyspark.ml.feature import NGram
+
+    def posted(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__toks"),
+        )
+        ng = NGram(n=n, inputCol="__toks", outputCol="__ng").transform(toks)
+        return ng.select("id", F.posexplode("__ng").alias("i", "__g")).select(
+            "id", "i", F.xxhash64("__g").alias("gh")
+        )
+
+    ref_sh = posted(reference).select("gh").distinct()
+    hits = posted(corpus).join(F.broadcast(ref_sh), "gh").select("id", "i")
+    starts = hits.groupBy("id").agg(F.collect_list("i").alias("__starts"))
+    d = corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    joined = d.join(starts, "id", "left")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(toks, lambda tok, j: F.struct(tok.alias("t"), j.alias("j"))),
+        lambda s: ~F.exists(
+            st,
+            lambda x: (x - pad <= s["j"]) & (s["j"] <= x + n - 1 + pad),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 # ------------------------------------------------------------- sampling
 
 def temperature_mixing(

@@ -638,3 +638,102 @@ def q171_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.snapshot_diff(
         o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q178_decontaminate_spans",
+    oracle="""
+WITH bench_raw AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+corpus_raw AS (
+  SELECT c.doc_id,
+         CASE WHEN c.doc_id % 3 = 0
+              THEN array_to_string(
+                     string_split(c.text, ' ')[1:5]
+                     || string_split(b.text, ' ')[1:8]
+                     || string_split(c.text, ' ')[6:len(string_split(c.text, ' '))],
+                     ' ')
+              ELSE c.text END AS text
+  FROM documents c JOIN bench_raw b ON b.doc_id = c.doc_id % 10
+  WHERE c.doc_id >= 10),
+bt AS (SELECT string_split(text, ' ') AS t FROM bench_raw),
+bench_g AS (
+  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         || t[i+3] || ' ' || t[i+4] AS g
+  FROM bt, unnest(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5),
+ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus_raw),
+cg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+         || t[i+3] || ' ' || t[i+4] AS g
+  FROM ct, unnest(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5),
+hits AS (SELECT DISTINCT c.doc_id, c.i FROM cg c JOIN bench_g b ON b.g = c.g),
+tokpos AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j, t[j] AS tok
+  FROM ct, unnest(range(1, len(t) + 1)) AS u(j)),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.j
+  FROM tokpos p JOIN hits h ON h.doc_id = p.doc_id
+   AND p.j BETWEEN h.i - 2 AND h.i + 4 + 2),
+kept AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.j) AS clean_text,
+         count(*) AS n_kept
+  FROM tokpos p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.j = p.j
+  WHERE c.doc_id IS NULL
+  GROUP BY p.doc_id),
+tot AS (SELECT doc_id, count(*) AS n_tok FROM tokpos GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(t.n_tok - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q178_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination (added r10): q85 counts and flags
+    contaminated docs; this query REMOVES the leaked span and keeps the
+    doc — the production decontamination rule (GPT-3-style removal
+    windows; a 99%-clean long document should lose 12 tokens, not its
+    place in the corpus). Benchmark = docs 0-9; every third corpus doc
+    gets the benchmark's first 8 tokens INSERTED MID-DOC (after token
+    5) — the mid-sentence placement proves detection is alignment-free
+    (sliding 5-grams, where q177's tumbling chunks would need
+    alignment). operators/pipeline.py remove_reference_spans with
+    pad=2: every token covered by a reference-matching 5-gram, plus 2
+    tokens each side, is excised — for the planted 8-token snippet
+    that is 12 tokens per contaminated doc (8 + 2 pad each side),
+    boundary-clamped. The oracle recomputes the full rule (sliding
+    grams, hit positions, pad window, reassembly, per-doc token
+    counts); a pad off by one, a 0/1-based position slip, or a
+    non-sliding detector all hash-mismatch. Reference n-gram hashes
+    broadcast; corpus text never shuffles for detection; covered
+    positions return as one integer array per contaminated doc."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    snip = F.slice(F.split(F.col("b_text"), " "), 1, 8)
+    planted = F.array_join(
+        F.concat(
+            F.slice(toks, 1, 5),
+            snip,
+            F.slice(toks, 6, F.greatest(F.lit(0), F.size(toks) - 5)),
+        ),
+        " ",
+    )
+    corpus = (
+        d.filter(F.col("doc_id") >= 10)
+        .join(
+            F.broadcast(
+                bench.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
+            ),
+            F.col("doc_id") % 10 == F.col("b_id"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, planted).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return P.remove_reference_spans(
+        corpus, bench, id_col="doc_id", text_col="text", n=5, pad=2
+    ).orderBy("doc_id")

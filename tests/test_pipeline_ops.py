@@ -282,3 +282,38 @@ def test_upsert_snapshot_without_deletes(spark):
     updates = spark.createDataFrame([(1, 11.0), (2, 22.0)], "k long, v double")
     out = {r["k"]: r["v"] for r in P.upsert_snapshot(base, updates, ["k"]).collect()}
     assert out == {1: 11.0, 2: 22.0}
+
+
+def test_remove_reference_spans_alignment_pad_and_boundaries(spark):
+    """remove_reference_spans (r10): a reference 5-gram is excised at
+    ANY offset (sliding detection); pad extends the removal window with
+    boundary clamping; docs shorter than n and clean docs are
+    untouched, and n_removed counts tokens."""
+    ref = spark.createDataFrame(
+        [(0, "e1 e2 e3 e4 e5 e6 e7 e8")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h i j"),        # clean
+            (11, "a b c e1 e2 e3 e4 e5 x y z"),  # mid-doc leak
+            (12, "e4 e5 e6 e7 e8 tail1 tail2"),  # leading leak
+            (13, "a b c"),                       # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in P.remove_reference_spans(corpus, ref, n=5, pad=0).collect()
+    }
+    assert got[10] == ("a b c d e f g h i j", 0)
+    assert got[11] == ("a b c x y z", 5)
+    assert got[12] == ("tail1 tail2", 5)
+    assert got[13] == ("a b c", 0)
+
+    padded = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in P.remove_reference_spans(corpus, ref, n=5, pad=2).collect()
+    }
+    assert padded[11] == ("a z", 9)   # pad eats b,c and x,y
+    assert padded[12] == ("", 7)      # left pad clamps at doc start
+    assert padded[10] == ("a b c d e f g h i j", 0)
