@@ -605,3 +605,115 @@ def test_rrf_fuse_matches_brute_force(sess, lists, k_const, topk):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-9), (gd, gs, ws)
+
+
+# --- r10: span operators vs pure-Python references --------------------
+
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(6)]),  # tiny vocab => real repeats
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _py_exact_substring_dedup(docs, k=4, min_run=2):
+    """Brute-force reference: same keeper/run/tail rules, plain dicts."""
+    chunks = {}  # doc idx -> [chunk strings]
+    tails = {}
+    for d, toks in enumerate(docs):
+        n = len(toks) // k
+        chunks[d] = [" ".join(toks[i * k : i * k + k]) for i in range(n)]
+        tails[d] = toks[n * k :]
+    first = {}
+    for d in sorted(chunks):
+        for p, c in enumerate(chunks[d]):
+            first.setdefault(c, (d, p))
+    out = {}
+    for d in sorted(chunks):
+        dup = [p for p, c in enumerate(chunks[d]) if first[c] != (d, p)]
+        removed = set()
+        run = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_run:
+                    removed.update(run)
+                run = []
+            if p is not None:
+                run.append(p)
+        kept = [c for p, c in enumerate(chunks[d]) if p not in removed]
+        out[d] = (" ".join(kept + ([" ".join(tails[d])] if tails[d] else [])
+                           if kept else ([" ".join(tails[d])] if tails[d] else [])),
+                  len(removed))
+    return out
+
+
+@given(docs=_span_docs)
+@SETTINGS
+def test_exact_substring_dedup_matches_brute_force(sess, docs):
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+    rows = [(d, " ".join(toks)) for d, toks in enumerate(docs)]
+    df = sess.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.exact_substring_dedup(
+            df, "doc_id", "text", chunk_tokens=4, min_run=2
+        ).collect()
+    }
+    # Spark's split(" ") of "" yields [""] — mirror by treating an
+    # empty doc as one empty token in the reference.
+    ref_docs = [toks if toks else [""] for toks in docs]
+    want = _py_exact_substring_dedup(ref_docs, k=4, min_run=2)
+    assert got == want, (got, want)
+
+
+def _py_remove_reference_spans(corpus, ref_grams, n=3, pad=1):
+    out = {}
+    for d, toks in corpus.items():
+        hits = [
+            i
+            for i in range(len(toks) - n + 1)
+            if tuple(toks[i : i + n]) in ref_grams
+        ]
+        covered = set()
+        for i in hits:
+            covered.update(range(max(0, i - pad), min(len(toks), i + n + pad)))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out[d] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+@given(
+    corpus=_span_docs,
+    ref=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(6)]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@SETTINGS
+def test_remove_reference_spans_matches_brute_force(sess, corpus, ref):
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import pipeline as P
+
+    n, pad = 3, 1
+    crows = [(d, " ".join(toks)) for d, toks in enumerate(corpus)]
+    rrows = [(d, " ".join(toks)) for d, toks in enumerate(ref)]
+    cdf = sess.createDataFrame(crows, "doc_id long, text string")
+    rdf = sess.createDataFrame(rrows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in P.remove_reference_spans(cdf, rdf, n=n, pad=pad).collect()
+    }
+    # Mirror Spark's split(""): empty text -> one empty token.
+    ctoks = {d: (toks if toks else [""]) for d, toks in enumerate(corpus)}
+    ref_grams = set()
+    for toks in ref:
+        rt = toks if toks else [""]
+        for i in range(len(rt) - n + 1):
+            ref_grams.add(tuple(rt[i : i + n]))
+    want = _py_remove_reference_spans(ctoks, ref_grams, n=n, pad=pad)
+    assert got == want, (got, want)

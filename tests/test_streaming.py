@@ -619,3 +619,55 @@ def test_stream_enrich_refreshed_multi_key_inner_and_three_phases(spark, tmp_pat
         (1, "a", 200, "v2"),
         (1, "a", 300, "v3"),
     ], got
+
+
+def test_stream_enrich_refreshed_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r9 (medium): a micro-batch replayed after a crash between
+    the sink write and the checkpoint commit must NOT duplicate rows.
+    The sink overwrites a batch_id=N partition dir, so re-running the
+    same batch id replaces its previous attempt. Simulated by invoking
+    the per-batch writer twice with the same batch_id (exactly what a
+    post-crash replay does), then once with the next id."""
+    import os
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_enrich_refreshed,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "v1")], "k long, v string").write.parquet(dim_dir)
+    spark.createDataFrame([(1, 100)], "k long, x long").coalesce(1).write.parquet(
+        os.path.join(src_dir, "f1")
+    )
+
+    # Real run writes batch 0 through the checkpointed query.
+    stream = spark.readStream.schema("k long, x long").parquet(src_dir + "/*")
+    stream_enrich_refreshed(
+        stream,
+        lambda: spark.read.parquet(dim_dir),
+        on="k",
+        out_dir=out_dir,
+        checkpoint_dir=ckpt,
+    )
+    one = spark.read.parquet(out_dir).count()
+    assert one == 1
+
+    # Crash-replay simulation: the same batch payload re-written under
+    # the SAME batch id must replace, not append.
+    bdf = spark.createDataFrame([(1, 100)], "k long, x long")
+    dim = spark.read.parquet(dim_dir)
+    from pyspark.sql import functions as F
+
+    bdf.join(F.broadcast(dim), ["k"], "left").write.mode("overwrite").parquet(
+        f"{out_dir}/batch_id=0"
+    )
+    assert spark.read.parquet(out_dir).count() == 1  # no duplicate
+
+    # A genuinely new batch id lands alongside.
+    bdf.join(F.broadcast(dim), ["k"], "left").write.mode("overwrite").parquet(
+        f"{out_dir}/batch_id=1"
+    )
+    assert spark.read.parquet(out_dir).count() == 2
