@@ -215,60 +215,95 @@ def _hash_pick(corpus: DataFrame, id_col: str, vec_col: str, n_rows: int, seed: 
     return rows
 
 
-def ivf_topk(
+def _cell_assign(cents, n_top: int):
+    """mapInPandas fn assigning each vector its ``n_top`` nearest
+    centroids (rows of the normalized ``cents`` matrix): one
+    Arrow-batched numpy pass, output gains an int32 ``cell`` column
+    with ``n_top`` rows per input row."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=pd.Series([], dtype="int32"))
+                continue
+            mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cents.T  # (n, n_cells)
+            top = np.argsort(-sims, axis=1)[:, :n_top]  # (n, n_top)
+            out = pdf.loc[pdf.index.repeat(n_top)].reset_index(drop=True)
+            out["cell"] = top.ravel().astype("int32")
+            yield out
+
+    return fn
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-) -> DataFrame:
-    """IVF-Flat approximate top-k cosine: the §2B 'IVF variant as the
-    scale path' row.
-
-    - Coarse quantizer: n_cells centroids chosen as a deterministic
-      seeded sample of corpus vectors (normalized). One tiny broadcast.
-    - Assign: each corpus vector goes to its nearest centroid — one
-      Arrow-batched numpy pass, output is (id, vec, cell).
-    - Probe: each query scans only its n_probe nearest cells — the
-      candidate equi-join shuffles on `cell`, never the full corpus.
-    - Exact cosine re-rank inside probed cells.
-
-    At 100 TB the corpus would be written PARTITIONED BY cell so a
-    probe prunes files at scan time; recall is n_probe/n_cells-tunable.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable IVF index for a corpus (r10 — the ANN
+    twin of the dedup build_lsh_index/ingest split): returns
+    ``(assigned, centroids)`` where ``assigned`` is the corpus with an
+    int32 ``cell`` column — write it PARTITIONED BY cell so probes
+    prune files at scan time — and ``centroids`` is the tiny
+    (cell, centroid array<double>) coarse-quantizer frame that must be
+    persisted ALONGSIDE the postings: queries probe with exactly these
+    centroids, and cells are row indices into this frame. Centroids
+    are a deterministic seeded sample of corpus vectors (normalized;
+    see _hash_pick), so same (corpus, seed, n_cells) rebuilds the same
+    index. Steady-state serving reads both frames back and routes
+    every query batch through :func:`ivf_query` — the corpus is never
+    re-assigned; appending new corpus vectors = assign the batch with
+    the SAME centroid frame and append to the cell partitions.
     """
     import numpy as np
 
-    # Centroid pick: uniform and deterministic — see _hash_pick.
     cvecs = _hash_pick(corpus, id_col, vec_col, n_cells, seed)
     cents = np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cvecs])
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-
-    def assign(n_top: int):
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pdf.assign(cell=pd.Series([], dtype="int32"))
-                    continue
-                mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
-                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-                sims = mat @ cents.T  # (n, n_cells)
-                top = np.argsort(-sims, axis=1)[:, :n_top]  # (n, n_top)
-                out = pdf.loc[pdf.index.repeat(n_top)].reset_index(drop=True)
-                out["cell"] = top.ravel().astype("int32")
-                yield out
-
-        return fn
-
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
     c_schema = f"{id_col} long, embedding array<float>, cell int"
     assigned = corpus.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
-        assign(1), c_schema
+        _cell_assign(cents, 1), c_schema
     )
+    return assigned, cent_df
+
+
+def ivf_query(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine against a PERSISTED IVF index: probes
+    each query's ``n_probe`` nearest cells (centroid frame collected —
+    n_cells rows, a few KB) and equi-joins the ``index`` postings on
+    ``cell``, exact cosine re-rank inside probed cells. The corpus is
+    never scanned for assignment here — per-query-batch cost is
+    O(queries × n_probe cells), the deployment shape ivf_topk's
+    docstring promises; double-precision centroids round-trip the
+    store bit-exactly, so query results equal the build-and-query
+    one-shot form (tests/test_embed.py).
+    """
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cents = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    c_schema = f"{id_col} long, embedding array<float>, cell int"
     probed = queries.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
-        assign(n_probe), c_schema
+        _cell_assign(cents, n_probe), c_schema
     )
+    assigned = index
     q = probed.select(
         F.col(id_col).alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_vec"),
@@ -294,6 +329,39 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine: the §2B 'IVF variant as the
+    scale path' row — one-shot form composing
+    :func:`build_ivf_index` + :func:`ivf_query` (split r10, the ANN
+    twin of the dedup index split).
+
+    - Coarse quantizer: n_cells centroids chosen as a deterministic
+      seeded sample of corpus vectors (normalized). One tiny broadcast.
+    - Assign: each corpus vector goes to its nearest centroid — one
+      Arrow-batched numpy pass, output is (id, vec, cell).
+    - Probe: each query scans only its n_probe nearest cells — the
+      candidate equi-join shuffles on `cell`, never the full corpus.
+    - Exact cosine re-rank inside probed cells.
+
+    At 100 TB the corpus is built ONCE (write `assigned` partitioned
+    by cell + the centroid frame beside it) and every query batch runs
+    ivf_query against the stored frames — this wrapper exists for
+    ad-hoc/one-shot use and is output-identical to the split path
+    (q68's oracle hash held across the r10 split).
+    """
+    assigned, cent_df = build_ivf_index(corpus, id_col, vec_col, n_cells, seed)
+    return ivf_query(queries, assigned, cent_df, id_col, vec_col, k=k, n_probe=n_probe)
 
 
 def semantic_dedup(

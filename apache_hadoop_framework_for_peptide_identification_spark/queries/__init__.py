@@ -183,6 +183,10 @@ _CHANGED_THIS_ROUND = [
     # idempotent-per-batch (overwrite of a batch_id=N partition dir,
     # ADVICE r9) — q172's on-disk layout and read-back path changed.
     "q172_stream_dim_refresh",
+    # r10: ivf_topk split into build_ivf_index + ivf_query (the ANN
+    # twin of the dedup index split) — q68 now routes through the
+    # wrapper; take a fresh verdict on the new code path.
+    "q68_ann_ivf",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
     # cannot alter output): detect_hot_keys' sample_fraction
     # validation (raises or is a no-op; q173 uses exact detection),

@@ -199,3 +199,42 @@ def test_rrf_fuse_rejects_empty_input():
 
     with _pytest.raises(ValueError, match="at least one ranked list"):
         rrf_fuse([], "doc_id", "rnk")
+
+
+def test_ivf_query_reuses_one_persisted_index(dup_corpus, tmp_path):
+    """The r10 IVF split (ANN twin of the dedup index split): build the
+    index ONCE, round-trip BOTH frames through parquet (proving the
+    persistability the docstring claims — centroids must survive the
+    store bit-exactly), run two separate query batches against the
+    stored index, and assert each equals the one-shot ivf_topk form."""
+    from pyspark.sql import functions as F
+
+    spark = dup_corpus.sparkSession
+    assigned, cents = similarity.build_ivf_index(
+        dup_corpus, "vec_id", "embedding", n_cells=8, seed=42
+    )
+    idx_dir, cent_dir = str(tmp_path / "idx"), str(tmp_path / "cents")
+    assigned.write.partitionBy("cell").parquet(idx_dir)
+    cents.write.parquet(cent_dir)
+    stored_idx = spark.read.parquet(idx_dir)
+    stored_cents = spark.read.parquet(cent_dir)
+
+    for lo, hi in ((0, 3), (3, 6)):
+        batch = dup_corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        got = {
+            (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+            for r in similarity.ivf_query(
+                batch, stored_idx, stored_cents, "vec_id", "embedding",
+                k=3, n_probe=8,
+            ).collect()
+        }
+        want = {
+            (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+            for r in similarity.ivf_topk(
+                dup_corpus, batch, "vec_id", "embedding",
+                k=3, n_cells=8, n_probe=8, seed=42,
+            ).collect()
+        }
+        assert got == want
