@@ -552,57 +552,45 @@ def lsh_ann_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
-def pq_ann_topk(
+def build_pq_index(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     m: int = 8,
     n_codes: int = 16,
-    n_candidates: int = 100,
     seed: int = 42,
-) -> DataFrame:
-    """Product-quantization ANN (PQ-ADC): the memory-scale path beyond
-    int8 — each vector compresses to m uint8 codes (8 bytes for a
-    64-dim float32 vector, 32x), and query scoring never touches the
-    original vectors until the final re-rank.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable PQ index (r10 — completes the
+    persisted-index trilogy with build_lsh_index and build_ivf_index):
+    returns ``(encoded, codebook)`` where ``encoded`` is the 32×
+    -compressed corpus — (n_id, codes array<int>), 8 bytes of payload
+    per 64-dim float32 vector — and ``codebook`` is the tiny
+    (subspace, code, centroid array<double>) frame the ADC tables are
+    built from. Persist BOTH: queries must score with exactly the
+    codebook that encoded the corpus (double-precision centroids
+    round-trip parquet bit-exactly). Appending corpus vectors =
+    encode the batch against the SAME stored codebook and append.
 
-    - Codebooks: the d dims split into m subspaces; each subspace gets
-      n_codes codewords drawn from the corpus by the same deterministic
-      id-hash pick as ivf_topk (k-means would tighten cells; the hash
-      pick keeps the whole operator seed-reproducible — swap point
-      documented). One tiny collect (n_codes rows).
-    - Encode: one Arrow pass; argmin codeword per subspace -> codes.
-    - ADC scoring: per query, an (m x n_codes) inner-product table;
-      a corpus row's approximate score is m table lookups — numpy
-      gather over the batch, no vector math per row. Each partition
-      emits only its top n_candidates per query (argpartition), so the
-      shuffle after scoring is O(partitions x queries x n_candidates).
-    - Exact re-rank: candidates join their true vectors once; final
-      top-k by exact cosine.
-
-    The query set is collected to the driver (bounded by contract, as
-    in cosine_topk's broadcast). Returns (q_id, n_id, cos_sim, rn).
+    Codebooks train driver-side on a deterministic hash-picked sample
+    (~32 rows per codeword, see _hash_pick) refined with 8 Lloyd
+    iterations per subspace — numpy on the tiny sample, fully
+    seed-reproducible, so same (corpus, seed, m, n_codes) rebuilds
+    the same index.
     """
     import numpy as np
 
     first = corpus.select(vec_col).first()
     if first is None:
-        raise ValueError("pq_ann_topk: empty corpus")
+        raise ValueError("build_pq_index: empty corpus")
     d_model = len(first[0])
     if d_model % m != 0:
-        raise ValueError(f"pq_ann_topk: dim {d_model} not divisible by m={m}")
+        raise ValueError(f"build_pq_index: dim {d_model} not divisible by m={m}")
     d_sub = d_model // m
 
-    # Train codebooks on a deterministic hash-picked sample (~32 rows
-    # per codeword; see _hash_pick), refined with a few Lloyd
-    # iterations per subspace — driver-side numpy on the tiny sample,
-    # fully seed-reproducible.
     rows = _hash_pick(corpus, id_col, vec_col, n_codes * 32, seed)
     if len(rows) < n_codes:
         raise ValueError(
-            f"pq_ann_topk: corpus has {len(rows)} rows < n_codes={n_codes}; "
+            f"build_pq_index: corpus has {len(rows)} rows < n_codes={n_codes}; "
             "PQ needs at least one training row per codeword — lower n_codes "
             "or use cosine_topk for tiny corpora"
         )
@@ -640,12 +628,53 @@ def pq_ann_topk(
     encoded = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).mapInPandas(encode, "n_id long, codes array<int>")
+    cb_df = corpus.sparkSession.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in codebook[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    return encoded, cb_df
+
+
+def pq_query(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: DataFrame,
+    corpus_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_candidates: int = 100,
+) -> DataFrame:
+    """ADC top-k against a PERSISTED PQ index: rebuild the (m, n_codes,
+    d_sub) codebook from the stored frame (m×n_codes rows — tiny
+    collect), score the stored ``encoded`` corpus with per-query
+    lookup tables (numpy gather, top-n_candidates per partition), and
+    exact-re-rank candidates against ``corpus_vectors`` — the (id,
+    vec) store, touched only for surviving candidates. The corpus is
+    never re-encoded per query batch; results equal the
+    build-and-query one-shot form (tests/test_similarity.py round-trip
+    test). The query set is collected to the driver (bounded by
+    contract, as in cosine_topk's broadcast).
+    """
+    import numpy as np
+
+    cb_rows = codebook.collect()
+    m = max(r["subspace"] for r in cb_rows) + 1
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    d_sub = len(cb_rows[0]["centroid"])
+    cb = np.empty((m, n_codes, d_sub))
+    for r in cb_rows:
+        cb[r["subspace"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
 
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # ADC tables: tables[q, j, c] = <query_q subspace j, codeword c>
-    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_rows), m, d_sub), codebook)
+    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_rows), m, d_sub), cb)
 
     def score(batches):
         for pdf in batches:
@@ -675,7 +704,7 @@ def pq_ann_topk(
         .select("q_id", "n_id")
     )
     # exact re-rank: candidates re-join true vectors ONCE
-    nvec = corpus.select(
+    nvec = corpus_vectors.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
     )
     qvec = queries.select(
@@ -696,6 +725,48 @@ def pq_ann_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_candidates: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (PQ-ADC): the memory-scale path beyond
+    int8 — each vector compresses to m uint8 codes (8 bytes for a
+    64-dim float32 vector, 32x), and query scoring never touches the
+    original vectors until the final re-rank. One-shot form composing
+    :func:`build_pq_index` + :func:`pq_query` (split r10); steady-state
+    serving builds once, persists (encoded, codebook), and routes
+    every query batch through pq_query — output-identical either way
+    (q98's oracle hash held across the split).
+
+    - Codebooks: the d dims split into m subspaces; each subspace gets
+      n_codes codewords drawn from the corpus by the same deterministic
+      id-hash pick as ivf_topk (k-means would tighten cells; the hash
+      pick keeps the whole operator seed-reproducible — swap point
+      documented). One tiny collect (n_codes rows).
+    - Encode: one Arrow pass; argmin codeword per subspace -> codes.
+    - ADC scoring: per query, an (m x n_codes) inner-product table;
+      a corpus row's approximate score is m table lookups — numpy
+      gather over the batch, no vector math per row. Each partition
+      emits only its top n_candidates per query (argpartition), so the
+      shuffle after scoring is O(partitions x queries x n_candidates).
+    - Exact re-rank: candidates join their true vectors once; final
+      top-k by exact cosine.
+
+    Returns (q_id, n_id, cos_sim, rn).
+    """
+    encoded, cb_df = build_pq_index(corpus, id_col, vec_col, m, n_codes, seed)
+    return pq_query(
+        queries, encoded, cb_df, corpus, id_col, vec_col, k=k, n_candidates=n_candidates
     )
 
 

@@ -187,6 +187,9 @@ _CHANGED_THIS_ROUND = [
     # twin of the dedup index split) — q68 now routes through the
     # wrapper; take a fresh verdict on the new code path.
     "q68_ann_ivf",
+    # r10: pq_ann_topk split into build_pq_index + pq_query (same
+    # persisted-index pattern) — q98 routes through the wrapper.
+    "q98_ann_pq",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
     # cannot alter output): detect_hot_keys' sample_fraction
     # validation (raises or is a no-op; q173 uses exact detection),

@@ -238,3 +238,43 @@ def test_ivf_query_reuses_one_persisted_index(dup_corpus, tmp_path):
             ).collect()
         }
         assert got == want
+
+
+def test_pq_query_reuses_one_persisted_index(spark, tmp_path):
+    """The r10 PQ split (completes the persisted-index trilogy): build
+    the PQ index ONCE, round-trip (encoded, codebook) through parquet,
+    run two query batches against the stored frames, and assert each
+    equals the one-shot pq_ann_topk form — proving the codebook
+    survives the store bit-exactly and the corpus is never re-encoded
+    per query batch."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    encoded, cb = similarity.build_pq_index(emb, "vec_id", "embedding", m=8, n_codes=16)
+    enc_dir, cb_dir = str(tmp_path / "enc"), str(tmp_path / "cb")
+    encoded.write.parquet(enc_dir)
+    cb.write.parquet(cb_dir)
+    stored_enc = spark.read.parquet(enc_dir)
+    stored_cb = spark.read.parquet(cb_dir)
+
+    for lo, hi in ((0, 3), (3, 5)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = {
+            (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+            for r in similarity.pq_query(
+                batch, stored_enc, stored_cb, emb, "vec_id", "embedding",
+                k=5, n_candidates=150,
+            ).collect()
+        }
+        want = {
+            (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+            for r in similarity.pq_ann_topk(
+                emb, batch, "vec_id", "embedding", k=5, n_candidates=150,
+            ).collect()
+        }
+        assert got == want
