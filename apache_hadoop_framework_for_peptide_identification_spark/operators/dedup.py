@@ -458,32 +458,24 @@ def minhash_lsh_candidates(
     )
 
 
-def bloom_prefiltered_antijoin(
-    batch: DataFrame,
+def build_bloom_filter(
     history_keys: DataFrame,
     key_col: str,
     m_bits: int = 1 << 20,
     k: int = 4,
     seed: int = 42,
-) -> DataFrame:
-    """Incremental dedup with a bloom prefilter — the 100 TB path the
-    plain hash anti-join (q95) documents: build a bloom filter of the
-    history's content keys, broadcast it (m_bits/8 bytes — 128 KiB at
-    the default — regardless of history size), and send ONLY the
-    batch rows the filter flags as maybe-present into the exact
-    anti-join. Rows testing definitely-absent skip the join entirely,
-    so join traffic is (true dups + false positives) ≈ dup_rate +
-    (1 - e^{-kn/m})^k of the batch instead of all of it.
-
-    EXACT by construction: a bloom filter has no false negatives, so
-    definitely-absent rows are provably not in history and the union
-    (definite-new ∪ verified survivors) equals the plain anti-join —
-    which is why q116 can share q95's oracle verbatim.
-
-    Hashing discipline: the k probe positions are computed JVM-side
-    (xxhash64(key, seed+i) mod m) on BOTH sides, so the Python UDF
-    only does vectorized bitmap lookups on integer positions — no
-    Python hashing of row data anywhere.
+) -> bytes:
+    """Build the persistable bloom bitmap for a history key set (r10 —
+    the fourth persisted-index artifact, joining the LSH postings, IVF
+    cells, and PQ codes): returns the packed m_bits/8-byte bitmap
+    (128 KiB at the default m) that :func:`bloom_antijoin` probes.
+    Store it anywhere (a file beside the history table); (m_bits, k,
+    seed) are part of its identity — probe with the same triple.
+    Growing the history is an append-only OR: after a batch is
+    accepted, ``bytes(a | b for a, b in zip(old, build_bloom_filter(
+    batch_keys, ...)))`` (or numpy |) is the filter for the grown
+    history — bitmaps over the same triple OR-merge exactly, so the
+    history is never rescanned.
 
     Build is distributed (round-5 VERDICT note): each partition packs
     its positions into an m/8-byte bitmap inside mapInPandas, and the
@@ -494,10 +486,7 @@ def bloom_prefiltered_antijoin(
     ≤ 64 × m/8 bytes (8 MiB at the default m) on the driver and one
     m-bit scratch array per concurrent task — independent of both
     history size AND however many partitions the k-way explode
-    inherited from the history scan (round-6 ADVICE item 2). The probe
-    indexes the packed bytes directly ((byte >> (7 - (pos & 7))) & 1,
-    numpy packbits bit order) — no per-batch m-bit unpack (round-5
-    ADVICE item 4).
+    inherited from the history scan (round-6 ADVICE item 2).
     """
     import numpy as np
 
@@ -524,6 +513,43 @@ def bloom_prefiltered_antijoin(
     packed = np.zeros(m_bits // 8, dtype=np.uint8)
     for r in pos_df.mapInPandas(_pack_partition, "bm binary").collect():
         packed |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return packed.tobytes()
+
+
+def bloom_antijoin(
+    batch: DataFrame,
+    bloom: bytes,
+    history_keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental exact dedup against a PERSISTED bloom bitmap: probe
+    ``batch`` rows with the stored filter (read back from wherever
+    :func:`build_bloom_filter`'s bytes were written — the history key
+    set is NOT rescanned to build anything), send only maybe-present
+    rows into the exact anti-join against ``history_keys``, and union
+    the definitely-new rows straight through. Exact by construction
+    (no false negatives), equal to the plain anti-join — q116's oracle
+    is q95's verbatim, and the split path is covered by the same
+    equality pytest. (m_bits, k, seed) must match the build.
+
+    Hashing discipline: the k probe positions are computed JVM-side
+    (xxhash64(key, seed+i) mod m), so the Python UDF only does
+    vectorized bitmap lookups on integer positions — no Python hashing
+    of row data anywhere; the probe indexes the packed bytes directly
+    ((byte >> (7 - (pos & 7))) & 1, numpy packbits bit order) — no
+    per-batch m-bit unpack (round-5 ADVICE item 4).
+    """
+    import numpy as np
+
+    assert m_bits % 8 == 0, "m_bits must be a multiple of 8 (packed bitmap)"
+    assert len(bloom) == m_bits // 8, (
+        f"bloom bitmap is {len(bloom)} bytes; m_bits={m_bits} needs {m_bits // 8} — "
+        "probe parameters must match the build"
+    )
+    packed = np.frombuffer(bloom, dtype=np.uint8)
 
     @F.pandas_udf("boolean")
     def _all_set(*pos_cols: pd.Series) -> pd.Series:
@@ -550,6 +576,40 @@ def bloom_prefiltered_antijoin(
         .join(history_keys.select(key_col).distinct(), key_col, "left_anti")
     )
     return definite_new.unionByName(survivors)
+
+
+def bloom_prefiltered_antijoin(
+    batch: DataFrame,
+    history_keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental dedup with a bloom prefilter — the 100 TB path the
+    plain hash anti-join (q95) documents: build a bloom filter of the
+    history's content keys, broadcast it (m_bits/8 bytes — 128 KiB at
+    the default — regardless of history size), and send ONLY the
+    batch rows the filter flags as maybe-present into the exact
+    anti-join. Rows testing definitely-absent skip the join entirely,
+    so join traffic is (true dups + false positives) ≈ dup_rate +
+    (1 - e^{-kn/m})^k of the batch instead of all of it.
+
+    EXACT by construction: a bloom filter has no false negatives, so
+    definitely-absent rows are provably not in history and the union
+    (definite-new ∪ verified survivors) equals the plain anti-join —
+    which is why q116 can share q95's oracle verbatim.
+
+    One-shot form composing :func:`build_bloom_filter` +
+    :func:`bloom_antijoin` (split r10): steady-state pipelines build
+    the bitmap once, persist the bytes, OR-merge each accepted batch's
+    bitmap in, and probe through bloom_antijoin — the history keys are
+    scanned only by the exact verify of maybe-present rows, never for
+    filter construction. Output identical either way (q116's oracle
+    hash held across the split).
+    """
+    bloom = build_bloom_filter(history_keys, key_col, m_bits, k, seed)
+    return bloom_antijoin(batch, bloom, history_keys, key_col, m_bits, k, seed)
 
 
 def minhash_jaccard_pairs(

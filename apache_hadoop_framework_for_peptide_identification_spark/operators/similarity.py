@@ -671,6 +671,14 @@ def pq_query(
         cb[r["subspace"], r["code"]] = np.asarray(r["centroid"], dtype=np.float64)
 
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        # An empty query batch is a legitimate steady-state event (an
+        # idle trigger); without this guard np.vstack([]) raises an
+        # opaque ValueError (the rrf_fuse empty-input precedent, r9).
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cos_sim double, rn bigint"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # ADC tables: tables[q, j, c] = <query_q subspace j, codeword c>

@@ -190,6 +190,9 @@ _CHANGED_THIS_ROUND = [
     # r10: pq_ann_topk split into build_pq_index + pq_query (same
     # persisted-index pattern) — q98 routes through the wrapper.
     "q98_ann_pq",
+    # r10: bloom_prefiltered_antijoin split into build_bloom_filter +
+    # bloom_antijoin — q116 routes through the wrapper.
+    "q116_bloom_incremental_dedup",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
     # cannot alter output): detect_hot_keys' sample_fraction
     # validation (raises or is a no-op; q173 uses exact detection),

@@ -576,3 +576,41 @@ def test_quality_keeper_dedup_argmax_ties_and_bystanders(spark):
         for r in dedup.quality_keeper_dedup(df, edges, "doc_id", "qual").collect()
     )
     assert kept == [2, 10, 99]
+
+
+def test_bloom_antijoin_reuses_one_persisted_bitmap(spark, tmp_path):
+    """The r10 bloom split: build the bitmap ONCE, write the bytes to
+    disk, read them back, probe two batches through bloom_antijoin —
+    each equal to the one-shot form — then grow the filter by OR-merging
+    batch 1's bitmap and verify the merged filter equals a from-scratch
+    build over the union (append-only growth, no history rescan)."""
+    history = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    b1 = spark.createDataFrame([(i,) for i in range(150, 250)], "k long")
+    b2 = spark.createDataFrame([(i,) for i in range(240, 300)], "k long")
+
+    m, k = 1 << 12, 4
+    path = tmp_path / "bloom.bin"
+    path.write_bytes(dedup.build_bloom_filter(history, "k", m_bits=m, k=k))
+    bloom = path.read_bytes()
+
+    for batch in (b1, b2):
+        got = sorted(
+            r["k"] for r in dedup.bloom_antijoin(
+                batch, bloom, history, "k", m_bits=m, k=k
+            ).collect()
+        )
+        want = sorted(
+            r["k"] for r in dedup.bloom_prefiltered_antijoin(
+                batch, history, "k", m_bits=m, k=k
+            ).collect()
+        )
+        assert got == want
+
+    merged = bytes(
+        a | b for a, b in zip(bloom, dedup.build_bloom_filter(b1, "k", m_bits=m, k=k))
+    )
+    rebuilt = dedup.build_bloom_filter(history.unionByName(b1), "k", m_bits=m, k=k)
+    assert merged == rebuilt
+
+    with pytest.raises(AssertionError, match="must match the build"):
+        dedup.bloom_antijoin(b1, bloom[:-1], history, "k", m_bits=m, k=k)

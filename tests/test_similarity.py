@@ -278,3 +278,23 @@ def test_pq_query_reuses_one_persisted_index(spark, tmp_path):
             ).collect()
         }
         assert got == want
+
+
+def test_pq_query_empty_query_batch_returns_empty(spark):
+    """An idle trigger delivering zero queries must yield an empty,
+    correctly-schema'd result — not an opaque np.vstack ValueError
+    (the rrf_fuse empty-input precedent)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    encoded, cb = similarity.build_pq_index(emb, "vec_id", "embedding")
+    out = similarity.pq_query(
+        emb.filter(F.lit(False)), encoded, cb, emb, "vec_id", "embedding"
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "n_id", "cos_sim", "rn"]
