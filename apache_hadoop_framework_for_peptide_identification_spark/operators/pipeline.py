@@ -230,13 +230,26 @@ def remove_reference_spans(
     100 TB discipline (the q85/q177 composition): the reference's
     distinct n-gram hashes BROADCAST (eval sets are KBs–MBs by
     definition), so corpus text never shuffles for detection — the
-    posting side carries (id, position, 8-byte xxhash64) only. Covered
-    positions groupBy to one integer-array row per CONTAMINATED doc
-    (output-proportional), join back to the corpus by id, and the
-    token surgery is map-side lambda work on the already-joined row.
-    Per-token coverage checks cost O(tokens × hits) per contaminated
-    doc — fine at realistic contamination density; at pathological
-    density merge the hit starts into intervals first.
+    hash-join probe is map-side, and only HIT positions survive into
+    the one shuffle ((id, position) pairs, grouped to one integer
+    array per CONTAMINATED doc — output-proportional), joined back to
+    the corpus by id with the token surgery as map-side lambda work on
+    the already-joined row. Per-token coverage checks cost
+    O(tokens × hits) per contaminated doc — fine at realistic
+    contamination density; at pathological density merge the hit
+    starts into intervals first.
+
+    Removal is EXACT STRING matching, not hash matching (ADVICE r10):
+    the broadcast frame carries each reference gram's 64-bit xxhash64
+    AND the gram string, and the join condition requires both to
+    match — the hash narrows the probe, the string equality vetoes
+    collisions. At trillions of corpus grams × a large eval set the
+    expected number of 2^-64 hash collisions is no longer zero, and a
+    false positive here silently excises ~n+2·pad CLEAN tokens; the
+    strings are cheap to carry because only the small-by-contract
+    reference side carries them pre-join (the corpus side materializes
+    its gram column map-side and drops it at the projection after the
+    broadcast join — it never shuffles).
 
     Returns (id, clean_text, n_removed) — n_removed counts removed
     TOKENS (0 for untouched docs).
@@ -250,11 +263,15 @@ def remove_reference_spans(
         )
         ng = NGram(n=n, inputCol="__toks", outputCol="__ng").transform(toks)
         return ng.select("id", F.posexplode("__ng").alias("i", "__g")).select(
-            "id", "i", F.xxhash64("__g").alias("gh")
+            "id", "i", F.xxhash64("__g").alias("gh"), "__g"
         )
 
-    ref_sh = posted(reference).select("gh").distinct()
-    hits = posted(corpus).join(F.broadcast(ref_sh), "gh").select("id", "i")
+    ref_sh = posted(reference).select("gh", "__g").distinct()
+    # Join on (hash, gram): the 8-byte hash is the probe key, the gram
+    # string equality vetoes 2^-64 collisions that would otherwise
+    # excise clean tokens (ADVICE r10). Broadcast side carries the
+    # strings; the corpus side's gram column dies at this projection.
+    hits = posted(corpus).join(F.broadcast(ref_sh), ["gh", "__g"]).select("id", "i")
     starts = hits.groupBy("id").agg(F.collect_list("i").alias("__starts"))
     d = corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     joined = d.join(starts, "id", "left")

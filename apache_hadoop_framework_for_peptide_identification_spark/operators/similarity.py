@@ -219,8 +219,15 @@ def _cell_assign(cents, n_top: int):
     """mapInPandas fn assigning each vector its ``n_top`` nearest
     centroids (rows of the normalized ``cents`` matrix): one
     Arrow-batched numpy pass, output gains an int32 ``cell`` column
-    with ``n_top`` rows per input row."""
+    with ``n_top`` rows per input row. ``n_top`` is clamped to the
+    number of centroid rows (ADVICE r10): a caller reading an index
+    back from parquet may pass n_probe > n_cells without knowing the
+    stored cell count, and probing every cell is the correct limit of
+    "probe the n nearest" — without the clamp the repeat/ravel pair
+    disagrees on row counts and dies in an opaque numpy length error."""
     import numpy as np
+
+    n_top = min(n_top, cents.shape[0])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -293,7 +300,10 @@ def ivf_query(
     O(queries × n_probe cells), the deployment shape ivf_topk's
     docstring promises; double-precision centroids round-trip the
     store bit-exactly, so query results equal the build-and-query
-    one-shot form (tests/test_embed.py).
+    one-shot form (tests/test_embed.py). ``n_probe`` larger than the
+    stored cell count clamps to probing EVERY cell (the exhaustive
+    limit of "probe the n nearest" — exact search over the index),
+    rather than failing inside the assign kernel (ADVICE r10).
     """
     import numpy as np
 

@@ -172,35 +172,23 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 10
+_CHANGED_IN_ROUND = 11
 _CHANGED_THIS_ROUND = [
-    # r10: incremental_minhash_pairs split into build_lsh_index +
-    # ingest_neardup (VERDICT r9 item 2) and gained the
-    # disjoint-id guard (ADVICE r9) — q174 now routes through the
-    # split API; take a fresh verdict on the new code path.
-    "q174_incremental_neardup",
-    # r10: stream_enrich_refreshed's foreachBatch sink became
-    # idempotent-per-batch (overwrite of a batch_id=N partition dir,
-    # ADVICE r9) — q172's on-disk layout and read-back path changed.
-    "q172_stream_dim_refresh",
-    # r10: ivf_topk split into build_ivf_index + ivf_query (the ANN
-    # twin of the dedup index split) — q68 now routes through the
-    # wrapper; take a fresh verdict on the new code path.
-    "q68_ann_ivf",
-    # r10: pq_ann_topk split into build_pq_index + pq_query (same
-    # persisted-index pattern) — q98 routes through the wrapper.
-    "q98_ann_pq",
-    # r10: bloom_prefiltered_antijoin split into build_bloom_filter +
-    # bloom_antijoin — q116 routes through the wrapper.
-    "q116_bloom_incremental_dedup",
+    # r11: remove_reference_spans' detection join gained the
+    # hash-collision veto (ADVICE r10) — the broadcast reference frame
+    # now carries the gram STRINGS and the join requires (hash, gram)
+    # equality, so q178 routes through a changed detection path; take
+    # a fresh verdict on it even though collision-free inputs (all of
+    # sf0.01) are output-identical.
+    "q178_decontaminate_spans",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
-    # cannot alter output): detect_hot_keys' sample_fraction
-    # validation (raises or is a no-op; q173 uses exact detection),
-    # the _band_postings factor-out (structurally identical
-    # expression tree; q113 holds an r6 verdict so it is in the r10
-    # window regardless and re-verifies the shared banding). Each was
-    # re-verified against its oracle in the round-10 session log
-    # (foreign-CWD sim, sf0.01).
+    # cannot alter output): _cell_assign's n_top clamp (ADVICE r10 —
+    # only reachable when n_probe > n_cells, which q68's parameters
+    # never are), stream_enrich_refreshed's flat-layout fail-fast
+    # (raises before any batch runs or is a no-op; q172 always starts
+    # from a fresh out_dir), and q177's chunk-boundary docstring
+    # (documentation only). Each was re-verified against its oracle in
+    # the round-11 session log (foreign-CWD sim, sf0.01).
 ]
 
 

@@ -737,3 +737,113 @@ def q178_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.remove_reference_spans(
         corpus, bench, id_col="doc_id", text_col="text", n=5, pad=2
     ).orderBy("doc_id")
+
+
+@query(
+    "q179_url_canonical_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 40 AS g, doc_id // 40 AS v, (doc_id * 37) % 101 AS qual
+  FROM documents WHERE doc_id < 120),
+raw AS (
+  SELECT doc_id, qual,
+    CASE v
+      WHEN 0 THEN (CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END)
+                  || '://example.com/page' || g || '?a=1&b=' || g
+      WHEN 1 THEN (CASE WHEN g % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+                  || '://EXAMPLE.com' || (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
+                  || '/page' || g || '/?b=' || g || '&utm_source=feed&a=1#sec'
+      ELSE (CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://example.com' || (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
+           || '/page' || g || '?b=' || g || '&a=1&fbclid=XYZ' || g
+    END AS url
+  FROM d),
+c1 AS (SELECT doc_id, qual, regexp_replace(trim(url), '#.*', '') AS u FROM raw),
+c2 AS (SELECT doc_id, qual,
+   lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+   lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS auth,
+   regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+   regexp_extract(u, '\\?([^#]*)', 1) AS q
+ FROM c1),
+c3 AS (SELECT doc_id, qual, scheme,
+   CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        ELSE auth END AS auth,
+   CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        ELSE regexp_replace(path, '/+$', '') END AS path,
+   array_to_string(list_sort(list_filter(string_split(q, '&'),
+     x -> x <> '' AND NOT regexp_matches(x,
+       '^(utm_[^=]*|fbclid|gclid|msclkid|yclid|igshid|mc_eid|_ga)(=.*)?$'))), '&') AS qs
+ FROM c2),
+canon AS (SELECT doc_id, qual,
+   scheme || '://' || auth || path
+   || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url
+ FROM c3),
+keep AS (SELECT doc_id,
+   row_number() OVER (PARTITION BY canon_url ORDER BY qual DESC, doc_id) AS rn
+ FROM canon)
+SELECT c.doc_id, c.canon_url, c.qual, (k.rn = 1) AS kept
+FROM canon c JOIN keep k USING (doc_id)
+ORDER BY c.doc_id
+""",
+)
+def q179_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-best-per-URL dedup (added r11 —
+    VERDICT r10 item 2: the production layer CommonCrawl-shape
+    pipelines run BEFORE every content-dedup tier, and the one layer
+    the repo lacked). The documents fixture has no URL column, so the
+    query PLANTS one deterministically (same expression both engines,
+    the q84/q85 pattern): 40 canonical groups x 3 crawled variants
+    each — clean, and two adversarial forms layering case-varied
+    scheme/host, explicit default port (:80/:443 matched to the
+    group's scheme), trailing slash, fragment, utm_* and fbclid
+    tracking params, and permuted query-parameter order.
+
+    operators/urls.py canonicalize_url is pure JVM string/array
+    expressions (regexp_extract + filter/array_sort/array_join HOFs
+    — no UDF, no shuffle; the canonical column is a scan-time
+    projection), and url_keeper_dedup reuses q176's keeper rule —
+    (quality desc, id) row_number — keyed directly on the canonical
+    string: URL identity is an equivalence relation for free, so no
+    edge generation, no connected components, ONE shuffle total. The
+    quality surrogate (doc_id*37) % 101 is decorrelated from id order
+    (q176's argument), so keepers are spread across variants and the
+    oracle's window proves the argmax + min-id tie-break, while the
+    hashed canon_url column proves every canonicalization rule
+    byte-for-byte. Output: all 120 docs with (canon_url, qual, kept).
+    """
+    from ..operators import urls as U
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    g = F.col("doc_id") % 40
+    v = F.expr("doc_id div 40")
+    qual = (F.col("doc_id") * 37) % 101
+    scheme_l = F.when(g % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme_u = F.when(g % 2 == 0, F.lit("HTTP")).otherwise(F.lit("HTTPS"))
+    port = F.when(g % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    gs = g.cast("string")
+    url = (
+        F.when(v == 0, F.concat(scheme_l, F.lit("://example.com/page"), gs,
+                                F.lit("?a=1&b="), gs))
+        .when(v == 1, F.concat(scheme_u, F.lit("://EXAMPLE.com"), port,
+                               F.lit("/page"), gs, F.lit("/?b="), gs,
+                               F.lit("&utm_source=feed&a=1#sec")))
+        .otherwise(F.concat(scheme_l, F.lit("://example.com"), port,
+                            F.lit("/page"), gs, F.lit("?b="), gs,
+                            F.lit("&a=1&fbclid=XYZ"), gs))
+    )
+    rows = d.select("doc_id", url.alias("url"), qual.alias("qual"))
+    kept_ids = U.url_keeper_dedup(rows, "url", "doc_id", "qual").select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return (
+        rows.withColumn("canon_url", U.canonicalize_url(F.col("url")))
+        .join(kept_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "canon_url",
+            "qual",
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -153,7 +153,17 @@ def stream_enrich_refreshed(
     appending duplicates — overwrite-by-batch-id is the standard
     exactly-once foreachBatch recipe for non-transactional sinks.
     Readers see ``batch_id`` as a discovered partition column on
-    ``spark.read.parquet(out_dir)``; select it away if unwanted. Cost
+    ``spark.read.parquet(out_dir)``; select it away if unwanted.
+    Layout-migration guard (ADVICE r10): this sink layout changed in
+    r10 from flat append into ``out_dir`` to ``batch_id=N``
+    subdirectories — a stream RESUMED from a pre-change checkpoint
+    over a pre-change ``out_dir`` would mix flat part files with
+    partition dirs, which ``spark.read.parquet(out_dir)`` rejects
+    with a conflicting-directory-structures error only at read time.
+    The start path therefore fails fast: pre-existing FLAT data files
+    directly under ``out_dir`` raise ValueError before any batch
+    runs — migrate the old files into a ``batch_id=-1`` subdirectory
+    or point the resumed stream at a fresh ``out_dir``. Cost
     at 100 TB: one dimension scan + broadcast per micro-batch —
     bound it by keeping the dimension path pruned (partition pruning
     applies inside the loader's read) or by lowering trigger
@@ -161,6 +171,24 @@ def stream_enrich_refreshed(
     plan-time-snapshot form (stream_scd2_enrich) instead — the two
     semantics are both real, which is why both operators exist."""
     on_cols = [on] if isinstance(on, str) else list(on)
+
+    # Fail fast on a pre-r10 flat layout (see docstring). Hadoop FS
+    # API so non-local out_dirs get the same guard; hidden/_metadata
+    # names are Spark's own bookkeeping, not data files.
+    spark = stream.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith((".", "_")):
+                raise ValueError(
+                    f"stream_enrich_refreshed: out_dir {out_dir!r} contains a "
+                    f"flat data file ({name!r}) from the pre-batch_id sink "
+                    "layout; mixing it with batch_id=N partition dirs makes "
+                    "the directory unreadable. Migrate existing flat files "
+                    "into a batch_id=-1 subdirectory or use a fresh out_dir."
+                )
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
         dim = dim_loader()

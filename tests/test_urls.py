@@ -1,0 +1,111 @@
+"""Adversarial tests for URL canonicalization + keeper dedup (r11 —
+VERDICT r10 item 2's prescribed pytest: case, ports, param order,
+fragments, plus the tracking scrub, trailing slashes, and the
+schemeless pass-through)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import urls as U
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(raw)], "i long, url string")
+    rows = (
+        df.select("i", U.canonicalize_url(F.col("url")).alias("c"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["c"] for r in rows]
+
+
+CASES = [
+    # (input, expected canonical)
+    ("http://Example.COM/Path", "http://example.com/Path"),  # host folds, path doesn't
+    ("HTTP://example.com/a", "http://example.com/a"),  # scheme folds
+    ("http://example.com:80/a", "http://example.com/a"),  # http default port
+    ("https://example.com:443/a", "https://example.com/a"),  # https default port
+    ("http://example.com:443/a", "http://example.com:443/a"),  # NON-default kept
+    ("https://example.com:80/a", "https://example.com:80/a"),  # NON-default kept
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # explicit port kept
+    ("http://example.com/a#frag", "http://example.com/a"),  # fragment stripped
+    ("http://example.com/a?x=1#frag", "http://example.com/a?x=1"),
+    ("http://example.com", "http://example.com/"),  # empty path -> /
+    ("http://example.com/", "http://example.com/"),
+    ("http://example.com///", "http://example.com/"),  # all trailing slashes
+    ("http://example.com/a/b/", "http://example.com/a/b"),  # trailing slash stripped
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),  # params sorted
+    (
+        "http://example.com/a?b=2&utm_source=x&a=1",
+        "http://example.com/a?a=1&b=2",
+    ),  # utm_* scrubbed
+    (
+        "http://example.com/a?utm_campaign=y&fbclid=z&gclid=w",
+        "http://example.com/a",
+    ),  # query emptied by scrub drops its '?'
+    ("http://example.com/a?", "http://example.com/a"),  # empty query
+    ("http://example.com/a?_ga=1.2&x=3", "http://example.com/a?x=3"),
+    ("http://example.com/a?fbclid", "http://example.com/a"),  # bare tracking key
+    ("http://example.com/a?refresh=1", "http://example.com/a?refresh=1"),  # not tracking
+    ("  http://example.com/a  ", "http://example.com/a"),  # trimmed
+    ("not a url", "not a url"),  # schemeless: pass-through (trim+defrag only)
+    ("/relative/path?utm_source=x", "/relative/path?utm_source=x"),
+]
+
+
+def test_canonicalize_adversarial_cases(spark):
+    got = _canon(spark, [c[0] for c in CASES])
+    for (inp, want), g in zip(CASES, got):
+        assert g == want, f"canonicalize({inp!r}) = {g!r}, want {want!r}"
+
+
+def test_case_fold_is_scheme_and_host_only(spark):
+    # Path and query case is significant and must survive.
+    [c] = _canon(spark, ["HTTPS://WWW.Example.Com:443/CaseSensitive?Key=Val"])
+    assert c == "https://www.example.com/CaseSensitive?Key=Val"
+
+
+def test_extra_tracking_params(spark):
+    df = spark.createDataFrame(
+        [(1, "http://h/p?sid=9&x=1")], "i long, url string"
+    )
+    default = df.select(U.canonicalize_url(F.col("url")).alias("c")).first()["c"]
+    extended = df.select(
+        U.canonicalize_url(F.col("url"), extra_tracking=("sid",)).alias("c")
+    ).first()["c"]
+    assert default == "http://h/p?sid=9&x=1"
+    assert extended == "http://h/p?x=1"
+
+
+def test_keeper_dedup_argmax_and_tiebreak(spark):
+    rows = [
+        # group A: three variants of one URL, quality picks id 2
+        (1, "http://a.com/x?p=1&q=2", 10),
+        (2, "HTTP://A.com:80/x/?q=2&utm_source=s&p=1#f", 90),
+        (3, "http://a.com/x?q=2&p=1&fbclid=z", 50),
+        # group B: quality tie -> min id (4) wins
+        (4, "https://b.com/y", 7),
+        (5, "https://b.com:443/y/", 7),
+        # group C: singleton always kept
+        (6, "http://c.com/z", 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, qual long")
+    kept = U.url_keeper_dedup(df, "url", "doc_id", "qual")
+    got = {r["doc_id"]: r["canon_url"] for r in kept.collect()}
+    assert sorted(got) == [2, 4, 6]
+    assert got[2] == "http://a.com/x?p=1&q=2"
+    assert got[4] == "https://b.com/y"
+    # all input columns survive
+    assert set(kept.columns) == {"doc_id", "url", "qual", "canon_url"}
+
+
+def test_keeper_dedup_single_shuffle(spark):
+    """Canonicalization is a projection: the physical plan must show
+    exactly one Exchange (the keeper window's hash partition)."""
+    df = spark.createDataFrame(
+        [(1, "http://a.com/x", 1), (2, "http://a.com/x?utm_source=s", 2)],
+        "doc_id long, url string, qual long",
+    )
+    plan = U.url_keeper_dedup(df, "url", "doc_id", "qual")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
