@@ -13,10 +13,12 @@ from ..streaming.windows import (
     events_stream,
     run_foreach_batch,
     run_to_memory,
+    seed_neardup_store,
     sliding_agg,
     stateful_user_totals,
     stream_dedup,
     stream_enrich_refreshed,
+    stream_neardup_ingest,
     stream_scd2_enrich,
     stream_static_join,
     tumbling_agg,
@@ -985,4 +987,104 @@ def q172_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(out)
         .select("event_id", "user_id", "dim_name")
         .orderBy("event_id")
+    )
+
+
+@query(
+    "q180_stream_neardup_ingest",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 10000, regexp_replace(text, ' \\S+$', '')
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 150),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM docs, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT doc_id, array_to_string(toks, ' ') AS sh
+  FROM docs WHERE len(toks) < 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+  AND (id_a >= 10000 OR id_b >= 10000
+       OR (id_a >= 100 AND id_a < 150) OR (id_b >= 100 AND id_b < 150))
+ORDER BY id_a, id_b
+""",
+)
+def q180_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest (added r11 — VERDICT r10 item 5: the
+    near-dup twin of q52's exact stream dedup, composing q174's
+    persisted-index ingest with the streaming surface). Same planted
+    corpus as q174 — history = docs < 100 seeded into the store; the
+    arriving docs are drop-last-word twins of docs < 50 (ids +10000,
+    MUST be caught against history) plus novel docs 100–149 — but
+    arriving across TWO staged stream phases through one checkpoint
+    (the q161/q172 replay pattern): phase 1 stages twins of docs 0–24
+    + novels 100–124, phase 2 twins 25–49 + novels 125–149. Each
+    micro-batch runs ingest_neardup against the store AS OF the
+    previous batch and appends its own postings + texts, so phase-2
+    docs are verified against history ∪ phase 1 — a phase-1 twin ×
+    phase-2 twin true pair (e.g. near-identical source docs) can only
+    appear if the store actually grew, and a pair emitted twice (store
+    growth leaking into the emitting batch's own history view) would
+    double a row and break the hash. The oracle is q174's VERBATIM:
+    all-pairs Jaccard ≥ 0.5 truth restricted to batch-touching pairs —
+    the stream's union across batches must equal the one-shot ingest
+    of everything at once, which is exactly the incremental-view
+    contract. Per-batch cost is q174's (batch signatures + banded
+    collisions only); the store is parquet partitions by batch_id."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(10_000)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " \\S+\\z", "").alias("text"),
+    )
+    novel = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+        "doc_id", "text"
+    )
+    phase1 = twins.filter(F.col("doc_id") < 10_025).unionByName(
+        novel.filter(F.col("doc_id") < 125)
+    )
+    phase2 = twins.filter(F.col("doc_id") >= 10_025).unionByName(
+        novel.filter(F.col("doc_id") >= 125)
+    )
+
+    src = tempfile.mkdtemp(prefix="q180_src_")
+    ckpt = tempfile.mkdtemp(prefix="q180_ckpt_")
+    store = tempfile.mkdtemp(prefix="q180_store_")
+
+    seed_neardup_store(history, store, "doc_id", "text")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_neardup_ingest(
+            stream, store, ckpt, "doc_id", "text",
+            threshold=0.5, num_hashes=64, bands=16, shingle_n=3,
+        )
+
+    phase1.write.mode("append").parquet(src)
+    run_once()
+    phase2.write.mode("append").parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(f"{store}/pairs")
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
     )

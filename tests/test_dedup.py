@@ -555,6 +555,32 @@ def test_exact_substring_dedup_spans_keeper_and_tails(spark):
     assert got[6] == (Q, 2)                   # self-repeat: first copy kept
 
 
+def test_exact_substring_dedup_boundary_straddle_is_a_documented_miss(spark):
+    """Pin the docstring's KNOWN MISS MODE (r11, VERDICT r10 item 4):
+    chunking aligns to each doc's own token-0, so the SAME >=min_run-
+    chunk passage repeated at an offset that is nonzero modulo
+    chunk_tokens shares no aligned chunk keys and survives — while the
+    identical passage at a chunk-aligned offset in a third doc is
+    excised. If this test starts failing with the passage removed, the
+    operator gained the offset-sweep/sliding refinement: update the
+    docstring and this pin together."""
+    P = " ".join(f"p{i}" for i in range(16))  # 2 chunks of 8
+    rows = [
+        (0, P + " a b c"),                    # first occurrence, aligned
+        (1, "u v w " + P),                    # offset 3: straddles chunks
+        (2, " ".join(f"z{i}" for i in range(8)) + " " + P),  # offset 8: aligned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.exact_substring_dedup(df, "doc_id", "text").collect()
+    }
+    assert got[0] == (P + " a b c", 0)
+    assert got[1] == ("u v w " + P, 0)        # the documented miss
+    z = " ".join(f"z{i}" for i in range(8))
+    assert got[2] == (z, 2)                   # aligned copy excised
+
+
 def test_quality_keeper_dedup_argmax_ties_and_bystanders(spark):
     """quality_keeper_dedup (r9): per cluster the max-quality doc
     survives; quality ties break to min id; docs in no cluster are

@@ -298,3 +298,146 @@ def test_pq_query_empty_query_batch_returns_empty(spark):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["q_id", "n_id", "cos_sim", "rn"]
+
+
+def test_ivf_append_equals_assign_all_with_same_centroids(dup_corpus, tmp_path):
+    """The r11 append API (VERDICT r10 item 3): build(A) + append(B)
+    must equal assigning A∪B with A's centroid frame, row-for-row, and
+    queries against the appended index must equal queries against the
+    all-at-once assignment — through a parquet round-trip of the
+    centroid frame, since append's whole point is joining an index
+    read back from its store."""
+    from pyspark.sql import functions as F
+
+    spark = dup_corpus.sparkSession
+    a = dup_corpus.filter(F.col("vec_id") < 150)
+    b = dup_corpus.filter(F.col("vec_id") >= 150)
+    assigned_a, cents = similarity.build_ivf_index(
+        a, "vec_id", "embedding", n_cells=8, seed=42
+    )
+    cents.write.parquet(str(tmp_path / "cents"))
+    stored_cents = spark.read.parquet(str(tmp_path / "cents"))
+
+    appended = similarity.ivf_append(
+        b, stored_cents, "vec_id", "embedding", index=assigned_a
+    )
+    grown = assigned_a.unionByName(appended)
+    # all-at-once assignment with the SAME centroid frame
+    direct = similarity.ivf_append(dup_corpus, stored_cents, "vec_id", "embedding")
+
+    def cells(df):
+        return {r["vec_id"]: r["cell"] for r in df.select("vec_id", "cell").collect()}
+
+    assert cells(grown) == cells(direct)
+
+    queries = dup_corpus.filter(F.col("vec_id") < 3)
+    got = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.ivf_query(
+            queries, grown, stored_cents, "vec_id", "embedding", k=3, n_probe=8
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.ivf_query(
+            queries, direct, stored_cents, "vec_id", "embedding", k=3, n_probe=8
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_disjoint_guard(dup_corpus):
+    from pyspark.sql import functions as F
+
+    a = dup_corpus.filter(F.col("vec_id") < 150)
+    assigned_a, cents = similarity.build_ivf_index(
+        a, "vec_id", "embedding", n_cells=8, seed=42
+    )
+    overlapping = dup_corpus.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="disjoint"):
+        similarity.ivf_append(
+            overlapping, cents, "vec_id", "embedding", index=assigned_a
+        ).count()
+
+
+def test_pq_append_equals_encode_all_with_same_codebook(spark, tmp_path):
+    """build(A) + append(B) == encode(A∪B with A's codebook), and
+    pq_query over the appended index equals the all-at-once form —
+    codebook round-tripped through parquet."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    a = emb.filter(F.col("vec_id") < 300)
+    b = emb.filter(F.col("vec_id") >= 300)
+    enc_a, cb = similarity.build_pq_index(a, "vec_id", "embedding", m=8, n_codes=16)
+    cb.write.parquet(str(tmp_path / "cb"))
+    stored_cb = spark.read.parquet(str(tmp_path / "cb"))
+
+    appended = similarity.pq_append(b, stored_cb, "vec_id", "embedding", index=enc_a)
+    grown = enc_a.unionByName(appended)
+    direct = similarity._pq_encode(
+        emb, similarity._codebook_array(stored_cb), "vec_id", "embedding"
+    )
+
+    def codes(df):
+        return {r["n_id"]: tuple(r["codes"]) for r in df.collect()}
+
+    assert codes(grown) == codes(direct)
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.pq_query(
+            queries, grown, stored_cb, emb, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.pq_query(
+            queries, direct, stored_cb, emb, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_append_guards(spark):
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    a = emb.filter(F.col("vec_id") < 300)
+    enc_a, cb = similarity.build_pq_index(a, "vec_id", "embedding", m=8, n_codes=16)
+    with pytest.raises(ValueError, match="disjoint"):
+        similarity.pq_append(
+            emb.filter(F.col("vec_id") < 10), cb, "vec_id", "embedding", index=enc_a
+        ).count()
+    wrong_dim = spark.createDataFrame(
+        [(99_999, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.pq_append(wrong_dim, cb, "vec_id", "embedding")
+
+
+def test_ivf_query_clamps_excess_n_probe(dup_corpus):
+    """ADVICE r10: n_probe beyond the stored cell count must clamp to
+    probing every cell (== exact search over the index), not die in a
+    numpy length mismatch."""
+    from pyspark.sql import functions as F
+
+    assigned, cents = similarity.build_ivf_index(
+        dup_corpus, "vec_id", "embedding", n_cells=4, seed=42
+    )
+    queries = dup_corpus.filter(F.col("vec_id") < 2)
+    over = similarity.ivf_query(
+        queries, assigned, cents, "vec_id", "embedding", k=3, n_probe=99
+    ).collect()
+    exact = similarity.ivf_query(
+        queries, assigned, cents, "vec_id", "embedding", k=3, n_probe=4
+    ).collect()
+    key = lambda rows: {(r["q_id"], r["rn"]): r["n_id"] for r in rows}
+    assert key(over) == key(exact)

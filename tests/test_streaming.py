@@ -671,3 +671,55 @@ def test_stream_enrich_refreshed_replay_is_idempotent(spark, tmp_path):
         f"{out_dir}/batch_id=1"
     )
     assert spark.read.parquet(out_dir).count() == 2
+
+
+def test_stream_neardup_ingest_replay_excludes_own_prior_attempt(spark, tmp_path):
+    """r11 streaming near-dup ingest: a micro-batch replayed after a
+    crash BETWEEN the store appends and the checkpoint commit must (a)
+    not raise the disjoint-id guard on its own half-written previous
+    attempt, and (b) leave the store and pair output exactly as a
+    clean single run would — the self-exclusion-by-partition-pruning
+    contract. Simulated by pre-writing the batch's postings/texts
+    under the batch id the stream will assign (0), exactly the state a
+    crash leaves, then running the stream for real."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.dedup import (
+        build_lsh_index,
+    )
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        seed_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+
+    history = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "totally novel content words here")],
+        "doc_id long, text string",
+    )
+    seed_neardup_store(history, store, "doc_id", "text")
+
+    # Crash leftovers: the same batch's postings+texts already sit
+    # under batch_id=0 (no checkpoint commit happened).
+    build_lsh_index(batch, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{store}/postings/batch_id=0"
+    )
+    batch.write.mode("overwrite").parquet(f"{store}/texts/batch_id=0")
+
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_neardup_ingest(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    }
+    assert pairs == {(1, 10)}  # planted twin found once; no self-pairs
+    # Store holds exactly one copy of the batch per table (overwrite).
+    texts = spark.read.parquet(f"{store}/texts")
+    assert texts.filter("doc_id >= 10").count() == 2
