@@ -207,13 +207,27 @@ def hot_key_salted_join(
     detection pass over ``big``'s key columns — at 100 TB use
     ``sample_fraction`` to make it sampled (see detect_hot_keys:
     sampling shifts only the hot/cold boundary, never the result);
-    (2) ``big`` is scanned twice (once per path), each scan pruned by
-    a broadcast-hash semi/anti filter with NO shuffle — the trade
-    against salted_join's single scan + buckets× small-side
-    replication; the two-path form wins exactly when the replicated
-    small side (or its shuffle) outweighs one extra columnar scan.
-    Measured plan (q173): broadcast joins throughout, zero sort-merge,
-    the hot set a collected LocalRelation (one detection job total)."""
+    (2) ``big`` is scanned twice (once per path) — the trade against
+    salted_join's single scan + buckets× small-side replication; the
+    two-path form wins exactly when the replicated small side (or its
+    shuffle) outweighs one extra columnar scan.
+
+    Split mechanics (reworked r11 after a bench regression): the hot
+    set is ALREADY driver-local (detect_hot_keys collects it under the
+    max_hot_keys guard), so for a single join key the hot/cold splits
+    are literal ``isin`` predicates — plain filters that reach the
+    scan, zero join nodes. The previous broadcast semi/anti splits
+    were semantically identical but stamped FOUR broadcast-exchange
+    subtrees into the plan, and per fresh run each rebuilt its
+    broadcast (and the small side's aggregation subtree twice) before
+    the real join could start — measured at 2.5 s/run of pure
+    pre-join latency on q173's fixture vs ~0.1 s for the join itself.
+    NULL keys follow anti-join semantics: a NULL never matches a hot
+    key, so NULL-keyed rows take the cold path (isNull folded into the
+    cold predicate). Multi-column keys keep the broadcast semi/anti
+    form (a literal predicate over tuples would be a buckets-wide OR);
+    the hot frame there is a LocalRelation, so its broadcasts are
+    build-free."""
     supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
     if how.lower() not in supported:
         raise ValueError(
@@ -221,10 +235,18 @@ def hot_key_salted_join(
             f"got {how!r} — unmatched small-side rows would be emitted once per salt bucket"
         )
     hot = detect_hot_keys(big, on, hot_row_threshold, sample_fraction, max_hot_keys)
-    big_hot = big.join(F.broadcast(hot), list(on), "left_semi")
-    big_cold = big.join(F.broadcast(hot), list(on), "left_anti")
-    small_hot = small.join(F.broadcast(hot), list(on), "left_semi")
-    small_cold = small.join(F.broadcast(hot), list(on), "left_anti")
+    if len(on) == 1:
+        k = on[0]
+        keys = [r[k] for r in hot.collect() if r[k] is not None]
+        hot_pred = F.col(k).isin(keys) if keys else F.lit(False)
+        cold_pred = F.col(k).isNull() | ~hot_pred
+        big_hot, big_cold = big.filter(hot_pred), big.filter(cold_pred)
+        small_hot, small_cold = small.filter(hot_pred), small.filter(cold_pred)
+    else:
+        big_hot = big.join(F.broadcast(hot), list(on), "left_semi")
+        big_cold = big.join(F.broadcast(hot), list(on), "left_anti")
+        small_hot = small.join(F.broadcast(hot), list(on), "left_semi")
+        small_cold = small.join(F.broadcast(hot), list(on), "left_anti")
     salted = salted_join(big_hot, small_hot, on, salt_cols, buckets, how)
     plain = big_cold.join(small_cold, list(on), how)
     return salted.unionByName(plain)

@@ -181,6 +181,13 @@ _CHANGED_THIS_ROUND = [
     # a fresh verdict on it even though collision-free inputs (all of
     # sf0.01) are output-identical.
     "q178_decontaminate_spans",
+    # r11: hot_key_salted_join's hot/cold splits became literal isin
+    # predicates for single-column keys (bench-regression fix — the
+    # broadcast semi/anti form stamped four broadcast subtrees into
+    # every fresh plan) — q173 routes through the changed split path;
+    # output-identical by the null-folded predicate proof, fresh
+    # verdict anyway (the r10 split-API precedent).
+    "q173_hot_key_two_path_join",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
     # cannot alter output): _cell_assign's n_top clamp (ADVICE r10 —
     # only reachable when n_probe > n_cells, which q68's parameters

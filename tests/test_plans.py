@@ -399,14 +399,16 @@ def test_q168_salted_exchanges_carry_salt(spark):
 
 
 def test_q173_two_path_join_all_broadcast_no_sort_merge(spark):
-    """The two-path hot-key join's plan contract (docs/SCALE.md joins):
-    every join — the four hot/cold semi-anti splits and both path
-    joins — is broadcast-hash; no sort-merge join, no cartesian
-    product, and the detection result is driver-local (no recomputed
-    aggregation feeding the splits: the only shuffles are the dim
-    build and the final group-by, never a detect-side exchange per
-    branch)."""
+    """The two-path hot-key join's plan contract (docs/SCALE.md joins;
+    reworked r11): the hot/cold splits are literal isin/isnull FILTERS
+    (the hot set is driver-local under the max_hot_keys guard), so the
+    plan holds exactly TWO joins — one per path — both broadcast-hash;
+    no sort-merge join, no cartesian product, and no split-side join
+    or broadcast nodes at all (the pre-r11 broadcast semi/anti form
+    stamped four extra broadcast subtrees rebuilt per fresh plan —
+    the bench regression BASELINE.md's round-11 note documents)."""
     plan = _plan(spark, "q173_hot_key_two_path_join")
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 6, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastExchange") == 2, plan

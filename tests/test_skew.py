@@ -235,3 +235,79 @@ def test_hot_key_two_path_split_economics(spark, skewed):
         "k", "__salt",
     )
     assert salted_sizes[-1] <= (n_hot // buckets) * 4
+
+
+def test_hot_key_two_path_join_null_keys_take_cold_path(spark, skewed):
+    """r11 isin-split regression guard: the single-key fast path folds
+    isNull into the cold predicate, so NULL-keyed big rows must follow
+    anti-join semantics — preserved (null-extended under LEFT) through
+    the cold path, never dropped and never matched to a hot key."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    big = skewed.unionByName(
+        spark.createDataFrame(
+            [(990_001, None, 0.0), (990_002, None, 0.0)],
+            "id long, k string, v double",
+        )
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"cold_{i}", 100 + i) for i in range(5)],
+        "k string, dim_val int",
+    )
+    for how in ["inner", "left"]:
+        plain = sorted(
+            map(tuple, big.join(dim, "k", how).select("id", "dim_val").collect())
+        )
+        two_path = sorted(
+            map(
+                tuple,
+                hot_key_salted_join(
+                    big, dim, on=["k"], salt_cols=["id"], buckets=8,
+                    how=how, hot_row_threshold=1_000,
+                )
+                .select("id", "dim_val")
+                .collect(),
+            )
+        )
+        assert two_path == plain, how
+    left = hot_key_salted_join(
+        big, dim, on=["k"], salt_cols=["id"], buckets=8,
+        how="left", hot_row_threshold=1_000,
+    )
+    assert left.filter("k IS NULL").count() == 2  # preserved, null-extended
+
+
+def test_hot_key_two_path_multi_column_keys_still_supported(spark):
+    """The isin fast path is single-key only; multi-column keys keep
+    the broadcast semi/anti splits and must stay result-identical to
+    the plain join."""
+    from pyspark.sql import functions as F
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import (
+        hot_key_salted_join,
+    )
+
+    big = spark.range(0, 20_000).select(
+        F.lit("a").alias("k1"),
+        (F.col("id") % 2).alias("k2"),
+        F.col("id"),
+    )
+    dim = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 11), ("b", 0, 12)], "k1 string, k2 long, dim_val int"
+    )
+    plain = sorted(
+        map(tuple, big.join(dim, ["k1", "k2"], "left").select("id", "dim_val").collect())
+    )
+    two_path = sorted(
+        map(
+            tuple,
+            hot_key_salted_join(
+                big, dim, on=["k1", "k2"], salt_cols=["id"], buckets=4,
+                how="left", hot_row_threshold=5_000,
+            )
+            .select("id", "dim_val")
+            .collect(),
+        )
+    )
+    assert two_path == plain
