@@ -126,3 +126,89 @@ def url_keeper_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ------------------------------------------------------- domain layer
+
+# Well-known two-level public suffixes for the registered-domain
+# heuristic. Deliberately a SHORT list (the full Mozilla public-suffix
+# list is ~9k rules and changes monthly — ship it as a broadcast table
+# if exactness matters); keep in sync with the q181 oracle.
+TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "co.jp", "com.br", "co.in")
+
+
+def url_host(url):
+    """Lowercased host of ``url``, port stripped — the domain layer's
+    input column. Same pure-expression discipline as canonicalize_url
+    (extraction is a scan-time projection). Userinfo (user@host) is
+    not handled — crawl URLs do not carry it."""
+    auth = F.lower(F.regexp_extract(F.trim(url), _AUTH_RE, 1))
+    return F.regexp_replace(auth, ":[0-9]+$", "")
+
+
+def registered_domain(url, two_level_suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES):
+    """Registered (pay-level) domain of ``url``'s host: the last two
+    host labels, or the last THREE when the last two form a known
+    two-level public suffix (``a.b.co.uk`` → ``b.co.uk``) — the key
+    crawl pipelines group, cap, and blocklist by. A documented
+    HEURISTIC approximation of the public-suffix list (see
+    TWO_LEVEL_SUFFIXES); exact PSL matching is a broadcast-join swap
+    that keeps every downstream operator unchanged. Hosts with fewer
+    labels than the rule asks for pass through whole — the explicit
+    size guards matter because Spark's negative-start slice returns
+    EMPTY past the array start where DuckDB's returns the whole list
+    (single-label hosts like ``localhost`` are pinned by pytest)."""
+    parts = F.split(url_host(url), r"\.")
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    return (
+        F.when(F.size(parts) < 2, F.array_join(parts, "."))
+        .when((F.size(parts) >= 3) & last2.isin(list(two_level_suffixes)), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: DataFrame,
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Drop rows whose REGISTERED domain appears in ``blocked_domains``
+    (one ``domain`` string column — spam/SEO/adult blocklists are a
+    standard crawl-pipeline input). The domain is computed as a
+    projection and the check is a broadcast LEFT ANTI join — blocklists
+    are small by nature (thousands to low millions of domains), so the
+    corpus never shuffles. Subdomains are blocked with their parent by
+    construction (cdn.evil.com → evil.com). Returns the surviving rows
+    plus ``domain_out``."""
+    with_dom = df.withColumn(domain_out, registered_domain(F.col(url_col)))
+    return with_dom.join(
+        F.broadcast(blocked_domains.select(F.col("domain").alias(domain_out))),
+        domain_out,
+        "left_anti",
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    quality_col: str,
+    cap: int,
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Keep at most ``cap`` docs per REGISTERED domain, best quality
+    first (tie → min id) — q89's per-source cap applied to the domain
+    the pipeline derives rather than a source column it was handed.
+    One (quality desc, id) row_number window hash-partitioned on the
+    domain; a crawler-trap domain with millions of pages concentrates
+    one key exactly like q89's hot source, and the same AQE/two-phase
+    notes apply. Returns surviving rows plus ``domain_out``."""
+    with_dom = df.withColumn(domain_out, registered_domain(F.col(url_col)))
+    w = Window.partitionBy(domain_out).orderBy(F.col(quality_col).desc(), F.col(id_col))
+    return (
+        with_dom.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -847,3 +847,111 @@ def q179_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q181_domain_blocklist_cap",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS k, doc_id % 3 AS s, (doc_id * 37) % 101 AS qual
+  FROM documents WHERE doc_id < 150),
+raw AS (
+  SELECT doc_id, qual,
+    'https://'
+    || (CASE s WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.static.' END)
+    || 'd' || k
+    || (CASE WHEN k % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+    || '/p/' || doc_id AS url
+  FROM d),
+hosts AS (
+  SELECT doc_id, qual,
+    regexp_replace(
+      lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+      ':[0-9]+$', '') AS host
+  FROM raw),
+doms AS (
+  SELECT doc_id, qual,
+    CASE
+      WHEN len(string_split(host, '.')) < 2 THEN host
+      WHEN len(string_split(host, '.')) >= 3
+           AND array_to_string(string_split(host, '.')[-2:], '.')
+               IN ('co.uk','com.au','co.jp','com.br','co.in')
+        THEN array_to_string(string_split(host, '.')[-3:], '.')
+      ELSE array_to_string(string_split(host, '.')[-2:], '.')
+    END AS domain
+  FROM hosts),
+flagged AS (
+  SELECT doc_id, qual, domain,
+         domain IN ('d0.co.uk', 'd1.com') AS blocked
+  FROM doms),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY qual DESC, doc_id) AS rn
+  FROM flagged WHERE NOT blocked)
+SELECT f.doc_id, f.domain, f.qual, f.blocked,
+       coalesce(r.rn <= 8, FALSE) AS kept
+FROM flagged f LEFT JOIN ranked r USING (doc_id)
+ORDER BY f.doc_id
+""",
+)
+def q181_domain_blocklist_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-level filtering (added r11 — the layer above q179's URL
+    layer, completing the crawl-side ladder: canonical URL → registered
+    domain → blocklist → per-domain cap; the corpus-prep steps
+    CommonCrawl-shape pipelines run before any content tier). URLs are
+    planted deterministically (the q179 pattern): 6 registered domains
+    d0–d5, every third on the two-level ``.co.uk`` suffix, each
+    crawled bare / ``www.`` / ``cdn.static.`` — so the registered-
+    domain heuristic must fold three host spellings per domain and
+    take THREE labels exactly on the co.uk rows. ``d0.co.uk`` and
+    ``d1.com`` are blocklisted (subdomains die with the parent by
+    construction); survivors keep at most 8 docs per domain, best
+    quality first (q89's cap with the derived key; the surrogate
+    (doc_id*37)%101 is id-decorrelated, q176's argument).
+
+    operators/urls.py registered_domain is a pure-expression
+    projection (the explicit size guards pin the Spark/DuckDB
+    negative-slice divergence on short hosts); the blocklist is a
+    broadcast anti-join (blocklists are small by nature — the corpus
+    never shuffles for it) and the cap is ONE window shuffle on the
+    domain. Output: all 150 docs with (domain, qual, blocked, kept) —
+    the hashed domain column proves the heuristic, the kept column the
+    blocklist ∘ cap composition.
+    """
+    from ..operators import urls as U
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    k = F.col("doc_id") % 6
+    s = F.col("doc_id") % 3
+    qual = (F.col("doc_id") * 37) % 101
+    sub = (
+        F.when(s == 0, F.lit(""))
+        .when(s == 1, F.lit("www."))
+        .otherwise(F.lit("cdn.static."))
+    )
+    tld = F.when(k % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    url = F.concat(
+        F.lit("https://"), sub, F.lit("d"), k.cast("string"), tld,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    rows = d.select("doc_id", url.alias("url"), qual.alias("qual"))
+    blocklist = spark.createDataFrame(
+        [("d0.co.uk",), ("d1.com",)], "domain string"
+    )
+    surviving = U.domain_blocklist_filter(rows, "url", blocklist)
+    capped = U.domain_cap(surviving, "url", "doc_id", "qual", cap=8)
+    kept_ids = capped.select("doc_id", F.lit(True).alias("kept"))
+    blocked_doms = {r["domain"] for r in blocklist.collect()}
+    return (
+        rows.withColumn("domain", U.registered_domain(F.col("url")))
+        .join(kept_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "domain",
+            "qual",
+            F.col("domain").isin(list(blocked_doms)).alias("blocked"),
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -109,3 +109,52 @@ def test_keeper_dedup_single_shuffle(spark):
     )
     plan = U.url_keeper_dedup(df, "url", "doc_id", "qual")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_registered_domain_heuristic(spark):
+    cases = [
+        ("http://www.example.com/x", "example.com"),
+        ("http://example.com/x", "example.com"),
+        ("http://a.b.c.example.com/x", "example.com"),
+        ("http://a.b.co.uk/x", "b.co.uk"),  # two-level suffix -> 3 labels
+        ("http://cdn.static.d2.com.au/p", "d2.com.au"),
+        ("http://co.uk/x", "co.uk"),  # bare suffix: only 2 labels exist
+        ("http://localhost/x", "localhost"),  # single label passes whole
+        ("HTTPS://WWW.Example.COM:8443/x", "example.com"),  # folded, port off
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = [
+        r["d"]
+        for r in df.select("i", U.registered_domain(F.col("url")).alias("d"))
+        .orderBy("i")
+        .collect()
+    ]
+    for (inp, want), g in zip(cases, got):
+        assert g == want, f"registered_domain({inp!r}) = {g!r}, want {want!r}"
+
+
+def test_domain_blocklist_filter_blocks_subdomains(spark):
+    rows = [
+        (1, "http://evil.com/a"),
+        (2, "http://cdn.evil.com/b"),  # subdomain dies with parent
+        (3, "http://good.com/c"),
+        (4, "http://evil.co.uk/d"),  # different registered domain — survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("evil.com",)], "domain string")
+    kept = {r["doc_id"] for r in U.domain_blocklist_filter(df, "url", bl).collect()}
+    assert kept == {3, 4}
+
+
+def test_domain_cap_keeps_best_quality(spark):
+    rows = [
+        (1, "http://a.com/1", 10),
+        (2, "http://www.a.com/2", 30),  # same domain via subdomain
+        (3, "http://a.com/3", 20),
+        (4, "http://b.com/4", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, qual long")
+    kept = {r["doc_id"] for r in U.domain_cap(df, "url", "doc_id", "qual", cap=2).collect()}
+    assert kept == {2, 3, 4}  # a.com keeps the two best; b.com under cap
