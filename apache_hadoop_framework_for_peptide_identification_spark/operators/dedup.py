@@ -1210,17 +1210,19 @@ def exact_substring_dedup(
     fewer than ``min_run`` of them) and SURVIVES — e.g. the same
     16-token passage starting at token 0 in one doc and token 3 in
     another shares zero aligned chunks (tests/test_dedup.py pins this).
-    The exact refinements, in increasing cost: (a) the offset sweep —
-    run detection ``chunk_tokens`` times with the chunk grid shifted by
-    0..chunk_tokens-1 and union the removal sets, a chunk_tokens×
-    detection cost with the removal join still paid once; (b) q178's
-    sliding-n-gram shape (every token starts a gram, as
-    remove_reference_spans does against a reference set), which is
-    alignment-free by construction but posts ~chunk_tokens× more keys.
-    The aligned form is the standard production trade (Lee et al.'s
-    suffix-array exactness costs a global sort of every token) — use it
-    when near-complete span recall at minimum cost is the goal, and the
-    sweep when boundary-straddling repeats matter.
+    The exact refinement is IMPLEMENTED as
+    :func:`sliding_substring_dedup` (r11, q182): every token starts a
+    window — alignment-free by construction — at ~chunk_tokens× this
+    form's posting volume through the same pruned shuffle shape. (A
+    cheaper middle option, not shipped because the sliding form
+    subsumes it: the offset sweep — run this detection chunk_tokens
+    times with the grid shifted 0..chunk_tokens-1 and union the
+    removal sets — still misses straddles whose two occurrences sit at
+    DIFFERENT position residues mod chunk_tokens, since the grid shift
+    is global per pass.) The aligned form is the standard production
+    trade (Lee et al.'s suffix-array exactness costs a global sort of
+    every token): use it for near-complete span recall at minimum
+    cost, the sliding form when boundary-straddling repeats matter.
 
     100 TB shuffle discipline: duplicate detection shuffles ONLY
     (16-byte md5 key, id, pos) postings — one map-side-combinable
@@ -1292,4 +1294,92 @@ def exact_substring_dedup(
         F.col("id").alias(id_col),
         clean.alias("clean_text"),
         F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
+def sliding_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 8,
+    min_span_tokens: int = 16,
+) -> DataFrame:
+    """ALIGNMENT-FREE exact substring dedup (r11 — the refinement
+    :func:`exact_substring_dedup`'s KNOWN-MISS-MODE note costs as
+    option (b), implemented): every token starts a ``window_tokens``-
+    token sliding window (the q178 gram shape), so a passage repeated
+    at ANY offset pair — including the chunk-boundary straddle the
+    aligned form provably misses — produces matching window keys.
+    Duplicate-window occurrences (same content seen earlier in
+    (id, pos) corpus order — the first occurrence keeps its copy,
+    exactly exact_substring_dedup's keeper rule) form per-document
+    runs of consecutive positions; a run of w windows covers
+    w + window_tokens − 1 tokens, and runs covering ≥
+    ``min_span_tokens`` qualify for removal (the Lee et al. 2022
+    "repeated substring of ≥ L tokens" threshold stated directly in
+    tokens instead of quantized to chunks). Covered tokens are excised
+    and the doc reassembled; an isolated repeated window below the
+    span threshold — a common sentence — survives.
+
+    Cost vs the aligned form, stated honestly: ~window_tokens× the
+    posting volume (every token posts a (16-byte md5, id, pos) row
+    instead of every chunk_tokens-th token) through the SAME pruned
+    shuffle shape — one map-side-combinable min-struct + count
+    aggregate per window key, keys seen ≥2× only into the posting
+    join, doc text moved exactly once through the output-proportional
+    removal join, token surgery map-side (the q178 coverage
+    predicate). Run the aligned form for cheap near-complete recall;
+    this one when boundary-straddling repeats matter. Exactness vs a
+    brute-force reference incl. the straddle the aligned form misses
+    is pytest-pinned (tests/test_dedup.py); q182 holds the DuckDB
+    oracle.
+
+    Returns (id, clean_text, n_removed) — n_removed counts removed
+    TOKENS (0 for untouched docs).
+    """
+    C = int(window_tokens)
+    w_min = max(1, int(min_span_tokens) - C + 1)
+    d = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= C, F.sequence(F.lit(0), n - C)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, C)))
+    posted = d.select("id", F.posexplode(grams).alias("pos", "g")).select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.unhex(F.md5("g")).alias("gh"),
+    )
+    firsts = (
+        posted.groupBy("gh")
+        .agg(F.min(F.struct("id", "pos")).alias("f"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("gh", "f")
+    )
+    dups = (
+        posted.join(firsts, "gh")
+        .filter((F.col("id") != F.col("f.id")) | (F.col("pos") != F.col("f.pos")))
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
+    qualified = (
+        isl.withColumn(
+            "run_len", F.count(F.lit(1)).over(Window.partitionBy("id", "island"))
+        )
+        .filter(F.col("run_len") >= w_min)
+        .select("id", "pos")
+    )
+    rm = qualified.groupBy("id").agg(F.collect_list("pos").alias("__starts"))
+    joined = d.join(rm, "id", "left")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<long>"))
+    kept = F.filter(
+        F.transform(toks, lambda tok, j: F.struct(tok.alias("t"), j.alias("j"))),
+        lambda s: ~F.exists(st, lambda x: (x <= s["j"]) & (s["j"] <= x + C - 1)),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -1767,3 +1767,111 @@ def q177_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.exact_substring_dedup(d, "doc_id", "text", chunk_tokens=8, min_run=2)
         .orderBy("doc_id")
     )
+
+
+_Q182_P24 = " ".join(f"uu{i:02d}" for i in range(1, 25))  # 24-token passage
+_Q182_S12 = " ".join(f"vv{i:02d}" for i in range(1, 13))  # 12 tokens: below span
+_Q182_Q24 = " ".join(f"xx{i:02d}" for i in range(1, 25))  # doc 3's self-repeat
+
+
+@query(
+    "q182_sliding_substring_dedup",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id = 0 THEN '{_Q182_P24} ' || text
+         WHEN doc_id = 3 THEN 'pre1 pre2 pre3 {_Q182_Q24} {_Q182_Q24} ' || text
+         WHEN doc_id % 10 = 0 AND doc_id < 100 THEN 'off1 off2 off3 {_Q182_P24} ' || text
+         WHEN doc_id % 10 = 5 AND doc_id < 100 THEN '{_Q182_S12} ' || text
+         ELSE text END AS text
+  FROM documents),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(t[i:i+7], ' ') AS gram
+  FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+f AS (
+  SELECT gram, min(doc_id * 1000000 + pos) AS fkey
+  FROM g GROUP BY gram HAVING count(*) > 1),
+dup AS (
+  SELECT g.doc_id, g.pos
+  FROM g JOIN f ON f.gram = g.gram
+  WHERE g.doc_id * 1000000 + g.pos <> f.fkey),
+isl AS (
+  SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dup),
+runs AS (SELECT doc_id, island, count(*) AS rl FROM isl GROUP BY 1, 2),
+starts AS (
+  SELECT i.doc_id, list(i.pos) AS st
+  FROM isl i JOIN runs r ON r.doc_id = i.doc_id AND r.island = i.island
+  WHERE r.rl >= 9
+  GROUP BY i.doc_id),
+outv AS (
+  SELECT tok.doc_id, tok.t, coalesce(s.st, CAST([] AS BIGINT[])) AS st
+  FROM tok LEFT JOIN starts s ON s.doc_id = tok.doc_id)
+SELECT doc_id,
+  coalesce(array_to_string(
+    list_transform(
+      list_filter(range(1, len(t) + 1),
+        j -> len(list_filter(st, x -> x <= j - 1 AND j - 1 <= x + 7)) = 0),
+      j -> t[j]), ' '), '') AS clean_text,
+  CAST(len(t) - len(list_filter(range(1, len(t) + 1),
+        j -> len(list_filter(st, x -> x <= j - 1 AND j - 1 <= x + 7)) = 0)) AS BIGINT) AS n_removed
+FROM outv ORDER BY doc_id
+""",
+)
+def q182_sliding_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALIGNMENT-FREE sliding exact-substring dedup (added r11 — the
+    refinement q177's KNOWN-MISS-MODE note promised, implemented and
+    oracle-verified). Every token starts an 8-token sliding window, so
+    the planted tier the aligned form PROVABLY misses — the 24-token
+    passage at host offset 3, a chunk-boundary straddle
+    (tests/test_dedup.py pins the aligned miss) — is excised here: doc
+    0 carries the passage at offset 0 (corpus-order first, keeps it),
+    docs 10..90 carry it behind a 3-token prefix and must lose exactly
+    its 24 tokens. Two more tiers under the same hash: a 12-token
+    repeat (5 consecutive duplicate windows < the 9-window span
+    threshold = min_span_tokens 16 — every copy survives, the
+    incidental-collision rule restated in tokens), and doc 3's
+    back-to-back self-repeat (periodicity analysis: exactly the second
+    copy's windows are duplicates of the first's — first copy kept).
+
+    operators/dedup.py sliding_substring_dedup: ~window_tokens× the
+    aligned form's posting volume through the SAME pruned shuffle shape
+    (map-side-combinable min-struct + count per 16-byte window key,
+    keys seen ≥2× only into the join), islands/runs as in q177, text
+    moved once via the output-proportional removal join, q178's
+    coverage-predicate token surgery. The oracle replays windows,
+    corpus-order firsts, 9-window runs and the per-token coverage
+    filter mechanically; brute-force property test + straddle-catch
+    pytest beside it."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == 0, F.concat(F.lit(_Q182_P24 + " "), F.col("text"))
+        )
+        .when(
+            F.col("doc_id") == 3,
+            F.concat(
+                F.lit("pre1 pre2 pre3 " + _Q182_Q24 + " " + _Q182_Q24 + " "),
+                F.col("text"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100),
+            F.concat(F.lit("off1 off2 off3 " + _Q182_P24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 5) & (F.col("doc_id") < 100),
+            F.concat(F.lit(_Q182_S12 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        dedup.sliding_substring_dedup(
+            d, "doc_id", "text", window_tokens=8, min_span_tokens=16
+        )
+        .orderBy("doc_id")
+    )

@@ -640,3 +640,28 @@ def test_bloom_antijoin_reuses_one_persisted_bitmap(spark, tmp_path):
 
     with pytest.raises(AssertionError, match="must match the build"):
         dedup.bloom_antijoin(b1, bloom[:-1], history, "k", m_bits=m, k=k)
+
+
+def test_sliding_substring_dedup_catches_the_boundary_straddle(spark):
+    """r11: the alignment-free sliding form MUST catch exactly the
+    passage the aligned form's documented miss-mode pin
+    (test_exact_substring_dedup_boundary_straddle_is_a_documented_miss)
+    proves survives — the same corpus, now with the straddled copy
+    excised and the aligned copy too; the first occurrence keeps."""
+    P = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (0, P + " a b c"),
+        (1, "u v w " + P),                    # offset 3: the straddle
+        (2, " ".join(f"z{i}" for i in range(8)) + " " + P),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.sliding_substring_dedup(
+            df, "doc_id", "text", window_tokens=8, min_span_tokens=16
+        ).collect()
+    }
+    z = " ".join(f"z{i}" for i in range(8))
+    assert got[0] == (P + " a b c", 0)        # first occurrence keeps
+    assert got[1] == ("u v w", 16)            # straddle CAUGHT
+    assert got[2] == (z, 16)

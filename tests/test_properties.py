@@ -717,3 +717,62 @@ def test_remove_reference_spans_matches_brute_force(sess, corpus, ref):
             ref_grams.add(tuple(rt[i : i + n]))
     want = _py_remove_reference_spans(ctoks, ref_grams, n=n, pad=pad)
     assert got == want, (got, want)
+
+
+def _py_sliding_substring_dedup(docs, C=4, min_span=8):
+    """Brute-force reference for sliding_substring_dedup: sliding
+    C-token windows, corpus-order first occurrence keeps, consecutive
+    duplicate positions form runs, runs of >= min_span - C + 1 windows
+    remove their covered tokens."""
+    occ = {}
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - C + 1):
+            occ.setdefault(" ".join(toks[p : p + C]), []).append((d, p))
+    dup = {d: set() for d in range(len(docs))}
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        first = min(lst)
+        for o in lst:
+            if o != first:
+                dup[o[0]].add(o[1])
+    w_min = max(1, min_span - C + 1)
+    out = {}
+    for d, toks in enumerate(docs):
+        ps = sorted(dup[d])
+        runs, cur = [], []
+        for p in ps:
+            if cur and p == cur[-1] + 1:
+                cur.append(p)
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = [p]
+        if cur:
+            runs.append(cur)
+        rm = set()
+        for r in runs:
+            if len(r) >= w_min:
+                for p in r:
+                    rm.update(range(p, p + C))
+        kept = [t for j, t in enumerate(toks) if j not in rm]
+        out[d] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+@given(docs=_span_docs)
+@SETTINGS
+def test_sliding_substring_dedup_matches_brute_force(sess, docs):
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+    rows = [(d, " ".join(toks)) for d, toks in enumerate(docs)]
+    df = sess.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.sliding_substring_dedup(
+            df, "doc_id", "text", window_tokens=4, min_span_tokens=8
+        ).collect()
+    }
+    ref_docs = [toks if toks else [""] for toks in docs]
+    want = _py_sliding_substring_dedup(ref_docs, C=4, min_span=8)
+    assert got == want, (got, want)
