@@ -1303,6 +1303,7 @@ def sliding_substring_dedup(
     text_col: str,
     window_tokens: int = 8,
     min_span_tokens: int = 16,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """ALIGNMENT-FREE exact substring dedup (r11 — the refinement
     :func:`exact_substring_dedup`'s KNOWN-MISS-MODE note costs as
@@ -1351,6 +1352,14 @@ def sliding_substring_dedup(
         F.col("pos").cast("long").alias("pos"),
         F.unhex(F.md5("g")).alias("gh"),
     )
+    # The posting frame is consumed TWICE (the firsts aggregate and
+    # the duplicate-probe join). At window-per-token volume the
+    # re-evaluated explode+md5 subtree costs more than the detection
+    # itself — measured 1.8× the stock window form at sf0.1 without
+    # materialization, 0.9× with — so the _materialize_index knob
+    # (trade-offs documented there, ADVICE r8) applies here exactly as
+    # in prefix_jaccard_pairs.
+    posted = _materialize_index(posted, materialize)
     firsts = (
         posted.groupBy("gh")
         .agg(F.min(F.struct("id", "pos")).alias("f"), F.count(F.lit(1)).alias("__n"))

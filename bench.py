@@ -52,6 +52,7 @@ HEADLINE = [
     "q147_containment_pairs",
     "q164_shared_span_pairs",
     "q177_exact_substring_dedup",
+    "q182_sliding_substring_dedup",
     "q165_containment_prefix_corpus",
     "q166_fuzzy_title_corpus",
     "q168_skew_adversarial_join",

@@ -1028,6 +1028,95 @@ def q177_exact_substring_dedup(t):
 
 
 
+def q182_sliding_substring_dedup(t):
+    """Stock sliding-window substring dedup: the straightforward port —
+    raw WINDOW STRINGS through a row_number window for first occurrence
+    (full sort-based shuffle keyed on unbounded text, where the engine
+    aggregates 16-byte md5 keys with a map-side-combinable min-struct
+    pruned to keys seen >=2x), qualifying windows exploded into their 8
+    covered token positions, token rows anti-joined against that set
+    (every token of the corpus crosses the shuffle TWICE: once as a
+    window member, once as a token row), and the doc reassembled with
+    collect_list — where the engine joins one output-proportional
+    starts-array per doc and does the surgery map-side. Same planted
+    passages, same output."""
+    from pyspark.sql import Window as W
+
+    p24 = " ".join(f"uu{i:02d}" for i in range(1, 25))
+    s12 = " ".join(f"vv{i:02d}" for i in range(1, 13))
+    q24 = " ".join(f"xx{i:02d}" for i in range(1, 25))
+    d = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.concat(F.lit(p24 + " "), F.col("text")))
+        .when(
+            F.col("doc_id") == 3,
+            F.concat(F.lit("pre1 pre2 pre3 " + q24 + " " + q24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100),
+            F.concat(F.lit("off1 off2 off3 " + p24 + " "), F.col("text")),
+        )
+        .when(
+            (F.col("doc_id") % 10 == 5) & (F.col("doc_id") < 100),
+            F.concat(F.lit(s12 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= 8, F.sequence(F.lit(0), n - 8)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)))
+    g = d.select("doc_id", F.posexplode(grams).alias("pos", "gram")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "gram"
+    )
+    rn = g.withColumn(
+        "rn", F.row_number().over(W.partitionBy("gram").orderBy("doc_id", "pos"))
+    )
+    dup = rn.filter(F.col("rn") > 1).select("doc_id", "pos")
+    isl = dup.withColumn(
+        "island",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    qual = (
+        isl.withColumn(
+            "run_len", F.count(F.lit(1)).over(W.partitionBy("doc_id", "island"))
+        )
+        .filter(F.col("run_len") >= 9)
+        .select("doc_id", "pos")
+    )
+    covered = (
+        qual.select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("j"))
+        .distinct()
+    )
+    tokrows = d.select("doc_id", F.posexplode(toks).alias("j", "tok")).select(
+        "doc_id", F.col("j").cast("long").alias("j"), "tok"
+    )
+    kept = tokrows.join(covered, ["doc_id", "j"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    nrem = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        d.select("doc_id")
+        .join(kept_agg, "doc_id", "left")
+        .join(nrem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q01_scan_filter_agg": b1_scan_filter_agg,
     "q02_join_revenue_topk": b2_join_revenue_topk,
@@ -1057,6 +1146,7 @@ QUERIES = {
     "q147_containment_pairs": q147_containment_pairs,
     "q164_shared_span_pairs": q164_shared_span_pairs,
     "q177_exact_substring_dedup": q177_exact_substring_dedup,
+    "q182_sliding_substring_dedup": q182_sliding_substring_dedup,
     "q165_containment_prefix_corpus": q165_containment_prefix_corpus,
     "q166_fuzzy_title_corpus": q166_fuzzy_title_corpus,
     "q168_skew_adversarial_join": q168_skew_adversarial_join,
