@@ -62,6 +62,15 @@ REPRESENTATIVE = [
     # collected per doc across partitions before the map-side surgery
     "q177_exact_substring_dedup",
     "q178_decontaminate_spans",
+    # round-11 families: the URL keeper window's (quality desc, id)
+    # argmax must not move with layout (q179; q181's domain cap is the
+    # same window on a derived key plus a broadcast anti-join), and the
+    # sliding span form's corpus-order firsts + 9-window runs compose
+    # three layout-sensitive-looking stages (sort-agg, island window,
+    # removal join) that must all be invariant (q182)
+    "q179_url_canonical_dedup",
+    "q181_domain_blocklist_cap",
+    "q182_sliding_substring_dedup",
 ]
 
 
