@@ -188,6 +188,16 @@ _CHANGED_THIS_ROUND = [
     # output-identical by the null-folded predicate proof, fresh
     # verdict anyway (the r10 split-API precedent).
     "q173_hot_key_two_path_join",
+    # r11: exact_substring_dedup's first-occurrence keeper aggregate
+    # moved from min(struct(id, pos)) to min over the packed
+    # DECIMAL(38,0) key id·2⁶³+pos (_packed_corpus_order) so both
+    # aggregate sides stay HashAggregate instead of the struct form's
+    # SortAggregate fallback — order-isomorphic and injective, so
+    # output-identical by construction, but the detection path
+    # changed; fresh verdict (the r10 split-API precedent).
+    # sliding_substring_dedup (q182) took the same change; q182 is
+    # never-verified and leads the window regardless, so no pin needed.
+    "q177_exact_substring_dedup",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
     # cannot alter output): _cell_assign's n_top clamp (ADVICE r10 —
     # only reachable when n_probe > n_cells, which q68's parameters

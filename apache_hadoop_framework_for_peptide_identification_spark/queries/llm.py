@@ -1839,7 +1839,7 @@ def q182_sliding_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     operators/dedup.py sliding_substring_dedup: ~window_tokens× the
     aligned form's posting volume through the SAME pruned shuffle shape
-    (map-side-combinable min-struct + count per 16-byte window key,
+    (map-side-combinable packed-key min + count per 16-byte window key,
     keys seen ≥2× only into the join), islands/runs as in q177, text
     moved once via the output-proportional removal join, q178's
     coverage-predicate token surgery. The oracle replays windows,

@@ -946,7 +946,7 @@ def q177_exact_substring_dedup(t):
     a straightforward port of the keeper rule produces — row_number()
     over RAW CHUNK STRINGS for first occurrence (a full sort-based
     window keyed on unbounded text, where the engine runs one map-side
-    -combinable min-struct aggregate over 16-byte keys pruned to keys
+    -combinable packed-key min aggregate over 16-byte keys pruned to keys
     seen >=2x), then groupBy(doc).collect_list of every surviving chunk
     string to reassemble (the whole corpus text crosses the shuffle,
     where the engine moves text once through an output-proportional
@@ -1032,7 +1032,7 @@ def q182_sliding_substring_dedup(t):
     """Stock sliding-window substring dedup: the straightforward port —
     raw WINDOW STRINGS through a row_number window for first occurrence
     (full sort-based shuffle keyed on unbounded text, where the engine
-    aggregates 16-byte md5 keys with a map-side-combinable min-struct
+    aggregates 16-byte md5 keys with a map-side-combinable packed-key min
     pruned to keys seen >=2x), qualifying windows exploded into their 8
     covered token positions, token rows anti-joined against that set
     (every token of the corpus crosses the shuffle TWICE: once as a

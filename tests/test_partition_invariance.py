@@ -57,7 +57,7 @@ REPRESENTATIVE = [
     "q123_hll_sketch_union",
     "q129_python_datasource",
     # round-10 span family: the first-occurrence keeper rule (q177)
-    # orders by (doc_id, pos) — a min-struct aggregate whose result
+    # orders by (doc_id, pos) — a packed-key min aggregate whose result
     # must not move with layout — and q178's covered-position sets are
     # collected per doc across partitions before the map-side surgery
     "q177_exact_substring_dedup",
