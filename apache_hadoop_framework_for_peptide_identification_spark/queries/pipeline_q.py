@@ -955,3 +955,97 @@ def q181_domain_blocklist_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q183: HTML -> text extraction (WET-style), r11 ------------------------
+from ..operators import html as _H
+
+# The planted-HTML fragments (shared verbatim by the Spark builder and
+# the generated DuckDB oracle below — the q179 twin-planting pattern).
+# They exercise every rule in operators/html.py's table: head/title/
+# style/script dropped with content, nav/footer containers dropped,
+# <br> -> newline, block closers -> newline, a comment containing
+# tag-lookalikes, an UPPERCASE tag with attributes, all six entities
+# (&amp; decoded last), and a triple-space collapse inside a list item.
+_H_A = '<!DOCTYPE html><html><head><title> Doc &amp; '
+_H_B = (
+    ' </title><style>p { margin: 0 }</style>'
+    '<script type="text/javascript">if (a < b) { track("x&y"); }</script></head>'
+    '<body><nav class="top"><a href="/home">Home</a> | <a href="/about">About</a></nav>'
+    '<h1>Doc<br>'
+)
+_H_C = "</h1><p>"
+_H_D = '</p><!-- drop <p>junk</p> --><P CLASS="x">'
+_H_E = " &amp; more &lt;tags&gt; &quot;quoted&quot;&nbsp;end</P>"
+_H_LI = '<ul><li><a href="/one">item one</a></li><li>item   two</li></ul>'
+_H_FOOT = '<footer>&copy; 2026 <a href="/terms">Terms</a></footer></body></html>'
+
+_H_HTML_SQL = (
+    "'" + _H_A + "' || doc_id || '" + _H_B + "' || doc_id || '" + _H_C
+    + "' || p1 || '" + _H_D + "' || p2 || '" + _H_E
+    + "' || CASE WHEN doc_id % 3 = 0 THEN '" + _H_LI + "' ELSE '' END || '"
+    + _H_FOOT + "'"
+)
+
+_Q183_ORACLE = (
+    "WITH p AS (SELECT doc_id,"
+    " array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS p1,"
+    " array_to_string(list_slice(string_split(text, ' '), 6,"
+    " len(string_split(text, ' '))), ' ') AS p2 FROM documents),\n"
+    "h AS (SELECT doc_id, " + _H_HTML_SQL + " AS html FROM p)\n"
+    "SELECT doc_id, " + _H.sql_title("html") + " AS title, "
+    + _H.sql_extract_text("html") + " AS clean_text, "
+    + _H.sql_link_count("html") + " AS n_links FROM h ORDER BY doc_id"
+)
+
+
+@query("q183_html_extract_text", oracle=_Q183_ORACLE)
+def q183_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction, WET-style (added r11 — the OTHER
+    pre-content-dedup production layer besides q179's URL
+    canonicalization: CommonCrawl-shape pipelines ingest raw HTML and
+    derive the text every downstream tier consumes). The documents
+    fixture has no HTML column, so the query PLANTS a full page per
+    doc deterministically (same fragments on both engines — the
+    q179/q84 pattern): head with entity-bearing title + style +
+    script (whose content contains a bare '<' and quoted '&'), nav
+    and footer boilerplate containers with anchors, an <h1> split by
+    <br>, two <p> blocks carrying the doc's real tokens, a comment
+    containing tag-lookalikes, an uppercase <P CLASS=..> tag, all six
+    core entities, and (docs ≡ 0 mod 3) a list with an extra anchor
+    and a triple-space run.
+
+    operators/html.py extract_html_text is a pure JVM regexp chain
+    driven by one (pattern, replacement) rule table; the DuckDB
+    oracle's extraction expression is GENERATED from that same table
+    (sql_extract_text), so a verdict here proves the rule chain is
+    engine-portable (RE2-compatible subset) and that title extraction
+    (entity decode + trim), container/comment/tag stripping, block ->
+    newline conversion, entity decode ordering (&amp; last), and
+    whitespace normalization all hold byte-for-byte — any rule
+    reorder, greedy quantifier, or dialect divergence hash-mismatches.
+    n_links (4 for the mod-3 docs, else 3) is the link-density
+    numerator computed on RAW html, proving signal extraction happens
+    pre-strip. At 100 TB this is a scan-time projection (no shuffle,
+    whole-stage codegen) — see the module docstring's scale notes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    p1 = F.array_join(F.slice(toks, 1, 5), " ")
+    p2 = F.array_join(F.slice(toks, 6, F.greatest(F.lit(0), F.size(toks) - 5)), " ")
+    ids = F.col("doc_id").cast("string")
+    li = F.when(F.col("doc_id") % 3 == 0, F.lit(_H_LI)).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(_H_A), ids, F.lit(_H_B), ids, F.lit(_H_C), p1,
+        F.lit(_H_D), p2, F.lit(_H_E), li, F.lit(_H_FOOT),
+    )
+    return (
+        d.select("doc_id", html.alias("html"))
+        .select(
+            "doc_id",
+            _H.html_title(F.col("html")).alias("title"),
+            _H.extract_html_text(F.col("html")).alias("clean_text"),
+            _H.html_link_count(F.col("html")).alias("n_links"),
+        )
+        .orderBy("doc_id")
+    )
