@@ -728,6 +728,7 @@ def ingest_neardup(
     bands: int = 16,
     shingle_n: int = 3,
     check_disjoint: bool = True,
+    batch_postings: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL MinHash-LSH near-dup ingest against a PERSISTED
     index (r10 split of the r9 monolithic form): signatures are
@@ -757,6 +758,14 @@ def ingest_neardup(
     early-out — disable it only when the caller guarantees disjointness
     by construction (e.g. monotone id assignment).
 
+    ``batch_postings``, when given, is the batch's OWN posting frame —
+    ``build_lsh_index(batch, ...)`` with the SAME parameter triple —
+    computed (or better, persisted) by the caller; the ingest then
+    skips its internal signature pass entirely. The streaming ingest
+    uses this to sign each micro-batch exactly once: it writes the
+    batch's postings to the store first and hands the stored frame
+    here, so the signature job never runs twice per batch.
+
     Returns (id_a, id_b, jaccard), id_a < id_b, each pair containing
     ≥1 batch doc.
     """
@@ -772,7 +781,11 @@ def ingest_neardup(
                 "values). Re-key the batch or pass check_disjoint=False only if "
                 "disjointness is guaranteed by construction."
             )
-    new_banded = build_lsh_index(b, "id", "text", num_hashes, bands, shingle_n)
+    new_banded = (
+        batch_postings.select("id", "band", "bucket")
+        if batch_postings is not None
+        else build_lsh_index(b, "id", "text", num_hashes, bands, shingle_n)
+    )
     all_banded = index.select("id", "band", "bucket").unionByName(new_banded)
     x, y = new_banded.alias("x"), all_banded.alias("y")
     cand = (
@@ -1195,6 +1208,52 @@ def quality_keeper_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def _duplicate_runs(posted: DataFrame, key_col: str, min_run: int) -> DataFrame:
+    """Shared detection scaffolding for the two substring-dedup forms
+    (:func:`exact_substring_dedup` aligned chunks /
+    :func:`sliding_substring_dedup` per-token windows): given a posting
+    frame (``key_col``: 16-byte content hash, id, pos), return the
+    (id, pos) occurrences that are DUPLICATES — same key seen earlier
+    in packed (id, pos) corpus order, so the first occurrence keeps —
+    and that sit in a per-document run of ≥ ``min_run`` consecutive
+    positions. The keeper/island/run rules live HERE once, so a change
+    lands in both forms by construction.
+
+    Shuffle shape (the 100 TB argument both callers cite): one
+    map-side-combinable packed-key min + count aggregate per key
+    (HashAggregate both sides — see :func:`_packed_corpus_order`),
+    keys seen ≥2× only into the posting join, then islands + run
+    lengths in colocated windows over (id, pos) integers. Run length
+    uses a count window, not groupBy+self-join: the (id, island)
+    window is satisfied by the island window's existing
+    hashpartitioning(id) (id ⊆ clustering keys → no new exchange, just
+    a sort), and it avoids re-evaluating the whole detection subtree
+    twice — the self-join form measured 1.15× the stock window at
+    sf0.1 for exactly that reason.
+    """
+    packed = _packed_corpus_order(F.col("id"), F.col("pos"))
+    firsts = (
+        posted.groupBy(key_col)
+        .agg(F.min(packed).alias("__fp"), F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select(key_col, "__fp")
+    )
+    dups = (
+        posted.join(firsts, key_col)
+        .filter(packed != F.col("__fp"))
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.withColumn(
+            "run_len", F.count(F.lit(1)).over(Window.partitionBy("id", "island"))
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("id", "pos")
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -1276,38 +1335,9 @@ def exact_substring_dedup(
         F.col("pos").cast("long").alias("pos"),
         F.unhex(F.md5("chunk")).alias("chunk_h"),
     )
-    # Keeper aggregate on the PACKED (id, pos) key so both the
-    # map-side partial and the final reduce are HashAggregate — see
-    # _packed_corpus_order for why min(struct) silently degrades to
-    # SortAggregate. Duplicate exclusion compares packed values
-    # directly (injective), so nothing is ever decoded.
-    packed = _packed_corpus_order(F.col("id"), F.col("pos"))
-    firsts = (
-        posted.groupBy("chunk_h")
-        .agg(F.min(packed).alias("__fp"), F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("chunk_h", "__fp")
-    )
-    dups = (
-        posted.join(firsts, "chunk_h")
-        .filter(packed != F.col("__fp"))
-        .select("id", "pos")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    isl = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
-    # Run length via a count window, not groupBy+self-join: the window
-    # keyed (id, island) is satisfied by the island window's existing
-    # hashpartitioning(id) (id ⊆ clustering keys → no new exchange,
-    # just a sort), and it avoids re-evaluating the whole detection
-    # subtree twice — the self-join form measured 1.15× the stock
-    # window at sf0.1 for exactly that reason.
-    removed = (
-        isl.withColumn(
-            "run_len", F.count(F.lit(1)).over(Window.partitionBy("id", "island"))
-        )
-        .filter(F.col("run_len") >= min_run)
-        .select("id", "pos")
-    )
+    # Keeper + island + run rules live in _duplicate_runs (shared with
+    # the sliding form so the two can never diverge).
+    removed = _duplicate_runs(posted, "chunk_h", min_run)
     rm = removed.groupBy("id").agg(F.collect_list("pos").alias("__rm"))
     joined = d.join(rm, "id", "left")
     rm_set = F.coalesce(F.col("__rm"), F.array().cast("array<long>"))
@@ -1389,31 +1419,10 @@ def sliding_substring_dedup(
     # (trade-offs documented there, ADVICE r8) applies here exactly as
     # in prefix_jaccard_pairs.
     posted = _materialize_index(posted, materialize)
-    # Packed-key keeper aggregate (see _packed_corpus_order): min +
-    # count per window key stay HashAggregate on both sides instead of
-    # min(struct)'s SortAggregate fallback; duplicate exclusion
-    # compares the packed values directly.
-    packed = _packed_corpus_order(F.col("id"), F.col("pos"))
-    firsts = (
-        posted.groupBy("gh")
-        .agg(F.min(packed).alias("__fp"), F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .select("gh", "__fp")
-    )
-    dups = (
-        posted.join(firsts, "gh")
-        .filter(packed != F.col("__fp"))
-        .select("id", "pos")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    isl = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
-    qualified = (
-        isl.withColumn(
-            "run_len", F.count(F.lit(1)).over(Window.partitionBy("id", "island"))
-        )
-        .filter(F.col("run_len") >= w_min)
-        .select("id", "pos")
-    )
+    # Keeper + island + run rules live in _duplicate_runs (shared with
+    # the aligned form so the two can never diverge); a qualifying run
+    # of w windows covers w + C - 1 tokens, hence the w_min threshold.
+    qualified = _duplicate_runs(posted, "gh", w_min)
     rm = qualified.groupBy("id").agg(F.collect_list("pos").alias("__starts"))
     joined = d.join(rm, "id", "left")
     st = F.coalesce(F.col("__starts"), F.array().cast("array<long>"))

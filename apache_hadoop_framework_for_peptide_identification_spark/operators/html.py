@@ -65,7 +65,7 @@ _ENTITIES: tuple[tuple[str, str], ...] = (
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
-    ("&amp;", "&"),  # last — &amp;lt; decodes to the LITERAL "&lt;"... wait, see note
+    ("&amp;", "&"),  # decoded LAST — see the ordering note below
 )
 _WS: tuple[tuple[str, str], ...] = (
     (r"[ \t\r]+", " "),
@@ -79,7 +79,11 @@ _WS: tuple[tuple[str, str], ...] = (
 
 STEPS: tuple[tuple[str, str], ...] = _STRUCTURAL + _ENTITIES + _WS
 
-_LINK_RE = r"(?is)<a\b[^>]*\bhref"
+# \shref\b (not \bhref): \b also matches after "-"/":" so data-href /
+# xlink:href would count as real links, and without the trailing \b
+# hreflang would too — attributes are whitespace-separated, so the
+# explicit \s is the correct anchor on both regex engines.
+_LINK_RE = r"(?is)<a\b[^>]*\shref\b"
 _TITLE_RE = r"(?is)<title\b[^>]*>(.*?)</title>"
 
 

@@ -633,6 +633,19 @@ def _pq_encode(df: DataFrame, codebook, id_col: str, vec_col: str) -> DataFrame:
             if len(pdf) == 0:
                 yield pd.DataFrame({"n_id": [], "codes": []})
                 continue
+            # Cheap per-row length check so a ragged vector fails with
+            # the offending id instead of an opaque vstack/reshape
+            # error mid-job (pq_append's first-row guard only proves
+            # the batch's FIRST vector fits the codebook).
+            lens = pdf["v"].map(len).to_numpy()
+            bad = np.nonzero(lens != m * d_sub)[0]
+            if bad.size:
+                i = int(bad[0])
+                raise ValueError(
+                    f"PQ encode: vector for id {pdf['id'].iloc[i]!r} has dim "
+                    f"{int(lens[i])} but the codebook encodes dim {m * d_sub} "
+                    f"(m={m} × d_sub={d_sub})"
+                )
             mat = np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
             sub = mat.reshape(len(pdf), m, d_sub)
             codes = np.empty((len(pdf), m), dtype=np.int16)
@@ -849,9 +862,11 @@ def pq_append(
 
     ``index`` (the existing encoded frame, with its ``n_id`` column)
     is only consulted for the disjoint-id guard, exactly as in
-    ivf_append; a batch vector whose dimension does not match the
-    codebook's m×d_sub raises ValueError up front rather than dying
-    inside the Arrow kernel.
+    ivf_append. Dimension mismatches raise ValueError: a batch whose
+    vectors are uniformly the wrong size fails driver-side up front
+    (first-row probe below), and a RAGGED vector later in the batch
+    fails inside the encode kernel with the offending id and length —
+    never an opaque numpy vstack/reshape error.
     """
     cb = _codebook_array(codebook)
     m, _, d_sub = cb.shape

@@ -52,7 +52,17 @@ _QUERY_RE = r"\?([^#]*)"
 
 
 def _tracking_regex(extra: tuple[str, ...] = ()) -> str:
-    names = "|".join(TRACKING_PARAMS + tuple(extra))
+    # Param NAMES are literals, not patterns: escape regex
+    # metacharacters so an extra_tracking name like "a.b" or "s|id"
+    # cannot widen or split the alternation. Only [A-Za-z0-9_] pass
+    # through bare, which leaves the default list byte-identical to
+    # the q179 oracle's regex; the backslash-escape form is valid in
+    # both Java regex (Spark rlike) and RE2 (DuckDB).
+    import re as _re
+
+    names = "|".join(
+        _re.sub(r"([^A-Za-z0-9_])", r"\\\1", n) for n in TRACKING_PARAMS + tuple(extra)
+    )
     return rf"^(utm_[^=]*|{names})(=.*)?$"
 
 
@@ -204,8 +214,16 @@ def domain_cap(
     One (quality desc, id) row_number window hash-partitioned on the
     domain; a crawler-trap domain with millions of pages concentrates
     one key exactly like q89's hot source, and the same AQE/two-phase
-    notes apply. Returns surviving rows plus ``domain_out``."""
-    with_dom = df.withColumn(domain_out, registered_domain(F.col(url_col)))
+    notes apply. Returns surviving rows plus ``domain_out``.
+
+    An existing ``domain_out`` column is REUSED, not overwritten — the
+    documented blocklist-then-cap composition evaluates the host/domain
+    regex chain once, and a caller-derived domain (e.g. exact PSL via
+    the broadcast-join swap) caps by the caller's key."""
+    if domain_out in df.columns:
+        with_dom = df
+    else:
+        with_dom = df.withColumn(domain_out, registered_domain(F.col(url_col)))
     w = Window.partitionBy(domain_out).orderBy(F.col(quality_col).desc(), F.col(id_col))
     return (
         with_dom.withColumn("__rn", F.row_number().over(w))

@@ -1791,13 +1791,11 @@ g AS (
          array_to_string(t[i:i+7], ' ') AS gram
   FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
   WHERE len(t) >= 8),
-f AS (
-  SELECT gram, min(doc_id * 1000000 + pos) AS fkey
-  FROM g GROUP BY gram HAVING count(*) > 1),
-dup AS (
-  SELECT g.doc_id, g.pos
-  FROM g JOIN f ON f.gram = g.gram
-  WHERE g.doc_id * 1000000 + g.pos <> f.fkey),
+rn AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g),
+dup AS (SELECT doc_id, pos FROM rn WHERE rn > 1),
 isl AS (
   SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM dup),

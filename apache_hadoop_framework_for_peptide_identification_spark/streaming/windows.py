@@ -266,10 +266,15 @@ def stream_neardup_ingest(
     disjoint-id guard on its own half-written previous attempt (the
     guard stays ON and still catches genuine id collisions with older
     batches). Steady-state cost per micro-batch is q174's: signatures
-    for the batch only, candidates from the banded join against the
-    stored postings, text fetched per candidate — the corpus is never
-    re-signatured, and the one growing store is parquet partitions
-    that compact like any other table (sources/compaction.py).
+    for the batch only — computed ONCE (the batch's postings are
+    persisted first, then read back and handed to ``ingest_neardup``
+    as ``batch_postings``, so the per-batch signature job never runs
+    twice; the early write is invisible to the history reads because
+    they prune ``batch_id=N``) — candidates from the banded join
+    against the stored postings, text fetched per candidate. The
+    corpus is never re-signatured, and the one growing store is
+    parquet partitions that compact like any other table
+    (sources/compaction.py).
 
     Readers consume ``store_dir/pairs`` (partition column ``batch_id``
     = which micro-batch surfaced the pair); each (id_a, id_b) pair
@@ -280,6 +285,20 @@ def stream_neardup_ingest(
     spark = stream.sparkSession
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
+        # Store appends FIRST: the batch's signatures are computed by
+        # exactly one job (the postings write) and the detection below
+        # reuses the persisted frame instead of re-signaturing. Safe
+        # before detection because the history reads prune batch_id=N
+        # — this batch's files are invisible to them — and replay-safe
+        # because a redone batch overwrites its own partition with
+        # deterministic content before recomputing pairs against the
+        # pruned (pre-batch) store.
+        build_lsh_index(bdf, id_col, text_col, num_hashes, bands, shingle_n).write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/postings/batch_id={batch_id}")
+        bdf.select(F.col(id_col), F.col(text_col)).write.mode("overwrite").parquet(
+            f"{store_dir}/texts/batch_id={batch_id}"
+        )
         not_self = F.col("batch_id") != F.lit(batch_id)
         index = (
             spark.read.parquet(f"{store_dir}/postings")
@@ -295,16 +314,11 @@ def stream_neardup_ingest(
             bdf, index, texts, id_col, text_col,
             threshold=threshold, num_hashes=num_hashes,
             bands=bands, shingle_n=shingle_n,
+            batch_postings=spark.read.parquet(
+                f"{store_dir}/postings/batch_id={batch_id}"
+            ),
         )
-        # pairs first: forces the full read of the pre-batch store
-        # BEFORE the store appends below add this batch's files.
         pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
-        build_lsh_index(bdf, id_col, text_col, num_hashes, bands, shingle_n).write.mode(
-            "overwrite"
-        ).parquet(f"{store_dir}/postings/batch_id={batch_id}")
-        bdf.select(F.col(id_col), F.col(text_col)).write.mode("overwrite").parquet(
-            f"{store_dir}/texts/batch_id={batch_id}"
-        )
 
     q = (
         stream.writeStream.foreachBatch(fb)

@@ -110,3 +110,24 @@ def test_extraction_is_projection_only(spark):
     out = df.select(H.extract_html_text(F.col("html")).alias("t"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_link_count_requires_real_href(spark):
+    """data-href / xlink:href templating and hreflang must NOT count
+    as links (\\bhref matched after '-'/':', hence the explicit \\s in
+    _LINK_RE); real href still counts across case and line breaks —
+    and the generated DuckDB expression agrees."""
+    import duckdb
+
+    html = (
+        '<a data-href="/x">a</a><a xlink:href="/y">b</a>'
+        '<a hreflang="en" class="z">c</a>'
+        '<A HREF="/real1">d</A><a\nhref="/real2">e</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    n = df.select(H.html_link_count(F.col("html")).alias("n")).first()["n"]
+    assert n == 2
+    n_duck = duckdb.execute(
+        "SELECT " + H.sql_link_count(H._sql_lit(html))
+    ).fetchone()[0]
+    assert n_duck == 2

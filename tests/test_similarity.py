@@ -441,3 +441,26 @@ def test_ivf_query_clamps_excess_n_probe(dup_corpus):
     ).collect()
     key = lambda rows: {(r["q_id"], r["rn"]): r["n_id"] for r in rows}
     assert key(over) == key(exact)
+
+
+def test_pq_encode_ragged_vector_fails_with_offending_id(spark):
+    """A batch whose FIRST vector fits the codebook but which hides a
+    ragged vector later must fail inside the encode kernel with the
+    offending id and length — never an opaque numpy vstack/reshape
+    error (ADVICE follow-up to the r11 append API)."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    _, cb = similarity.build_pq_index(
+        emb.filter(F.col("vec_id") < 200), "vec_id", "embedding", m=8, n_codes=16
+    )
+    dim = len(emb.select("embedding").first()[0])
+    ragged = spark.createDataFrame(
+        [(100_000, [0.0] * dim), (100_001, [0.0] * (dim - 3))],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="PQ encode"):
+        similarity.pq_append(ragged, cb, "vec_id", "embedding").count()

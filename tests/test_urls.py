@@ -158,3 +158,33 @@ def test_domain_cap_keeps_best_quality(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string, qual long")
     kept = {r["doc_id"] for r in U.domain_cap(df, "url", "doc_id", "qual", cap=2).collect()}
     assert kept == {2, 3, 4}  # a.com keeps the two best; b.com under cap
+
+
+def test_extra_tracking_names_are_literal(spark):
+    """extra_tracking names are LITERALS: a regex metacharacter in a
+    name must not widen the scrub (``a.b`` matching ``aXb``) or split
+    the alternation (``s|id`` scrubbing every ``s`` and ``id``)."""
+    df = spark.createDataFrame(
+        [(1, "http://h/p?a.b=1&aXb=2&s=3&id=4&x=5")], "i long, url string"
+    )
+    got = df.select(
+        U.canonicalize_url(F.col("url"), extra_tracking=("a.b", "s|id")).alias("c")
+    ).first()["c"]
+    # Only the literal "a.b" param dies; aXb, s, id, x all survive
+    # (the literal name "s|id" matches no param here).
+    assert got == "http://h/p?aXb=2&id=4&s=3&x=5"
+
+
+def test_domain_cap_reuses_existing_domain_column(spark):
+    """A caller-derived ``domain`` column (e.g. exact PSL) is respected
+    — domain_cap must cap by it, not overwrite it with the heuristic
+    (and the blocklist→cap composition computes the regex chain once)."""
+    rows = [
+        (1, "http://a.com/1", 10, "custom.dom"),
+        (2, "http://b.com/2", 5, "custom.dom"),  # heuristic would split these
+        (3, "http://c.com/3", 7, "other.dom"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, qual long, domain string")
+    kept = U.domain_cap(df, "url", "doc_id", "qual", cap=1).collect()
+    assert {r["doc_id"] for r in kept} == {1, 3}
+    assert all(r["domain"] in ("custom.dom", "other.dom") for r in kept)
