@@ -162,8 +162,9 @@ def registered_domain(url, two_level_suffixes: tuple[str, ...] = TWO_LEVEL_SUFFI
     two-level public suffix (``a.b.co.uk`` → ``b.co.uk``) — the key
     crawl pipelines group, cap, and blocklist by. A documented
     HEURISTIC approximation of the public-suffix list (see
-    TWO_LEVEL_SUFFIXES); exact PSL matching is a broadcast-join swap
-    that keeps every downstream operator unchanged. Hosts with fewer
+    TWO_LEVEL_SUFFIXES); exact PSL matching is the broadcast-join
+    swap :func:`registered_domain_psl`, whose output column drops into
+    every downstream operator unchanged. Hosts with fewer
     labels than the rule asks for pass through whole — the explicit
     size guards matter because Spark's negative-start slice returns
     EMPTY past the array start where DuckDB's returns the whole list
@@ -176,6 +177,97 @@ def registered_domain(url, two_level_suffixes: tuple[str, ...] = TWO_LEVEL_SUFFI
         .when((F.size(parts) >= 3) & last2.isin(list(two_level_suffixes)), last3)
         .otherwise(last2)
     )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    psl: DataFrame,
+    domain_out: str = "domain",
+) -> DataFrame:
+    """EXACT public-suffix-list registered domain — the broadcast-join
+    swap :func:`registered_domain`'s docstring promises (made callable
+    r11, the ivf_append/pq_append pattern: a documented discipline must
+    have a callable). ``psl`` is one ``rule`` string column holding
+    publicsuffix.org rules verbatim; all three rule forms are honored:
+
+    - literal (``co.uk``): the suffix is the rule itself;
+    - wildcard (``*.ck``): ``*`` consumes exactly one host label;
+    - exception (``!www.ck``): overrides a matching wildcard — the
+      public suffix is the exception rule MINUS its first label.
+
+    Resolution is the published algorithm: among matching rules an
+    exception wins outright, else the longest match (in labels) wins,
+    else the default rule ``*`` applies (public suffix = last label).
+    The registered domain is the public suffix plus one more label;
+    hosts that ARE a bare public suffix (or a single label) pass
+    through whole — same convention as the heuristic, so the two are
+    drop-in interchangeable and every downstream operator
+    (domain_blocklist_filter / domain_cap, which REUSE an existing
+    ``domain_out`` column) is untouched by the swap.
+
+    Plan shape: each host explodes into its ≤ n-1 label-suffix
+    candidates (literal + wildcard spelling — tens of short strings
+    per row, not data-proportional state), broadcast-joins the PSL
+    (~9k rules — KBs), and one integer aggregate keyed by ``id_col``
+    picks the winning rule; the domain is then a projection over the
+    host's own labels. At 100 TB: one broadcast, one shuffle of
+    (id, small ints) — no text beyond the candidate suffixes ever
+    moves, and rows with no PSL match skip the aggregate entirely via
+    the left join.
+    """
+    rules = psl.select(
+        F.when(
+            F.col("rule").startswith("!"), F.expr("substring(rule, 2)")
+        ).otherwise(F.col("rule")).alias("__rule"),
+        F.col("rule").startswith("!").alias("__exc"),
+    )
+    base = df.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__parts", F.split(F.col("__host"), r"\.")
+    )
+    n = F.size(F.col("__parts"))
+    # Candidate suffixes: for each length L in [1, n-1], the literal
+    # last-L-labels spelling and (L ≥ 2) the wildcard spelling with the
+    # candidate's FIRST label replaced by '*'.
+    lit_c = F.array_join(F.slice(F.col("__parts"), -F.col("__L"), F.col("__L")), ".")
+    wc_c = F.when(
+        F.col("__L") >= 2,
+        F.concat(
+            F.lit("*."),
+            F.array_join(
+                F.slice(F.col("__parts"), -(F.col("__L") - 1), F.col("__L") - 1), "."
+            ),
+        ),
+    )
+    cands = (
+        base.select(F.col(id_col).alias("__id"), "__parts")
+        .filter(n >= 2)
+        .select(
+            "__id",
+            "__parts",
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("__L"),
+        )
+        .select("__id", "__L", F.explode(F.array(lit_c, wc_c)).alias("__cand"))
+        .filter(F.col("__cand").isNotNull())  # L=1 has no wildcard spelling
+    )
+    matched = cands.join(
+        F.broadcast(rules), F.col("__cand") == F.col("__rule")
+    ).groupBy("__id").agg(
+        # Exception rule wins outright: its public suffix is the rule
+        # minus one label (__L - 1); otherwise the longest match.
+        F.max(F.when(F.col("__exc"), F.col("__L") - 1)).alias("__exc_len"),
+        F.max(F.when(~F.col("__exc"), F.col("__L"))).alias("__lit_len"),
+    )
+    ps_len = F.coalesce(F.col("__exc_len"), F.col("__lit_len"), F.lit(1))
+    reg_len = ps_len + 1
+    out = base.join(matched, base[id_col] == F.col("__id"), "left").withColumn(
+        domain_out,
+        F.when(n <= reg_len - 1, F.col("__host")).otherwise(
+            F.array_join(F.slice(F.col("__parts"), -reg_len, reg_len), ".")
+        ),
+    )
+    return out.drop("__id", "__exc_len", "__lit_len", "__host", "__parts")
 
 
 def domain_blocklist_filter(

@@ -188,3 +188,62 @@ def test_domain_cap_reuses_existing_domain_column(spark):
     kept = U.domain_cap(df, "url", "doc_id", "qual", cap=1).collect()
     assert {r["doc_id"] for r in kept} == {1, 3}
     assert all(r["domain"] in ("custom.dom", "other.dom") for r in kept)
+
+
+def test_registered_domain_psl_all_rule_forms(spark):
+    """Exact-PSL swap: literal, wildcard, and exception rules resolve
+    per the published algorithm (exception beats wildcard, longest
+    literal wins, default rule = last label), bare-suffix and
+    single-label hosts pass through whole, and the output column drops
+    into domain_cap unchanged (the promised swap discipline)."""
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("*.ck",), ("!www.ck",)], "rule string"
+    )
+    rows = [
+        (1, "http://a.b.co.uk/x"),   # longest literal: co.uk -> b.co.uk
+        (2, "http://sub.a.com/x"),   # com -> a.com
+        (3, "http://x.foo.ck/x"),    # wildcard *.ck -> foo.ck suffix -> x.foo.ck
+        (4, "http://www.ck/x"),      # exception !www.ck -> suffix ck -> www.ck
+        (5, "http://deep.x.foo.ck/x"),  # wildcard suffix, deeper host -> x.foo.ck
+        (6, "http://co.uk/x"),       # host IS a public suffix -> whole
+        (7, "http://localhost/x"),   # single label -> whole
+        (8, "http://a.example/x"),   # no rule: default -> last two labels
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in U.registered_domain_psl(df, "url", "doc_id", psl).collect()
+    }
+    assert got == {
+        1: "b.co.uk",
+        2: "a.com",
+        3: "x.foo.ck",
+        4: "www.ck",
+        5: "x.foo.ck",
+        6: "co.uk",
+        7: "localhost",
+        8: "a.example",
+    }
+    # swap discipline: the exact domain column is REUSED by domain_cap
+    capped = U.domain_cap(
+        U.registered_domain_psl(
+            df.withColumn("qual", F.col("doc_id")), "url", "doc_id", psl
+        ),
+        "url", "doc_id", "qual", cap=1,
+    )
+    by_dom = {r["domain"] for r in capped.collect()}
+    assert "x.foo.ck" in by_dom  # docs 3 and 5 collapsed under one exact domain
+    assert capped.filter(F.col("domain") == "x.foo.ck").count() == 1
+
+
+def test_registered_domain_psl_broadcasts_rules(spark):
+    """Scale contract: the PSL side must be broadcast — no shuffle of
+    the corpus for rule matching (the host-keyed aggregate is the one
+    allowed exchange)."""
+    psl = spark.createDataFrame([("com",)], "rule string")
+    df = spark.createDataFrame([(1, "http://a.com/x")], "doc_id long, url string")
+    plan = (
+        U.registered_domain_psl(df, "url", "doc_id", psl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
