@@ -142,8 +142,9 @@ def url_keeper_dedup(
 
 # Well-known two-level public suffixes for the registered-domain
 # heuristic. Deliberately a SHORT list (the full Mozilla public-suffix
-# list is ~9k rules and changes monthly — ship it as a broadcast table
-# if exactness matters); keep in sync with the q181 oracle.
+# list is ~9k rules and changes monthly — registered_domain_psl takes
+# it as a broadcast rule table when exactness matters); keep in sync
+# with the q181 oracle.
 TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "co.jp", "com.br", "co.in")
 
 

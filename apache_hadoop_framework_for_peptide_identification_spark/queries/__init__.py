@@ -206,6 +206,19 @@ _CHANGED_THIS_ROUND = [
     # from a fresh out_dir), and q177's chunk-boundary docstring
     # (documentation only). Each was re-verified against its oracle in
     # the round-11 session log (foreign-CWD sim, sf0.01).
+    # Late-r11 review-hardening pass, also NOT pinned by the same
+    # precedent: _pq_encode's per-batch length guard (raises only on
+    # ragged input; q98's fixtures are rectangular), ingest_neardup's
+    # optional batch_postings param (q174 passes None — identical
+    # path), the tracking-name regex escape (default names are all
+    # word chars — regex byte-identical), and the substring-dedup
+    # _duplicate_runs extraction (verbatim composition move; q177 is
+    # pinned above anyway). The changes that CAN alter plans or
+    # output — q180's single-signature ingest, q181's domain reuse,
+    # q182's oracle keeper rewrite, q183's href anchor — all sit on
+    # never-driver-verified queries, which lead the window by rule
+    # (0). All re-verified foreign-CWD at sf0.01 in the round-11
+    # session log.
 ]
 
 
