@@ -1,0 +1,109 @@
+"""WARC/WET container parsing (r11 — pytest-verified; driver query
+planned for the next round's growth budget).
+
+The layer ABOVE the crawl ladder's other rungs (WARC record → q183
+HTML→text → q179 URL canonicalization → q181 domain → content dedup
+tiers): CommonCrawl ships its corpus as WARC files (ISO 28500) — a
+concatenation of records, each a ``WARC/1.0`` version line, header
+lines (``Name: value``), a blank line, then the payload — and the WET
+derivative with text payloads. This module reads and parses them
+Spark-first:
+
+- :func:`read_warc` turns one-or-many WARC/WET files into a DataFrame
+  of raw record strings using the text source's ``lineSep`` option to
+  split on the record marker — the SCAN does the record framing, so a
+  100 TB crawl parallelizes by file split exactly like any text scan,
+  no custom InputFormat;
+- :func:`parse_warc` extracts the standard headers and the payload as
+  pure JVM regexp/substring expressions — the operators/html.py
+  discipline: a scan-time projection inside whole-stage codegen, zero
+  Exchange (plan-asserted in tests);
+- :func:`http_body` strips the HTTP response envelope from ``response``
+  record payloads, yielding the raw HTML that q183's
+  ``extract_html_text`` consumes — the full ladder is then
+  read_warc → parse_warc → http_body → extract_html_text, each stage a
+  projection.
+
+Documented trade (same class as html.py's regex-not-parser note):
+records are framed by the ``WARC/1.0`` marker, not by walking
+``Content-Length`` — correct for WET/text payloads and for any record
+whose payload does not embed a literal record marker at a line start;
+a binary-faithful reader would be a custom data source walking
+lengths, deliberately out of the hot tier. Header parsing takes the
+FIRST occurrence of a header name, case-insensitively, per the spec's
+uniqueness rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Record marker: the version line that opens every record. lineSep
+# strips it from each element, so the first element of a well-formed
+# file is empty (dropped by read_warc's filter).
+RECORD_MARKER = "WARC/1.0\r\n"
+
+# Header block ends at the first blank line (\r\n\r\n per spec; a bare
+# \n\n tolerated for hand-made/re-encoded files).
+_HDR_END = r"(?s)^(.*?)\r?\n\r?\n"
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC/WET files into one ``record`` string column, one row
+    per record. The text source splits on :data:`RECORD_MARKER` at
+    scan time — framing costs nothing beyond the scan itself and
+    parallelizes by file like any text read. Empty fragments (the
+    prefix before the first marker, trailing blank tails) are dropped.
+    """
+    return (
+        spark.read.text(path, lineSep=RECORD_MARKER)
+        .select(F.col("value").alias("record"))
+        .filter(F.trim(F.col("record")) != "")
+    )
+
+
+def warc_header(record: Column, name: str) -> Column:
+    """Value of header ``name`` in the record's header block (first
+    occurrence, case-insensitive, value trimmed; '' when absent).
+    Pure regexp projection."""
+    # Header lines precede the first blank line; anchor at line start.
+    pat = rf"(?im)^{name}:[ \t]*([^\r\n]*)"
+    hdr_block = F.regexp_extract(record, _HDR_END, 1)
+    return F.trim(F.regexp_extract(hdr_block, pat, 1))
+
+
+def warc_payload(record: Column) -> Column:
+    """Record payload: everything after the first blank line, with the
+    inter-record trailing CRLFs trimmed. Pure substring projection."""
+    return F.regexp_replace(
+        F.regexp_replace(record, _HDR_END, ""), r"(?s)(\r?\n)+$", ""
+    )
+
+
+def parse_warc(df: DataFrame, record_col: str = "record") -> DataFrame:
+    """Parse raw records into the standard columns a crawl pipeline
+    keys on: ``warc_type`` (warcinfo/request/response/conversion/...),
+    ``target_uri``, ``warc_date``, ``content_length`` (bigint, null
+    when absent) and ``payload``. Everything is a per-row expression —
+    at 100 TB this is the scan's projection, no shuffle, no UDF."""
+    r = F.col(record_col)
+    return df.select(
+        warc_header(r, "WARC-Type").alias("warc_type"),
+        warc_header(r, "WARC-Target-URI").alias("target_uri"),
+        warc_header(r, "WARC-Date").alias("warc_date"),
+        F.nullif(warc_header(r, "Content-Length"), F.lit("")).cast("bigint").alias(
+            "content_length"
+        ),
+        warc_payload(r).alias("payload"),
+    )
+
+
+def http_body(payload: Column) -> Column:
+    """Body of an HTTP response payload (``response`` records wrap the
+    fetched bytes in status line + headers + blank line): everything
+    after the first blank line when the payload opens with an HTTP
+    status line, else the payload unchanged (conversion/WET records
+    carry the body directly)."""
+    is_http = payload.rlike(r"^HTTP/\d")
+    return F.when(is_http, F.regexp_replace(payload, _HDR_END, "")).otherwise(payload)

@@ -1,0 +1,115 @@
+"""WARC/WET container parsing tests (r11): hand-built records through
+read_warc → parse_warc → http_body, composed with q183's HTML
+extraction — the full crawl-ladder input path — plus the
+projection-only plan contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_hadoop_framework_for_peptide_identification_spark.operators import html as H
+from apache_hadoop_framework_for_peptide_identification_spark.operators import warc as W
+
+
+def _warc_bytes() -> str:
+    # Three records: warcinfo, an HTTP response wrapping HTML, and a
+    # WET-style conversion record with a direct text payload.
+    crlf = "\r\n"
+    rec1 = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+        "Content-Length: 9\r\n"
+        "\r\n"
+        "crawl=t01" + crlf + crlf
+    )
+    html = "<html><head><title>T &amp; U</title></head><body><p>hello world</p></body></html>"
+    http = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html\r\n"
+        "\r\n" + html
+    )
+    rec2 = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/a\r\n"
+        "WARC-Date: 2026-08-15T00:00:01Z\r\n"
+        f"Content-Length: {len(http)}\r\n"
+        "\r\n" + http + crlf + crlf
+    )
+    rec3 = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/b\r\n"
+        "WARC-Date: 2026-08-15T00:00:02Z\r\n"
+        "\r\n"
+        "plain wet text body" + crlf + crlf
+    )
+    return rec1 + rec2 + rec3
+
+
+def test_read_and_parse_warc_records(spark, tmp_path):
+    p = tmp_path / "sample.warc"
+    p.write_text(_warc_bytes())
+    raw = W.read_warc(spark, str(p))
+    assert raw.count() == 3  # empty pre-marker fragment dropped
+    parsed = W.parse_warc(raw).orderBy("warc_date").collect()
+    assert [r["warc_type"] for r in parsed] == ["warcinfo", "response", "conversion"]
+    assert parsed[0]["target_uri"] == ""  # warcinfo has none
+    assert parsed[0]["content_length"] == 9
+    assert parsed[0]["payload"] == "crawl=t01"
+    assert parsed[1]["target_uri"] == "http://example.com/a"
+    assert parsed[1]["payload"].startswith("HTTP/1.1 200 OK")
+    assert parsed[2]["content_length"] is None  # absent header -> null
+    assert parsed[2]["payload"] == "plain wet text body"
+
+
+def test_http_body_and_full_ladder_to_clean_text(spark, tmp_path):
+    """response payloads lose the HTTP envelope, WET payloads pass
+    through, and the body feeds q183's extract_html_text — the full
+    WARC → HTML → text ladder in one projection chain."""
+    p = tmp_path / "sample.warc"
+    p.write_text(_warc_bytes())
+    out = (
+        W.parse_warc(W.read_warc(spark, str(p)))
+        .filter(F.col("warc_type").isin("response", "conversion"))
+        .select(
+            "target_uri",
+            "warc_type",
+            W.http_body(F.col("payload")).alias("body"),
+        )
+        .select(
+            "target_uri",
+            "warc_type",
+            H.extract_html_text(F.col("body")).alias("clean_text"),
+            H.html_title(F.col("body")).alias("title"),
+        )
+        .orderBy("target_uri")
+        .collect()
+    )
+    assert out[0]["clean_text"] == "hello world"
+    assert out[0]["title"] == "T & U"
+    assert out[1]["clean_text"] == "plain wet text body"  # no tags: unchanged
+    assert out[1]["title"] == ""
+
+
+def test_header_parse_is_case_insensitive_and_first_wins(spark):
+    rec = (
+        "warc-type: response\r\n"
+        "WARC-Target-URI: http://a/1\r\n"
+        "WARC-Target-URI: http://a/2\r\n"
+        "\r\n"
+        "x"
+    )
+    df = spark.createDataFrame([(rec,)], "record string")
+    row = W.parse_warc(df).first()
+    assert row["warc_type"] == "response"
+    assert row["target_uri"] == "http://a/1"  # first occurrence per spec
+
+
+def test_parse_warc_is_projection_only(spark):
+    """Scale contract: record parsing is a scan-time projection — the
+    physical plan must contain no Exchange (the html.py discipline)."""
+    df = spark.createDataFrame([("WARC-Type: x\r\n\r\nbody",)], "record string")
+    plan = W.parse_warc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
