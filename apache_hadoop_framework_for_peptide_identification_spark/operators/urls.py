@@ -186,6 +186,7 @@ def registered_domain_psl(
     id_col: str,
     psl: DataFrame,
     domain_out: str = "domain",
+    check_unique: bool = True,
 ) -> DataFrame:
     """EXACT public-suffix-list registered domain — the broadcast-join
     swap :func:`registered_domain`'s docstring promises (made callable
@@ -208,16 +209,45 @@ def registered_domain_psl(
     (domain_blocklist_filter / domain_cap, which REUSE an existing
     ``domain_out`` column) is untouched by the swap.
 
-    Plan shape: each host explodes into its ≤ n-1 label-suffix
-    candidates (literal + wildcard spelling — tens of short strings
-    per row, not data-proportional state), broadcast-joins the PSL
-    (~9k rules — KBs), and one integer aggregate keyed by ``id_col``
-    picks the winning rule; the domain is then a projection over the
-    host's own labels. At 100 TB: one broadcast, one shuffle of
-    (id, small ints) — no text beyond the candidate suffixes ever
-    moves, and rows with no PSL match skip the aggregate entirely via
-    the left join.
+    ``id_col`` must be UNIQUE per row — candidate matches rejoin by
+    it, and rows sharing an id would merge their rule matches (one
+    row's longer suffix inflating another's) and fan out under the
+    rejoin. ``check_unique`` (default on) probes for a duplicate with
+    a limit-1 aggregate over the id column alone and raises
+    ValueError; disable it only when uniqueness is guaranteed by
+    construction (a primary key) — the heuristic
+    :func:`registered_domain` needs no id at all, so this precondition
+    is the one behavioral difference between the two forms.
+
+    Plan shape: each host explodes into its ≤ n label-suffix
+    candidates, whole host included — a rule matching the ENTIRE host
+    (any form, e.g. ``*.kawasaki.jp`` or a bare ``s3.amazonaws.com``
+    suffix) must participate in resolution (literal + wildcard
+    spelling — tens of short strings per row, not data-proportional
+    state), broadcast-joins the PSL (~9k rules — KBs), and one integer
+    aggregate keyed by ``id_col`` picks the winning rule; the domain
+    is then a projection over the host's own labels. At 100 TB: one
+    broadcast, one shuffle of (id, small ints) — no text beyond the
+    candidate suffixes ever moves, and rows with no PSL match skip the
+    aggregate entirely via the left join.
     """
+    if check_unique:
+        dup = (
+            df.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"registered_domain_psl: id_col {id_col!r} is not unique "
+                f"(e.g. {dup[0][id_col]!r} appears {dup[0]['__c']}×) — rows "
+                "sharing an id would merge their rule matches and fan out "
+                "under the rejoin. De-duplicate or pass a surrogate key; "
+                "set check_unique=False only when uniqueness is guaranteed "
+                "by construction."
+            )
     rules = psl.select(
         F.when(
             F.col("rule").startswith("!"), F.expr("substring(rule, 2)")
@@ -228,9 +258,11 @@ def registered_domain_psl(
         "__parts", F.split(F.col("__host"), r"\.")
     )
     n = F.size(F.col("__parts"))
-    # Candidate suffixes: for each length L in [1, n-1], the literal
-    # last-L-labels spelling and (L ≥ 2) the wildcard spelling with the
-    # candidate's FIRST label replaced by '*'.
+    # Candidate suffixes: for each length L in [1, n] — the WHOLE host
+    # included, since a rule can match it (exception rules usually do,
+    # and a host may BE a listed suffix) — the literal last-L-labels
+    # spelling and (L ≥ 2) the wildcard spelling with the candidate's
+    # FIRST label replaced by '*'.
     lit_c = F.array_join(F.slice(F.col("__parts"), -F.col("__L"), F.col("__L")), ".")
     wc_c = F.when(
         F.col("__L") >= 2,
@@ -243,11 +275,10 @@ def registered_domain_psl(
     )
     cands = (
         base.select(F.col(id_col).alias("__id"), "__parts")
-        .filter(n >= 2)
         .select(
             "__id",
             "__parts",
-            F.explode(F.sequence(F.lit(1), n - 1)).alias("__L"),
+            F.explode(F.sequence(F.lit(1), n)).alias("__L"),
         )
         .select("__id", "__L", F.explode(F.array(lit_c, wc_c)).alias("__cand"))
         .filter(F.col("__cand").isNotNull())  # L=1 has no wildcard spelling
@@ -284,8 +315,17 @@ def domain_blocklist_filter(
     are small by nature (thousands to low millions of domains), so the
     corpus never shuffles. Subdomains are blocked with their parent by
     construction (cdn.evil.com → evil.com). Returns the surviving rows
-    plus ``domain_out``."""
-    with_dom = df.withColumn(domain_out, registered_domain(F.col(url_col)))
+    plus ``domain_out``.
+
+    An existing ``domain_out`` column is REUSED, not overwritten (the
+    domain_cap rule): a caller-derived domain — e.g. the exact-PSL
+    form from :func:`registered_domain_psl` — is matched against the
+    blocklist as-is instead of being silently replaced by the
+    heuristic."""
+    if domain_out in df.columns:
+        with_dom = df
+    else:
+        with_dom = df.withColumn(domain_out, registered_domain(F.col(url_col)))
     return with_dom.join(
         F.broadcast(blocked_domains.select(F.col("domain").alias(domain_out))),
         domain_out,

@@ -24,14 +24,23 @@ Spark-first:
   read_warc → parse_warc → http_body → extract_html_text, each stage a
   projection.
 
-Documented trade (same class as html.py's regex-not-parser note):
-records are framed by the ``WARC/1.0`` marker, not by walking
-``Content-Length`` — correct for WET/text payloads and for any record
-whose payload does not embed a literal record marker at a line start;
-a binary-faithful reader would be a custom data source walking
-lengths, deliberately out of the hot tier. Header parsing takes the
-FIRST occurrence of a header name, case-insensitively, per the spec's
-uniqueness rule.
+Documented trades (same class as html.py's regex-not-parser note):
+
+- records are framed by the version marker, not by walking
+  ``Content-Length`` — correct for WET/text payloads and for any
+  record whose payload does not embed a literal record marker; a
+  binary-faithful reader would be a custom data source walking
+  lengths, deliberately out of the hot tier;
+- FRAMING requires the marker's exact bytes — the spec mandates CRLF
+  and ``WARC/1.0`` is the default; pass ``marker="WARC/1.1\\r\\n"``
+  (or any re-encoded variant) to :func:`read_warc` for other inputs.
+  A file whose records use a different marker than the one passed
+  collapses into one row per file — there is no heuristic sniffing.
+  The bare-``\\n`` tolerance in header/payload PARSING exists for
+  records framed elsewhere (tests, pre-split frames), not as a
+  framing fallback;
+- header parsing takes the FIRST occurrence of a header name,
+  case-insensitively, per the spec's uniqueness rule.
 """
 
 from __future__ import annotations
@@ -49,26 +58,34 @@ RECORD_MARKER = "WARC/1.0\r\n"
 _HDR_END = r"(?s)^(.*?)\r?\n\r?\n"
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str, marker: str = RECORD_MARKER) -> DataFrame:
     """Read WARC/WET files into one ``record`` string column, one row
-    per record. The text source splits on :data:`RECORD_MARKER` at
-    scan time — framing costs nothing beyond the scan itself and
-    parallelizes by file like any text read. Empty fragments (the
-    prefix before the first marker, trailing blank tails) are dropped.
+    per record. The text source splits on ``marker`` at scan time —
+    framing costs nothing beyond the scan itself and parallelizes by
+    file like any text read. Pass ``marker`` for non-default version
+    lines (``"WARC/1.1\\r\\n"``) or re-encoded files; see the module
+    docstring's framing note. Blank fragments (the prefix before the
+    first marker, trailing CRLF-only tails) are dropped — rlike(\\S),
+    not trim, since the fragments are newline runs, not spaces.
     """
     return (
-        spark.read.text(path, lineSep=RECORD_MARKER)
+        spark.read.text(path, lineSep=marker)
         .select(F.col("value").alias("record"))
-        .filter(F.trim(F.col("record")) != "")
+        .filter(F.col("record").rlike(r"\S"))
     )
 
 
 def warc_header(record: Column, name: str) -> Column:
     """Value of header ``name`` in the record's header block (first
     occurrence, case-insensitive, value trimmed; '' when absent).
-    Pure regexp projection."""
+    Pure regexp projection. ``name`` is a LITERAL — regex
+    metacharacters are escaped (field names are RFC tokens and may
+    contain '.', '+', '^', '|'; the _tracking_regex rule)."""
+    import re as _re
+
+    name_lit = _re.sub(r"([^A-Za-z0-9_])", r"\\\1", name)
     # Header lines precede the first blank line; anchor at line start.
-    pat = rf"(?im)^{name}:[ \t]*([^\r\n]*)"
+    pat = rf"(?im)^{name_lit}:[ \t]*([^\r\n]*)"
     hdr_block = F.regexp_extract(record, _HDR_END, 1)
     return F.trim(F.regexp_extract(hdr_block, pat, 1))
 

@@ -247,3 +247,70 @@ def test_registered_domain_psl_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_registered_domain_psl_whole_host_rules(spark):
+    """Rules matching the ENTIRE host must participate in resolution
+    (review finding): an exception rule usually matches the whole
+    host, a host may BE a listed suffix, and a wildcard can cover the
+    whole host — all three previously fell outside the candidate set."""
+    psl = spark.createDataFrame(
+        [("jp",), ("*.kawasaki.jp",), ("!city.kawasaki.jp",),
+         ("com",), ("s3.amazonaws.com",), ("io",), ("*.foo.io",)],
+        "rule string",
+    )
+    rows = [
+        (1, "http://city.kawasaki.jp/x"),   # exception on whole host
+        (2, "http://a.city.kawasaki.jp/x"), # exception suffix + one label... see below
+        (3, "http://foo.kawasaki.jp/x"),    # wildcard makes host a suffix -> whole
+        (4, "http://s3.amazonaws.com/x"),   # host IS a listed suffix -> whole
+        (5, "http://b.s3.amazonaws.com/x"), # one label above the listed suffix
+        (6, "http://x.foo.io/x"),           # wildcard suffix covers whole host
+        (7, "http://d.x.foo.io/x"),         # suffix is x.foo.io (the * ate x)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in U.registered_domain_psl(df, "url", "doc_id", psl).collect()
+    }
+    assert got == {
+        1: "city.kawasaki.jp",     # !city.kawasaki.jp -> suffix kawasaki.jp
+        2: "city.kawasaki.jp",     # registered domain of its subdomain
+        3: "foo.kawasaki.jp",      # public suffix itself -> pass whole
+        4: "s3.amazonaws.com",     # public suffix itself -> pass whole
+        5: "b.s3.amazonaws.com",
+        6: "x.foo.io",             # public suffix itself -> pass whole
+        7: "d.x.foo.io",           # suffix x.foo.io + one label
+    }
+
+
+def test_registered_domain_psl_requires_unique_ids(spark):
+    """Duplicate ids would merge rule matches across rows and fan out
+    under the rejoin — guarded by default, bypassable when uniqueness
+    holds by construction."""
+    import pytest as _pytest
+
+    psl = spark.createDataFrame([("com",)], "rule string")
+    df = spark.createDataFrame(
+        [(7, "http://a.b.co.uk/x"), (7, "http://sub.a.com/y")],
+        "doc_id long, url string",
+    )
+    with _pytest.raises(ValueError, match="not unique"):
+        U.registered_domain_psl(df, "url", "doc_id", psl)
+
+
+def test_domain_blocklist_reuses_existing_domain_column(spark):
+    """The blocklist must match a caller-derived domain (exact PSL)
+    as-is instead of overwriting it with the heuristic — the swap
+    discipline domain_cap already honors (review finding)."""
+    psl = spark.createDataFrame([("io",), ("*.foo.io",)], "rule string")
+    rows = [(1, "http://x.foo.io/a"), (2, "http://y.foo.io/a"), (3, "http://z.bar.io/a")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    exact = U.registered_domain_psl(df, "url", "doc_id", psl)
+    bl = spark.createDataFrame([("x.foo.io",)], "domain string")
+    kept = U.domain_blocklist_filter(exact, "url", bl).collect()
+    # Under the heuristic both foo.io hosts share domain "foo.io" and
+    # the x.foo.io entry would match nothing; with the exact column
+    # reused, exactly doc 1 dies.
+    assert {r["doc_id"] for r in kept} == {2, 3}
+    assert {r["domain"] for r in kept} == {"y.foo.io", "bar.io"}

@@ -113,3 +113,40 @@ def test_parse_warc_is_projection_only(spark):
     df = spark.createDataFrame([("WARC-Type: x\r\n\r\nbody",)], "record string")
     plan = W.parse_warc(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_blank_fragments_are_dropped_not_phantom(spark, tmp_path):
+    """A leading blank line (or CRLF-only tail) must not surface as a
+    phantom empty record — the fragment filter is whitespace-aware,
+    not space-only trim (review finding)."""
+    p = tmp_path / "lead.warc"
+    p.write_text("\r\n" + "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nbody\r\n\r\n")
+    raw = W.read_warc(spark, str(p))
+    assert raw.count() == 1
+    assert W.parse_warc(raw).first()["payload"] == "body"
+
+
+def test_marker_parameter_reads_warc_11(spark, tmp_path):
+    """WARC/1.1 files (and re-encoded variants) frame via the marker
+    parameter — there is no silent sniffing (documented trade)."""
+    p = tmp_path / "v11.warc"
+    p.write_text(
+        "WARC/1.1\r\nWARC-Type: conversion\r\n\r\nfirst\r\n\r\n"
+        "WARC/1.1\r\nWARC-Type: conversion\r\n\r\nsecond\r\n\r\n"
+    )
+    parsed = W.parse_warc(W.read_warc(spark, str(p), marker="WARC/1.1\r\n"))
+    assert [r["payload"] for r in parsed.orderBy("payload").collect()] == [
+        "first",
+        "second",
+    ]
+
+
+def test_header_names_are_literal(spark):
+    """Header names are escaped into the regex: 'X.Custom' must not
+    match 'XaCustom' via a wildcard dot (review finding)."""
+    rec = "XaCustom: wrong\r\nX.Custom: right\r\n\r\nbody"
+    df = spark.createDataFrame([(rec,)], "record string")
+    from pyspark.sql import functions as F
+
+    got = df.select(W.warc_header(F.col("record"), "X.Custom").alias("v")).first()["v"]
+    assert got == "right"
