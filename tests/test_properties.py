@@ -776,3 +776,72 @@ def test_sliding_substring_dedup_matches_brute_force(sess, docs):
     ref_docs = [toks if toks else [""] for toks in docs]
     want = _py_sliding_substring_dedup(ref_docs, C=4, min_span=8)
     assert got == want, (got, want)
+
+
+# --- registered_domain_psl vs a pure-Python PSL reference (r11) ------------
+
+_PSL_LABELS = ["a", "b", "co", "uk", "jp", "x"]
+
+
+def _psl_reference(host: str, rules: list[str]) -> str:
+    """The published publicsuffix.org algorithm, straightforwardly:
+    exception match wins (suffix = rule minus first label), else the
+    longest matching rule (wildcard * consumes exactly one label),
+    else the default rule (suffix = last label). Registered domain =
+    suffix + one label; hosts not longer than their suffix pass whole."""
+    labels = host.split(".")
+    n = len(labels)
+
+    def matches(rule: str) -> bool:
+        r = rule.split(".")
+        if len(r) > n:
+            return False
+        tail = labels[n - len(r):]
+        return all(rp == "*" or rp == hp for rp, hp in zip(r, tail))
+
+    exc = [r[1:] for r in rules if r.startswith("!") and matches(r[1:])]
+    if exc:
+        ps = max(len(r.split(".")) for r in exc) - 1
+    else:
+        lit = [r for r in rules if not r.startswith("!") and matches(r)]
+        ps = max((len(r.split(".")) for r in lit), default=1)
+    reg = ps + 1
+    return host if n <= ps else ".".join(labels[n - reg:])
+
+
+hosts_strategy = st.lists(
+    st.lists(st.sampled_from(_PSL_LABELS), min_size=1, max_size=4).map(".".join),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+rules_strategy = st.lists(
+    st.builds(
+        lambda exc, wc, labs: ("!" if exc and not wc else "")
+        + ("*." if wc else "")
+        + ".".join(labs),
+        st.booleans(),
+        st.booleans(),
+        st.lists(st.sampled_from(_PSL_LABELS), min_size=1, max_size=3),
+    ),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+
+
+@given(hosts=hosts_strategy, rules=rules_strategy)
+@SETTINGS
+def test_registered_domain_psl_matches_reference(sess, hosts, rules):
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import urls as U
+
+    psl = sess.createDataFrame([(r,) for r in rules], "rule string")
+    df = sess.createDataFrame(
+        [(i, f"http://{h}/p") for i, h in enumerate(hosts)], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in U.registered_domain_psl(df, "url", "doc_id", psl).collect()
+    }
+    want = {i: _psl_reference(h, rules) for i, h in enumerate(hosts)}
+    assert got == want
