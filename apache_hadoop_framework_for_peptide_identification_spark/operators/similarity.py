@@ -215,6 +215,27 @@ def _hash_pick(corpus: DataFrame, id_col: str, vec_col: str, n_rows: int, seed: 
     return rows
 
 
+def _collect_centroids(centroids: DataFrame, caller: str):
+    """Collect a stored (cell, centroid) frame into the dense matrix
+    the assign kernel indexes by ROW POSITION — which is only correct
+    when the stored cell ids are exactly 0..n-1 (ADVICE r11): a
+    centroid frame filtered, re-keyed, or truncated on its way back
+    from parquet would silently relabel every assignment, so gaps or
+    duplicates raise here with the offending ids instead."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cells = [int(r["cell"]) for r in rows]
+    if cells != list(range(len(rows))):
+        raise ValueError(
+            f"{caller}: stored centroid cells must be exactly 0..{len(rows) - 1} "
+            f"(row position IS the cell id in the assign kernel); got {cells[:20]}"
+            f"{'...' if len(cells) > 20 else ''} — the centroid frame was "
+            "filtered, re-keyed, or truncated since build_ivf_index wrote it"
+        )
+    return np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
 def _cell_assign(cents, n_top: int):
     """mapInPandas fn assigning each vector its ``n_top`` nearest
     centroids (rows of the normalized ``cents`` matrix): one
@@ -306,10 +327,7 @@ def ivf_query(
     limit of "probe the n nearest" — exact search over the index),
     rather than failing inside the assign kernel (ADVICE r10).
     """
-    import numpy as np
-
-    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
-    cents = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    cents = _collect_centroids(centroids, "ivf_query")
     c_schema = f"{id_col} long, embedding array<float>, cell int"
     probed = queries.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
         _cell_assign(cents, n_probe), c_schema
@@ -370,10 +388,13 @@ def ivf_append(
     both sides would answer queries twice under one id): a limit-1
     semi-join probe over the two id columns raises ValueError on
     overlap. Pass ``check_disjoint=False`` (or omit ``index``) when
-    monotone id assignment guarantees disjointness.
+    monotone id assignment guarantees disjointness. Dimension
+    mismatches raise up front via the same first-row probe as
+    pq_append (ADVICE r11) — a batch from the wrong embedding space
+    fails with the two dims named, never an opaque numpy shape error —
+    and the stored centroid frame must carry contiguous cell ids
+    0..n-1 (:func:`_collect_centroids`; row position is the cell id).
     """
-    import numpy as np
-
     if index is not None and check_disjoint:
         overlap = (
             batch.select(F.col(id_col))
@@ -389,8 +410,14 @@ def ivf_append(
                 "Re-key the batch or pass check_disjoint=False only if "
                 "disjointness is guaranteed by construction."
             )
-    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
-    cents = np.vstack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    cents = _collect_centroids(centroids, "ivf_append")
+    first = batch.select(vec_col).first()
+    if first is not None and len(first[0]) != cents.shape[1]:
+        raise ValueError(
+            f"ivf_append: batch vectors have dim {len(first[0])} but the stored "
+            f"centroids have dim {cents.shape[1]} — the batch must come from "
+            "the same embedding space as the index"
+        )
     c_schema = f"{id_col} long, embedding array<float>, cell int"
     return batch.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
         _cell_assign(cents, 1), c_schema

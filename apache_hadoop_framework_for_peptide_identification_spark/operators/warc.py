@@ -30,7 +30,14 @@ Documented trades (same class as html.py's regex-not-parser note):
   ``Content-Length`` — correct for WET/text payloads and for any
   record whose payload does not embed a literal record marker; a
   binary-faithful reader would be a custom data source walking
-  lengths, deliberately out of the hot tier;
+  lengths, deliberately out of the hot tier. Mis-framing is
+  DETECTABLE, not silent (ADVICE r11): :func:`parse_warc` emits a
+  ``frame_suspect`` boolean cross-checking the parsed
+  ``Content-Length`` against the actual payload byte count — a
+  payload that embedded a literal marker splits early, its first
+  fragment's byte count falls short of the declared length, and the
+  row flags; filter ``frame_suspect`` rows out (or route them to the
+  quarantine sink, q169) before trusting a real crawl;
 - FRAMING requires the marker's exact bytes — the spec mandates CRLF
   and ``WARC/1.0`` is the default; pass ``marker="WARC/1.1\\r\\n"``
   (or any re-encoded variant) to :func:`read_warc` for other inputs.
@@ -98,21 +105,47 @@ def warc_payload(record: Column) -> Column:
     )
 
 
+def _payload_exact_len(record: Column) -> Column:
+    """Byte count of the record's content block: everything after the
+    first blank line, minus exactly ONE trailing record separator
+    (the spec's two CRLFs between records; bare-\\n tolerated like the
+    header parse). Unlike :func:`warc_payload`'s display trim — which
+    strips ALL trailing newline runs — this keeps content-owned
+    trailing newlines, so it is byte-comparable to ``Content-Length``.
+    """
+    after_hdr = F.regexp_replace(record, _HDR_END, "")
+    # \z (absolute end), NOT $: Java's non-multiline $ also matches
+    # BEFORE a final line terminator, which would eat a content-owned
+    # trailing newline along with half the separator and flag every
+    # newline-terminated WET payload. \z is shared Java/RE2 syntax.
+    return F.octet_length(F.regexp_replace(after_hdr, r"(?s)\r?\n\r?\n\z", ""))
+
+
 def parse_warc(df: DataFrame, record_col: str = "record") -> DataFrame:
     """Parse raw records into the standard columns a crawl pipeline
     keys on: ``warc_type`` (warcinfo/request/response/conversion/...),
     ``target_uri``, ``warc_date``, ``content_length`` (bigint, null
-    when absent) and ``payload``. Everything is a per-row expression —
-    at 100 TB this is the scan's projection, no shuffle, no UDF."""
+    when absent), ``payload``, and ``frame_suspect`` (ADVICE r11) —
+    true when the declared ``Content-Length`` disagrees with the
+    content block's actual byte count, the signature a marker-framed
+    split leaves when a payload embedded a literal record marker (the
+    truncated first fragment declares more bytes than it holds; the
+    phantom fragment usually parses no Content-Length at all and
+    stays null/false — it is the flagged row that marks the damage).
+    False when the header is absent (nothing to cross-check).
+    Everything is a per-row expression — at 100 TB this is the scan's
+    projection, no shuffle, no UDF."""
     r = F.col(record_col)
+    clen = F.nullif(warc_header(r, "Content-Length"), F.lit("")).cast("bigint")
     return df.select(
         warc_header(r, "WARC-Type").alias("warc_type"),
         warc_header(r, "WARC-Target-URI").alias("target_uri"),
         warc_header(r, "WARC-Date").alias("warc_date"),
-        F.nullif(warc_header(r, "Content-Length"), F.lit("")).cast("bigint").alias(
-            "content_length"
-        ),
+        clen.alias("content_length"),
         warc_payload(r).alias("payload"),
+        F.coalesce(
+            clen != _payload_exact_len(r).cast("bigint"), F.lit(False)
+        ).alias("frame_suspect"),
     )
 
 

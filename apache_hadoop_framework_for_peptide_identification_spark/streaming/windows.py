@@ -279,10 +279,55 @@ def stream_neardup_ingest(
     Readers consume ``store_dir/pairs`` (partition column ``batch_id``
     = which micro-batch surfaced the pair); each (id_a, id_b) pair
     appears exactly once across all batches because pair emission
-    requires a member in the CURRENT batch and ids never repeat."""
+    requires a member in the CURRENT batch and ids never repeat.
+
+    Fresh-checkpoint guard (ADVICE r11 — the stream_enrich_refreshed
+    layout guard's twin): foreachBatch batch ids are numbered by the
+    CHECKPOINT, so restarting with a fresh/new checkpoint over an
+    EXISTING store restarts ids at 0 and the first batches would
+    silently OVERWRITE the ``batch_id=0..`` partitions that hold
+    older, unrelated batches — losing store data and breaking the
+    disjoint-id premise the pair-exactly-once argument rests on. The
+    start path therefore fails fast when the store already has
+    ``batch_id >= 0`` posting partitions but ``checkpoint_dir`` holds
+    no committed offsets: resume with the ORIGINAL checkpoint, or
+    re-seed a fresh store for a genuinely new stream."""
     from ..operators.dedup import build_lsh_index, ingest_neardup
 
     spark = stream.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _max_store_batch_id() -> int:
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/postings")
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            return -1
+        best = -1
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                try:
+                    best = max(best, int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        return best
+
+    def _checkpoint_has_commits() -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/offsets")
+        fs = p.getFileSystem(hconf)
+        return fs.exists(p) and len(fs.listStatus(p)) > 0
+
+    max_batch = _max_store_batch_id()
+    if max_batch >= 0 and not _checkpoint_has_commits():
+        raise ValueError(
+            f"stream_neardup_ingest: store {store_dir!r} already holds posting "
+            f"partitions up to batch_id={max_batch} but checkpoint "
+            f"{checkpoint_dir!r} has no committed offsets — a fresh checkpoint "
+            "restarts batch ids at 0 and would overwrite those partitions, "
+            "corrupting the store. Resume with the original checkpoint, or "
+            "seed a fresh store_dir for a new stream."
+        )
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
         # Store appends FIRST: the batch's signatures are computed by

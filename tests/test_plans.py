@@ -82,7 +82,11 @@ def test_substring_dedup_keeper_aggregate_is_hash(spark, name):
     mins = [l for l in plan.splitlines() if "_min(" in l or "min(" in l]
     sort_mins = [l for l in mins if "SortAggregate" in l]
     assert not sort_mins, sort_mins
-    assert any("HashAggregate" in l and "min(" in l for l in mins), plan
+    # Anchor on the packed keeper itself (ADVICE r11): the min must be
+    # over the DECIMAL(38,0) packed (id, pos) key, so an unrelated
+    # min() elsewhere in the plan cannot satisfy the assertion.
+    keeper = [l for l in mins if "min(" in l and "decimal(38,0)" in l]
+    assert any("HashAggregate" in l for l in keeper), plan
 
 
 def test_q44_corpus_never_shuffles(spark):

@@ -360,6 +360,41 @@ def test_ivf_append_disjoint_guard(dup_corpus):
         ).count()
 
 
+def test_ivf_append_dim_guard(dup_corpus, spark):
+    """ADVICE r11: a batch from the wrong embedding space must fail
+    driver-side with both dims named, not inside the assign kernel
+    with an opaque numpy shape error (pq_append's first-row probe,
+    mirrored)."""
+    from pyspark.sql import functions as F
+
+    a = dup_corpus.filter(F.col("vec_id") < 150)
+    _, cents = similarity.build_ivf_index(a, "vec_id", "embedding", n_cells=8, seed=42)
+    wrong = spark.createDataFrame(
+        [(999, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim 3 .*same embedding space"):
+        similarity.ivf_append(wrong, cents, "vec_id", "embedding")
+
+
+def test_ivf_centroid_contiguity_guard(dup_corpus):
+    """ADVICE r11: the assign kernel indexes centroids by ROW POSITION,
+    so a stored centroid frame with gapped/re-keyed cell ids must raise
+    (in both ivf_append and ivf_query) instead of silently relabeling
+    every assignment."""
+    from pyspark.sql import functions as F
+
+    a = dup_corpus.filter(F.col("vec_id") < 150)
+    assigned, cents = similarity.build_ivf_index(
+        a, "vec_id", "embedding", n_cells=8, seed=42
+    )
+    gapped = cents.filter(F.col("cell") != 3)  # drop one cell -> gap
+    batch = dup_corpus.filter(F.col("vec_id") >= 150)
+    with pytest.raises(ValueError, match="exactly 0\\.\\.6"):
+        similarity.ivf_append(batch, gapped, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="filtered, re-keyed, or truncated"):
+        similarity.ivf_query(batch, assigned, gapped, "vec_id", "embedding", k=2)
+
+
 def test_pq_append_equals_encode_all_with_same_codebook(spark, tmp_path):
     """build(A) + append(B) == encode(A∪B with A's codebook), and
     pq_query over the appended index equals the all-at-once form —

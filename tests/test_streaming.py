@@ -679,12 +679,13 @@ def test_stream_neardup_ingest_replay_excludes_own_prior_attempt(spark, tmp_path
     not raise the disjoint-id guard on its own half-written previous
     attempt, and (b) leave the store and pair output exactly as a
     clean single run would — the self-exclusion-by-partition-pruning
-    contract. Simulated by pre-writing the batch's postings/texts
-    under the batch id the stream will assign (0), exactly the state a
-    crash leaves, then running the stream for real."""
-    from apache_hadoop_framework_for_peptide_identification_spark.operators.dedup import (
-        build_lsh_index,
-    )
+    contract. Simulated FAITHFULLY (r12 — the fresh-checkpoint guard
+    rejects the old no-checkpoint shortcut): run the stream once, then
+    delete the checkpoint's commit marker while keeping its offsets —
+    exactly the state a crash after the store writes leaves — and
+    restart; Spark re-executes batch 0 over its own leftovers."""
+    import os
+
     from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
         seed_neardup_store,
         stream_neardup_ingest,
@@ -704,16 +705,24 @@ def test_stream_neardup_ingest_replay_excludes_own_prior_attempt(spark, tmp_path
     )
     seed_neardup_store(history, store, "doc_id", "text")
 
-    # Crash leftovers: the same batch's postings+texts already sit
-    # under batch_id=0 (no checkpoint commit happened).
-    build_lsh_index(batch, "doc_id", "text").write.mode("overwrite").parquet(
-        f"{store}/postings/batch_id=0"
-    )
-    batch.write.mode("overwrite").parquet(f"{store}/texts/batch_id=0")
-
     batch.write.mode("append").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     stream_neardup_ingest(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    # Crash injection: offsets/0 stays (written at batch start), the
+    # commit marker goes — on restart Spark must re-run batch 0, whose
+    # postings/texts/pairs partitions already hold the first attempt.
+    # includes the hidden .N.crc checksum twins — a leftover crc makes
+    # the replay's commit rename fail with FileAlreadyExists
+    entries = [
+        os.path.join(f"{ckpt}/commits", n) for n in os.listdir(f"{ckpt}/commits")
+    ]
+    removed = [p for p in entries if os.path.isfile(p)]
+    assert removed, "checkpoint layout changed: no commit markers found"
+    for p in removed:
+        os.remove(p)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_neardup_ingest(stream2, store, ckpt, "doc_id", "text", threshold=0.5)
 
     pairs = {
         (r["id_a"], r["id_b"])
@@ -723,3 +732,42 @@ def test_stream_neardup_ingest_replay_excludes_own_prior_attempt(spark, tmp_path
     # Store holds exactly one copy of the batch per table (overwrite).
     texts = spark.read.parquet(f"{store}/texts")
     assert texts.filter("doc_id >= 10").count() == 2
+
+
+def test_stream_neardup_ingest_fresh_checkpoint_over_existing_store_raises(
+    spark, tmp_path
+):
+    """ADVICE r11 (medium): a fresh/new checkpoint restarts batch ids
+    at 0, so starting one over a store that already holds batch_id>=0
+    partitions would overwrite older, unrelated batches — the start
+    path must fail fast (the stream_enrich_refreshed layout-guard
+    twin). Seeded-only stores (batch_id=-1) start fine."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        seed_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+
+    history = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "totally novel content words here")], "doc_id long, text string"
+    )
+    seed_neardup_store(history, store, "doc_id", "text")
+    batch.write.mode("append").parquet(src)
+
+    # First run with checkpoint A populates batch_id=0.
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_neardup_ingest(
+        stream, store, str(tmp_path / "ckA"), "doc_id", "text"
+    )
+
+    # A NEW checkpoint over the same store must refuse to start.
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="no committed offsets"):
+        stream_neardup_ingest(
+            stream2, store, str(tmp_path / "ckB"), "doc_id", "text"
+        )

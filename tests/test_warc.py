@@ -141,6 +141,60 @@ def test_marker_parameter_reads_warc_11(spark, tmp_path):
     ]
 
 
+def test_frame_suspect_false_on_well_formed_records(spark, tmp_path):
+    """ADVICE r11: the Content-Length cross-check must stay quiet on
+    well-formed records — including ones with no Content-Length at all
+    (nothing to check) and payloads whose own content ends mid-word."""
+    p = tmp_path / "sample.warc"
+    p.write_text(_warc_bytes())
+    parsed = W.parse_warc(W.read_warc(spark, str(p))).collect()
+    assert all(r["frame_suspect"] is False for r in parsed)
+
+
+def test_frame_suspect_flags_marker_embedded_payload(spark, tmp_path):
+    """A payload embedding the literal record marker mis-splits under
+    marker framing (the documented trade) — the truncated first
+    fragment must FLAG via the Content-Length cross-check instead of
+    passing silently (ADVICE r11). The phantom fragment carries no
+    Content-Length and stays unflagged; the flag on the real record is
+    the detection signal."""
+    quoted = "a crawled page quoting WARC/1.0\r\nWARC-Type: fake\r\n\r\ninner"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: http://example.com/quoting\r\n"
+        f"Content-Length: {len(quoted)}\r\n"
+        "\r\n" + quoted + "\r\n\r\n"
+    )
+    p = tmp_path / "embedded.warc"
+    p.write_text(rec)
+    parsed = W.parse_warc(W.read_warc(spark, str(p))).collect()
+    assert len(parsed) == 2  # mis-split: real record + phantom fragment
+    by_uri = {r["target_uri"]: r for r in parsed}
+    real = by_uri["http://example.com/quoting"]
+    assert real["frame_suspect"] is True  # payload truncated before the marker
+    phantom = by_uri[""]
+    assert phantom["frame_suspect"] is False  # no Content-Length to check
+    assert phantom["warc_type"] == "fake"
+
+
+def test_frame_suspect_keeps_content_owned_trailing_newlines(spark, tmp_path):
+    """The exact-length check strips exactly ONE record separator, not
+    every trailing newline — a payload that legitimately ends with a
+    newline (WET text often does) must not flag."""
+    body = "line one\nline two\n"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n" + body + "\r\n\r\n"
+    )
+    p = tmp_path / "trailnl.warc"
+    p.write_text(rec)
+    row = W.parse_warc(W.read_warc(spark, str(p))).first()
+    assert row["frame_suspect"] is False
+
+
 def test_header_names_are_literal(spark):
     """Header names are escaped into the regex: 'X.Custom' must not
     match 'XaCustom' via a wildcard dot (review finding)."""
