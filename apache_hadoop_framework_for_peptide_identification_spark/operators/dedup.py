@@ -1212,24 +1212,32 @@ def _duplicate_runs(posted: DataFrame, key_col: str, min_run: int) -> DataFrame:
     """Shared detection scaffolding for the two substring-dedup forms
     (:func:`exact_substring_dedup` aligned chunks /
     :func:`sliding_substring_dedup` per-token windows): given a posting
-    frame (``key_col``: 16-byte content hash, id, pos), return the
-    (id, pos) occurrences that are DUPLICATES — same key seen earlier
-    in packed (id, pos) corpus order, so the first occurrence keeps —
-    and that sit in a per-document run of ≥ ``min_run`` consecutive
-    positions. The keeper/island/run rules live HERE once, so a change
-    lands in both forms by construction.
+    frame (``key_col``: 16-byte content hash, id, pos), return one row
+    PER QUALIFYING RUN — ``(id, start, end)``, the inclusive position
+    interval of a per-document run of ≥ ``min_run`` consecutive
+    duplicate occurrences (same key seen earlier in packed (id, pos)
+    corpus order, so the first occurrence keeps). Interval rows
+    replaced per-position rows in r12 (VERDICT r11 item 4): a
+    boilerplate-heavy document whose every window duplicates carried
+    ~tokens removal-set entries and an O(tokens × starts) coverage
+    scan downstream; as intervals the same document carries runs ≪
+    positions rows, the removal-join payload shrinks by the run
+    length, and coverage checks are O(tokens × runs). The
+    keeper/island/run rules live HERE once, so a change lands in both
+    forms by construction.
 
     Shuffle shape (the 100 TB argument both callers cite): one
     map-side-combinable packed-key min + count aggregate per key
     (HashAggregate both sides — see :func:`_packed_corpus_order`),
     keys seen ≥2× only into the posting join, then islands + run
-    lengths in colocated windows over (id, pos) integers. Run length
-    uses a count window, not groupBy+self-join: the (id, island)
+    stats in colocated windows over (id, pos) integers. Run stats use
+    count/min/max windows, not groupBy+self-join: the (id, island)
     window is satisfied by the island window's existing
     hashpartitioning(id) (id ⊆ clustering keys → no new exchange, just
     a sort), and it avoids re-evaluating the whole detection subtree
     twice — the self-join form measured 1.15× the stock window at
-    sf0.1 for exactly that reason.
+    sf0.1 for exactly that reason. The one-row-per-run collapse is the
+    ``pos == start`` filter on the same window — no extra exchange.
     """
     packed = _packed_corpus_order(F.col("id"), F.col("pos"))
     firsts = (
@@ -1245,12 +1253,13 @@ def _duplicate_runs(posted: DataFrame, key_col: str, min_run: int) -> DataFrame:
     )
     w = Window.partitionBy("id").orderBy("pos")
     isl = dups.withColumn("island", F.col("pos") - F.row_number().over(w))
+    wrun = Window.partitionBy("id", "island")
     return (
-        isl.withColumn(
-            "run_len", F.count(F.lit(1)).over(Window.partitionBy("id", "island"))
-        )
-        .filter(F.col("run_len") >= min_run)
-        .select("id", "pos")
+        isl.withColumn("run_len", F.count(F.lit(1)).over(wrun))
+        .withColumn("start", F.min("pos").over(wrun))
+        .withColumn("end", F.max("pos").over(wrun))
+        .filter((F.col("run_len") >= min_run) & (F.col("pos") == F.col("start")))
+        .select("id", "start", "end")
     )
 
 
@@ -1336,23 +1345,33 @@ def exact_substring_dedup(
         F.unhex(F.md5("chunk")).alias("chunk_h"),
     )
     # Keeper + island + run rules live in _duplicate_runs (shared with
-    # the sliding form so the two can never diverge).
-    removed = _duplicate_runs(posted, "chunk_h", min_run)
-    rm = removed.groupBy("id").agg(F.collect_list("pos").alias("__rm"))
+    # the sliding form so the two can never diverge). One row per
+    # qualifying run (r12): the removal join carries (start, end)
+    # intervals, so a fully-boilerplate doc costs runs rows, not
+    # chunk-count rows, and the chunk filter is O(chunks × runs).
+    runs = _duplicate_runs(posted, "chunk_h", min_run)
+    rm = runs.groupBy("id").agg(
+        F.collect_list(F.struct(F.col("start").alias("s"), F.col("end").alias("e"))).alias("__rm")
+    )
     joined = d.join(rm, "id", "left")
-    rm_set = F.coalesce(F.col("__rm"), F.array().cast("array<long>"))
+    rm_set = F.coalesce(F.col("__rm"), F.array().cast("array<struct<s:long,e:long>>"))
     kept_chunks = F.filter(
         F.transform(idx, lambda i: F.struct(i.alias("i"), F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)).alias("c"))),
-        lambda s: ~F.array_contains(rm_set, s["i"].cast("long")),
+        lambda s: ~F.exists(
+            rm_set, lambda r: (r["s"] <= s["i"].cast("long")) & (s["i"].cast("long") <= r["e"])
+        ),
     )
     tail = F.slice(toks, n_chunks * chunk_tokens + 1, F.size(toks) - n_chunks * chunk_tokens)
     clean = F.array_join(
         F.concat(F.transform(kept_chunks, lambda s: s["c"]), tail), " "
     )
+    n_removed = F.aggregate(
+        rm_set, F.lit(0).cast("long"), lambda acc, r: acc + r["e"] - r["s"] + 1
+    )
     return joined.select(
         F.col("id").alias(id_col),
         clean.alias("clean_text"),
-        F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_removed"),
+        n_removed.alias("n_removed"),
     )
 
 
@@ -1422,13 +1441,21 @@ def sliding_substring_dedup(
     # Keeper + island + run rules live in _duplicate_runs (shared with
     # the aligned form so the two can never diverge); a qualifying run
     # of w windows covers w + C - 1 tokens, hence the w_min threshold.
-    qualified = _duplicate_runs(posted, "gh", w_min)
-    rm = qualified.groupBy("id").agg(F.collect_list("pos").alias("__starts"))
+    # One row per run (r12): a run [start, end] of window starts covers
+    # tokens [start, end + C - 1] — exactly the union of its per-start
+    # windows, since starts in a run are consecutive — so the coverage
+    # filter is O(tokens × runs) where the per-start form was
+    # O(tokens × starts), the pathological fully-duplicated doc's
+    # ~starts² blowup (VERDICT r11 obs. 2).
+    runs = _duplicate_runs(posted, "gh", w_min)
+    rm = runs.groupBy("id").agg(
+        F.collect_list(F.struct(F.col("start").alias("s"), F.col("end").alias("e"))).alias("__runs")
+    )
     joined = d.join(rm, "id", "left")
-    st = F.coalesce(F.col("__starts"), F.array().cast("array<long>"))
+    rs = F.coalesce(F.col("__runs"), F.array().cast("array<struct<s:long,e:long>>"))
     kept = F.filter(
         F.transform(toks, lambda tok, j: F.struct(tok.alias("t"), j.alias("j"))),
-        lambda s: ~F.exists(st, lambda x: (x <= s["j"]) & (s["j"] <= x + C - 1)),
+        lambda s: ~F.exists(rs, lambda r: (r["s"] <= s["j"]) & (s["j"] <= r["e"] + C - 1)),
     )
     return joined.select(
         F.col("id").alias(id_col),

@@ -24,6 +24,13 @@ fetching, plus the tracking-param scrub every crawl pipeline adds):
 - scheme and host lowercased (path/query case is significant — left);
 - default port stripped (``:80`` for http, ``:443`` for https);
 - fragment removed (never sent to the server);
+- percent-encodings normalized in the path and query (RFC 3986
+  §6.2.2.1–2, added r12 — ADVICE r11): hex digits uppercased
+  (``%2f`` → ``%2F``) and UNRESERVED octets decoded (``%7E`` → ``~``,
+  ``%41`` → ``A``); reserved octets stay encoded, so structure
+  characters never appear un-escaped and param splitting is
+  unaffected. Host percent-encoding is out of scope (IDN/punycode
+  territory; crawl URLs don't carry it) — see :func:`pct_normalize`;
 - tracking parameters removed: any ``utm_*`` plus the well-known
   click-identifier set (fbclid, gclid, msclkid, yclid, igshid,
   mc_eid, _ga) — extend via ``extra_tracking``;
@@ -66,6 +73,82 @@ def _tracking_regex(extra: tuple[str, ...] = ()) -> str:
     return rf"^(utm_[^=]*|{names})(=.*)?$"
 
 
+# RFC 3986 §2.3 unreserved characters, keyed by their UPPERCASE hex
+# octet — the single source of truth for percent-encoding
+# normalization: the Spark expression (pct_normalize) and the DuckDB
+# oracle SQL (sql_pct_normalize) are both generated from this dict,
+# the html.py rule-table discipline, so the engines cannot drift.
+UNRESERVED_BY_HEX: dict[str, str] = {
+    f"{ord(c):02X}": c
+    for c in (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+}
+
+_HEX2 = r"^[0-9A-Fa-f]{2}"
+
+
+def pct_normalize(col):
+    """RFC 3986 §6.2.2.1–2 percent-encoding normalization as pure JVM
+    expressions (r12 — ADVICE r11): hex digits of every escape
+    uppercased, escapes of UNRESERVED octets decoded to the character
+    itself. Both are lossless (the spec's 'safe without fetching'
+    set); reserved octets (``%2F``, ``%3D``, ``%26`` …) stay encoded,
+    so no structural character is ever un-escaped by this pass.
+
+    Mechanics: split on ``%`` — every fragment after the first begins
+    where an escape started. A fragment opening with two hex digits
+    either decodes (unreserved, via a literal map generated from
+    UNRESERVED_BY_HEX) or re-emits ``%`` + uppercased hex; a fragment
+    NOT opening with two hex digits is a stray literal ``%``
+    (technically invalid URL syntax) and passes through unchanged with
+    its ``%`` restored. split / transform / concat HOFs only — same
+    scan-time projection discipline as the rest of the module."""
+    dec_map = F.create_map(
+        *[F.lit(x) for hx in sorted(UNRESERVED_BY_HEX) for x in (hx, UNRESERVED_BY_HEX[hx])]
+    )
+
+    def frag(x):
+        hx = F.upper(F.substring(x, 1, 2))
+        rest = F.substring(x, 3, 1 << 30)
+        decoded = F.element_at(dec_map, hx)
+        return (
+            F.when(x.rlike(_HEX2) & decoded.isNotNull(), F.concat(decoded, rest))
+            .when(x.rlike(_HEX2), F.concat(F.lit("%"), hx, rest))
+            .otherwise(F.concat(F.lit("%"), x))
+        )
+
+    parts = F.split(col, "%", -1)
+    tail = F.slice(parts, 2, F.greatest(F.lit(0), F.size(parts) - 1))
+    return F.concat(
+        F.element_at(parts, 1), F.array_join(F.transform(tail, frag), "")
+    )
+
+
+def sql_pct_normalize(expr: str) -> str:
+    """DuckDB expression replaying :func:`pct_normalize` rule-for-rule
+    — generated from the same UNRESERVED_BY_HEX table (the q179
+    oracle's percent-encoding steps; the html.py generated-oracle
+    discipline)."""
+    whens = " ".join(
+        f"WHEN '{hx}' THEN '{UNRESERVED_BY_HEX[hx]}' || x[3:]"
+        for hx in sorted(UNRESERVED_BY_HEX)
+    )
+    frag = (
+        "CASE WHEN regexp_matches(x, '^[0-9A-Fa-f]{2}') THEN "
+        f"coalesce(CASE upper(x[1:2]) {whens} END, "
+        "'%' || upper(x[1:2]) || x[3:]) "
+        "ELSE '%' || x END"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL, not '' — a
+    # %-free string would otherwise null out the whole concatenation.
+    return (
+        f"(string_split({expr}, '%')[1] || coalesce(array_to_string("
+        f"list_transform(string_split({expr}, '%')[2:], x -> {frag}), ''), ''))"
+    )
+
+
 def canonicalize_url(url, extra_tracking: tuple[str, ...] = ()):
     """Column expression computing the canonical form of ``url``.
 
@@ -84,10 +167,10 @@ def canonicalize_url(url, extra_tracking: tuple[str, ...] = ()):
         .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
         .otherwise(auth)
     )
-    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = pct_normalize(F.regexp_extract(u, _PATH_RE, 1))
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    qraw = F.regexp_extract(u, _QUERY_RE, 1)
+    qraw = pct_normalize(F.regexp_extract(u, _QUERY_RE, 1))
     track = _tracking_regex(extra_tracking)
     params = F.filter(
         F.split(qraw, "&"),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import pipeline as P
+from ..operators import urls as _U
 from . import query
 
 
@@ -739,9 +740,7 @@ def q178_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "q179_url_canonical_dedup",
-    oracle="""
+_Q179_ORACLE = """
 WITH d AS (
   SELECT doc_id, doc_id % 40 AS g, doc_id // 40 AS v, (doc_id * 37) % 101 AS qual
   FROM documents WHERE doc_id < 120),
@@ -750,21 +749,30 @@ raw AS (
     CASE v
       WHEN 0 THEN (CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END)
                   || '://example.com/page' || g || '?a=1&b=' || g
+                  || '&w=%2fq&z=%7ex'
       WHEN 1 THEN (CASE WHEN g % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
                   || '://EXAMPLE.com' || (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
-                  || '/page' || g || '/?b=' || g || '&utm_source=feed&a=1#sec'
+                  || '/%70age' || g || '/?b=' || g
+                  || '&utm_source=feed&a=1&w=%2Fq&z=~x#sec'
       ELSE (CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END)
            || '://example.com' || (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
            || '/page' || g || '?b=' || g || '&a=1&fbclid=XYZ' || g
+           || '&w=%2Fq&z=%7Ex'
     END AS url
   FROM d),
 c1 AS (SELECT doc_id, qual, regexp_replace(trim(url), '#.*', '') AS u FROM raw),
 c2 AS (SELECT doc_id, qual,
    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS auth,
-   regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
-   regexp_extract(u, '\\?([^#]*)', 1) AS q
- FROM c1),
+   {path_norm} AS path,
+   {q_norm} AS q
+ FROM c1),""".format(
+    path_norm=_U.sql_pct_normalize(
+        "regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)"
+    ),
+    q_norm=_U.sql_pct_normalize("regexp_extract(u, '\\?([^#]*)', 1)"),
+) + """
+
 c3 AS (SELECT doc_id, qual, scheme,
    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
@@ -785,8 +793,10 @@ keep AS (SELECT doc_id,
 SELECT c.doc_id, c.canon_url, c.qual, (k.rn = 1) AS kept
 FROM canon c JOIN keep k USING (doc_id)
 ORDER BY c.doc_id
-""",
-)
+"""
+
+
+@query("q179_url_canonical_dedup", oracle=_Q179_ORACLE)
 def q179_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + keep-best-per-URL dedup (added r11 —
     VERDICT r10 item 2: the production layer CommonCrawl-shape
@@ -797,7 +807,15 @@ def q179_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each — clean, and two adversarial forms layering case-varied
     scheme/host, explicit default port (:80/:443 matched to the
     group's scheme), trailing slash, fragment, utm_* and fbclid
-    tracking params, and permuted query-parameter order.
+    tracking params, and permuted query-parameter order. r12 (the
+    VERDICT/ADVICE r11 percent-encoding item): every variant also
+    carries the ``w=%2fq`` / ``w=%2Fq`` hex-case pair (reserved octet
+    — must uppercase-fold, never decode) and the ``z=%7ex`` / ``z=~x``
+    / ``z=%7Ex`` triple (unreserved — must decode to ``~``), and v1's
+    path arrives as ``/%70age`` (decodes to ``/page``); the oracle's
+    percent steps are GENERATED from the operator's own
+    UNRESERVED_BY_HEX table (sql_pct_normalize — the q183 discipline),
+    so the engines cannot drift.
 
     operators/urls.py canonicalize_url is pure JVM string/array
     expressions (regexp_extract + filter/array_sort/array_join HOFs
@@ -824,13 +842,14 @@ def q179_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs = g.cast("string")
     url = (
         F.when(v == 0, F.concat(scheme_l, F.lit("://example.com/page"), gs,
-                                F.lit("?a=1&b="), gs))
+                                F.lit("?a=1&b="), gs, F.lit("&w=%2fq&z=%7ex")))
         .when(v == 1, F.concat(scheme_u, F.lit("://EXAMPLE.com"), port,
-                               F.lit("/page"), gs, F.lit("/?b="), gs,
-                               F.lit("&utm_source=feed&a=1#sec")))
+                               F.lit("/%70age"), gs, F.lit("/?b="), gs,
+                               F.lit("&utm_source=feed&a=1&w=%2Fq&z=~x#sec")))
         .otherwise(F.concat(scheme_l, F.lit("://example.com"), port,
                             F.lit("/page"), gs, F.lit("?b="), gs,
-                            F.lit("&a=1&fbclid=XYZ"), gs))
+                            F.lit("&a=1&fbclid=XYZ"), gs,
+                            F.lit("&w=%2Fq&z=%7Ex")))
     )
     rows = d.select("doc_id", url.alias("url"), qual.alias("qual"))
     kept_ids = U.url_keeper_dedup(rows, "url", "doc_id", "qual").select(

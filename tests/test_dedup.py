@@ -665,3 +665,52 @@ def test_sliding_substring_dedup_catches_the_boundary_straddle(spark):
     assert got[0] == (P + " a b c", 0)        # first occurrence keeps
     assert got[1] == ("u v w", 16)            # straddle CAUGHT
     assert got[2] == (z, 16)
+
+
+def test_substring_dedup_pathological_doc_compresses_to_one_run(spark):
+    """r12 (VERDICT r11 obs. 2 / item 4): a fully-duplicated long doc —
+    every window a duplicate — must carry ONE (start, end) interval
+    through the removal join, not ~tokens position rows, and the
+    per-token coverage check must still excise it completely. Pins
+    both the interval-compression structure (one _duplicate_runs row)
+    and the end result on a 400-token full duplicate."""
+    import pyspark.sql.functions as F
+
+    n = 400
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+
+    # Structure: one interval row for the duplicated doc.
+    C = 8
+    d = df.select(F.col("doc_id").alias("id"), F.col("text").alias("text"))
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - C)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, C)))
+    posted = d.select("id", F.posexplode(grams).alias("pos", "g")).select(
+        "id", F.col("pos").cast("long").alias("pos"), F.unhex(F.md5("g")).alias("gh")
+    )
+    runs = dedup._duplicate_runs(posted, "gh", 1).collect()
+    assert [(r["id"], r["start"], r["end"]) for r in runs] == [(1, 0, n - C)]
+
+    # End to end: the duplicate doc is excised completely, the first
+    # occurrence keeps everything.
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.sliding_substring_dedup(
+            df, "doc_id", "text", window_tokens=C, min_span_tokens=16
+        ).collect()
+    }
+    assert got[0] == (text, 0)
+    assert got[1] == ("", n)
+
+    # The aligned form agrees (shared helper): one run over all chunks.
+    got_aligned = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.exact_substring_dedup(
+            df, "doc_id", "text", chunk_tokens=C, min_run=2
+        ).collect()
+    }
+    assert got_aligned[0] == (text, 0)
+    assert got_aligned[1] == ("", n // C)  # n_removed counts chunks here

@@ -317,3 +317,30 @@ def test_remove_reference_spans_alignment_pad_and_boundaries(spark):
     assert padded[11] == ("a z", 9)   # pad eats b,c and x,y
     assert padded[12] == ("", 7)      # left pad clamps at doc start
     assert padded[10] == ("a b c d e f g h i j", 0)
+
+
+def test_remove_reference_spans_dense_and_disjoint_intervals(spark):
+    """r12 interval-merged coverage (VERDICT r11 obs. 2): a doc that IS
+    the reference — every position a hit — must fold to one removal
+    interval and excise completely, and two leaks separated by a gap
+    wider than the pad must stay two DISJOINT intervals (the clean gap
+    survives; over-merging would eat it)."""
+    ref_text = " ".join(f"r{i}" for i in range(60))
+    ref = spark.createDataFrame([(0, ref_text)], "doc_id long, text string")
+    gap = " ".join(f"g{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [
+            (20, ref_text),  # fully contaminated: one merged interval
+            (21, "r0 r1 r2 r3 r4 " + gap + " r10 r11 r12 r13 r14"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in P.remove_reference_spans(corpus, ref, n=5, pad=1).collect()
+    }
+    assert got[20] == ("", 60)
+    # Each leak removes its 5 tokens + the one pad token that falls
+    # inside the doc (the other pad clamps at the doc edge): 6 + 6.
+    # The 8 interior gap tokens survive — two DISJOINT intervals.
+    assert got[21] == (" ".join(f"g{i}" for i in range(1, 9)), 12)

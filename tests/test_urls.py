@@ -60,6 +60,88 @@ def test_canonicalize_adversarial_cases(spark):
         assert g == want, f"canonicalize({inp!r}) = {g!r}, want {want!r}"
 
 
+# r12 — RFC 3986 §6.2.2.1–2 percent-encoding normalization (ADVICE r11):
+# hex case folds UP, unreserved octets decode, reserved octets stay
+# encoded, malformed escapes pass through.
+PCT_CASES = [
+    ("http://h/%7euser", "http://h/~user"),  # lowercase hex, unreserved
+    ("http://h/%7Euser", "http://h/~user"),  # uppercase hex, unreserved
+    ("http://h/a%2fb", "http://h/a%2Fb"),  # reserved '/': fold hex, keep encoded
+    ("http://h/a%2Fb", "http://h/a%2Fb"),
+    ("http://h/%41%42c", "http://h/ABc"),  # consecutive decodes
+    ("http://h/p?z=%7ex", "http://h/p?z=~x"),  # query side too
+    ("http://h/p?q=100%20off", "http://h/p?q=100%20off"),  # space: reserved-ish, kept
+    ("http://h/p%zz", "http://h/p%zz"),  # malformed escape: untouched
+    ("http://h/p%", "http://h/p%"),  # trailing stray '%'
+    ("http://h/%2e%2e/a", "http://h/../a"),  # '.' decodes ('..' segments are the
+    # documented trade: dot-segment resolution needs a base, out of scope)
+    ("http://h/p?a=%3D1", "http://h/p?a=%3D1"),  # '=' stays encoded: no re-split
+]
+
+
+def test_pct_normalization_cases(spark):
+    got = _canon(spark, [c[0] for c in PCT_CASES])
+    for (inp, want), g in zip(PCT_CASES, got):
+        assert g == want, f"canonicalize({inp!r}) = {g!r}, want {want!r}"
+
+
+def test_pct_normalization_matches_python_reference(spark):
+    """The split-on-%% expression against a direct Python reference of
+    the same rule, over strings stressing every branch interaction
+    (double %%, escape at string start/end, hex-lookalike after a
+    malformed escape)."""
+    import re
+
+    def ref(s: str) -> str:
+        def sub(m):
+            hx = m.group(1).upper()
+            return U.UNRESERVED_BY_HEX.get(hx, "%" + hx)
+
+        return re.sub(r"%([0-9A-Fa-f]{2})", sub, s)
+
+    inputs = [
+        "%41", "x%41", "%41x", "%", "%%", "%%41", "a%%41b", "%4", "%4g",
+        "%zz%7e", "%2f%2F%7e%7E", "plain", "", "%41%zz%42", "100%25off",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(inputs)], "i long, s string"
+    )
+    rows = (
+        df.select("i", "s", U.pct_normalize(F.col("s")).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    for r in rows:
+        assert r["n"] == ref(r["s"]), f"pct_normalize({r['s']!r}) = {r['n']!r}"
+
+
+def test_sql_pct_normalize_matches_spark(spark):
+    """Engine-portability of the GENERATED oracle expression (the q179
+    contract): DuckDB's replay must equal the Spark column for every
+    adversarial input."""
+    import duckdb
+
+    inputs = [c[0] for c in PCT_CASES] + [
+        "%41", "%%41", "%", "%4g", "%2f%7e", "", "plain",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(inputs)], "i long, s string"
+    )
+    got_spark = [
+        r["n"]
+        for r in df.select("i", U.pct_normalize(F.col("s")).alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    expr = U.sql_pct_normalize("s")
+    got_duck = [
+        con.execute(f"SELECT {expr} AS n FROM (SELECT ? AS s)", [s]).fetchone()[0]
+        for s in inputs
+    ]
+    assert got_spark == got_duck, list(zip(inputs, got_spark, got_duck))
+
+
 def test_case_fold_is_scheme_and_host_only(spark):
     # Path and query case is significant and must survive.
     [c] = _canon(spark, ["HTTPS://WWW.Example.Com:443/CaseSensitive?Key=Val"])
