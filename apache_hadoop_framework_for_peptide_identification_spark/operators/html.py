@@ -46,17 +46,30 @@ BLOCK_CLOSERS: tuple[str, ...] = (
     "table", "ul", "ol", "blockquote", "section", "article",
 )
 
+# Inline (phrasing) tags strip to EMPTY, not a space (r12 — VERDICT
+# r11 obs. 3): ``bo<b>ld</b>`` must extract as ``bold``, not ``bo ld``
+# — inline markup never marks a word boundary, and the space-strip
+# form degrades every downstream token/shingle on real HTML. All
+# other tags still strip to a space (a structural boundary IS a word
+# boundary).
+INLINE_TAGS: tuple[str, ...] = (
+    "a", "abbr", "b", "bdi", "bdo", "cite", "code", "data", "dfn",
+    "em", "i", "kbd", "mark", "q", "s", "samp", "small", "span",
+    "strong", "sub", "sup", "time", "u", "var", "wbr",
+)
+
 # (pattern, replacement) rule table — applied strictly in order.
 # Comments first (they may contain tag-lookalikes), containers next,
-# then block boundaries, then the generic tag strip, THEN entity
-# decode (an encoded &lt; must never be re-parsed as markup), then
-# whitespace normalization.
+# then block boundaries, then the inline strip (to empty), then the
+# generic tag strip (to space), THEN entity decode (an encoded &lt;
+# must never be re-parsed as markup), then whitespace normalization.
 _STRUCTURAL: tuple[tuple[str, str], ...] = (
     (r"(?s)<!--.*?-->", ""),
     (r"(?is)<head\b[^>]*>.*?</head>", ""),
     *[(rf"(?is)<{t}\b[^>]*>.*?</{t}>", "") for t in DROP_WITH_CONTENT],
     (r"(?i)<(br|hr)\b[^>]*>", "\n"),
     (rf"(?is)</({'|'.join(BLOCK_CLOSERS)})\s*>", "\n"),
+    (rf"(?is)</?({'|'.join(INLINE_TAGS)})\b[^>]*>", ""),
     (r"(?s)<[/!]?[A-Za-z][^>]*>", " "),
 )
 _ENTITIES: tuple[tuple[str, str], ...] = (

@@ -172,53 +172,47 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 11
+_CHANGED_IN_ROUND = 12
 _CHANGED_THIS_ROUND = [
-    # r11: remove_reference_spans' detection join gained the
-    # hash-collision veto (ADVICE r10) — the broadcast reference frame
-    # now carries the gram STRINGS and the join requires (hash, gram)
-    # equality, so q178 routes through a changed detection path; take
-    # a fresh verdict on it even though collision-free inputs (all of
-    # sf0.01) are output-identical.
-    "q178_decontaminate_spans",
-    # r11: hot_key_salted_join's hot/cold splits became literal isin
-    # predicates for single-column keys (bench-regression fix — the
-    # broadcast semi/anti form stamped four broadcast subtrees into
-    # every fresh plan) — q173 routes through the changed split path;
-    # output-identical by the null-folded predicate proof, fresh
-    # verdict anyway (the r10 split-API precedent).
-    "q173_hot_key_two_path_join",
-    # r11: exact_substring_dedup's first-occurrence keeper aggregate
-    # moved from min(struct(id, pos)) to min over the packed
-    # DECIMAL(38,0) key id·2⁶³+pos (_packed_corpus_order) so both
-    # aggregate sides stay HashAggregate instead of the struct form's
-    # SortAggregate fallback — order-isomorphic and injective, so
-    # output-identical by construction, but the detection path
-    # changed; fresh verdict (the r10 split-API precedent).
-    # sliding_substring_dedup (q182) took the same change; q182 is
-    # never-verified and leads the window regardless, so no pin needed.
+    # r12: canonicalize_url gained RFC 3986 §6.2.2 percent-encoding
+    # normalization (uppercase hex, decode unreserved — ADVICE r11 /
+    # VERDICT r11 item 5) applied to path and query, and q179's
+    # fixture plants hex-case + unreserved-decode variant groups with
+    # the oracle's percent steps GENERATED from the operator's own
+    # table — both implementation and oracle changed; fresh verdict.
+    "q179_url_canonical_dedup",
+    # r12: _duplicate_runs now emits one (start, end) interval per
+    # qualifying run instead of per-position rows (VERDICT r11 item
+    # 4) — the removal joins and coverage filters of BOTH substring
+    # forms route through the changed detection output shape;
+    # output-identical (interval == union of its positions, pinned by
+    # the brute-force property tests) but the path changed; fresh
+    # verdicts (the r10 split-API precedent).
     "q177_exact_substring_dedup",
+    "q182_sliding_substring_dedup",
+    # r12: remove_reference_spans folds sorted hit starts into merged
+    # removal intervals map-side (the q177/q182 twin, VERDICT r11
+    # obs. 2) — changed coverage path, same outputs (property tests);
+    # fresh verdict.
+    "q178_decontaminate_spans",
+    # r12: html.py's tag strip split into inline-tags-to-EMPTY vs
+    # everything-else-to-space (VERDICT r11 obs. 3 — "bo<b>ld</b>"
+    # extracts as "bold"), and q183's fixture plants a mid-word
+    # <em>/<i> case; rule table AND generated oracle changed together;
+    # fresh verdict.
+    "q183_html_extract_text",
     # NOT pinned (q119-precedent: guard-only or out-of-path changes
-    # cannot alter output): _cell_assign's n_top clamp (ADVICE r10 —
-    # only reachable when n_probe > n_cells, which q68's parameters
-    # never are), stream_enrich_refreshed's flat-layout fail-fast
-    # (raises before any batch runs or is a no-op; q172 always starts
-    # from a fresh out_dir), and q177's chunk-boundary docstring
-    # (documentation only). Each was re-verified against its oracle in
-    # the round-11 session log (foreign-CWD sim, sf0.01).
-    # Late-r11 review-hardening pass, also NOT pinned by the same
-    # precedent: _pq_encode's per-batch length guard (raises only on
-    # ragged input; q98's fixtures are rectangular), ingest_neardup's
-    # optional batch_postings param (q174 passes None — identical
-    # path), the tracking-name regex escape (default names are all
-    # word chars — regex byte-identical), and the substring-dedup
-    # _duplicate_runs extraction (verbatim composition move; q177 is
-    # pinned above anyway). The changes that CAN alter plans or
-    # output — q180's single-signature ingest, q181's domain reuse,
-    # q182's oracle keeper rewrite, q183's href anchor — all sit on
-    # never-driver-verified queries, which lead the window by rule
-    # (0). All re-verified foreign-CWD at sf0.01 in the round-11
-    # session log.
+    # cannot alter a green query's output): stream_neardup_ingest's
+    # fresh-checkpoint-over-existing-store fail-fast (raises before
+    # any batch or is a no-op; q180 always seeds a fresh store),
+    # ivf_append/ivf_query's dim + centroid-contiguity guards (raise
+    # only on malformed stores; q68's frames are well-formed), and
+    # parse_warc's frame_suspect column (no driver verdict existed —
+    # q184 is NEW this round and carries the column's first hash).
+    # hot_key_salted_join's optional precomputed hot_keys param
+    # (r12 item 3) defaults to None = the exact r11-verified path.
+    # All re-verified foreign-CWD at sf0.01 in the round-12 session
+    # log.
 ]
 
 

@@ -995,7 +995,12 @@ _H_B = (
 )
 _H_C = "</h1><p>"
 _H_D = '</p><!-- drop <p>junk</p> --><P CLASS="x">'
-_H_E = " &amp; more &lt;tags&gt; &quot;quoted&quot;&nbsp;end</P>"
+# r12: <em>/<i> mid-word — inline tags strip to EMPTY ("emphasized"),
+# where the generic strip would word-split ("em pha sized").
+_H_E = (
+    " &amp; more <em>em</em>pha<i>sized</i> &lt;tags&gt;"
+    " &quot;quoted&quot;&nbsp;end</P>"
+)
 _H_LI = '<ul><li><a href="/one">item one</a></li><li>item   two</li></ul>'
 _H_FOOT = '<footer>&copy; 2026 <a href="/terms">Terms</a></footer></body></html>'
 
@@ -1031,8 +1036,10 @@ def q183_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     and footer boilerplate containers with anchors, an <h1> split by
     <br>, two <p> blocks carrying the doc's real tokens, a comment
     containing tag-lookalikes, an uppercase <P CLASS=..> tag, all six
-    core entities, and (docs ≡ 0 mod 3) a list with an extra anchor
-    and a triple-space run.
+    core entities, mid-word <em>/<i> inline tags (r12 — must strip to
+    EMPTY yielding "emphasized", where the space-strip generic rule
+    would word-split; VERDICT r11 obs. 3), and (docs ≡ 0 mod 3) a
+    list with an extra anchor and a triple-space run.
 
     operators/html.py extract_html_text is a pure JVM regexp chain
     driven by one (pattern, replacement) rule table; the DuckDB
@@ -1067,4 +1074,156 @@ def q183_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             _H.html_link_count(F.col("html")).alias("n_links"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- q184: WARC/WET container parsing ladder, r12 ---------------------------
+# The declared r11 registration candidate (COVERAGE.md): the operator
+# landed pytest-verified in r11; this query puts the full crawl-input
+# ladder — scan-time record framing, header rules, Content-Length
+# cross-check, HTTP envelope strip, q183's HTML extraction — under one
+# DuckDB hash. The records are PLANTED from documents (the q179/q183
+# twin-planting pattern) and written to a real file so the Spark side
+# exercises the ACTUAL lineSep framing; the oracle reconstructs every
+# output column from the same planted truth without framing (framing
+# correctness is exactly what would diverge).
+
+_CRLF_SQL = "chr(13) || chr(10)"
+
+_Q184_BODY_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<html><head><title>Doc &amp; ' || doc_id || '</title></head>"
+    "<body><h1>D' || doc_id || '</h1><p>' || text || '</p></body></html>' "
+    "ELSE payload END"
+)
+
+_Q184_ORACLE = (
+    """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+p AS (SELECT doc_id, text,
+   CASE WHEN doc_id % 3 = 0 THEN 'response'
+        WHEN doc_id % 3 = 1 THEN 'conversion'
+        ELSE 'metadata' END AS warc_type,
+   CASE WHEN doc_id % 3 = 0 THEN
+          'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/html'
+          || {crlf} || {crlf}
+          || '<html><head><title>Doc &amp; ' || doc_id
+          || '</title></head><body><h1>D' || doc_id || '</h1><p>' || text
+          || '</p></body></html>'
+        WHEN doc_id % 3 = 1 THEN text
+        ELSE 'fetchTimeMs: 5' || doc_id || {crlf} || 'recordCount: 1'
+   END AS payload
+ FROM d),
+b AS (SELECT doc_id, warc_type, payload, {body} AS body FROM p)
+SELECT doc_id AS rec_id, warc_type,
+  '2026-01-01T00:' || lpad((doc_id % 60)::varchar, 2, '0') || ':00Z' AS warc_date,
+  strlen(payload) + CASE WHEN doc_id % 10 = 0 THEN 7 ELSE 0 END AS content_length,
+  (doc_id % 10 = 0) AS frame_suspect,
+  {title} AS title,
+  {clean} AS clean_text
+FROM b ORDER BY rec_id
+""".format(
+        crlf=_CRLF_SQL,
+        body=_Q184_BODY_SQL,
+        title=_H.sql_title("body"),
+        clean=_H.sql_extract_text("body"),
+    )
+)
+
+
+@query("q184_warc_parse_ladder", oracle=_Q184_ORACLE)
+def q184_warc_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container parsing, full crawl-input ladder (added r12 —
+    the r11-declared registration; VERDICT r11 item 2): 150 planted
+    WARC records — response (HTTP envelope wrapping an HTML page built
+    from the doc's text), conversion (WET-style direct text payload),
+    and metadata (CRLF-separated key:value payload), cycling by
+    doc_id % 3 — are written to a REAL file and read back through
+    operators/warc.py: read_warc frames records at SCAN time via the
+    text source's lineSep (no custom InputFormat — at 100 TB the scan
+    parallelizes by file split like any text read), parse_warc
+    projects the typed header columns plus the frame_suspect
+    Content-Length cross-check (ADVICE r11 — docs ≡ 0 mod 10 plant a
+    deliberately wrong length and MUST flag; everything else must
+    not), http_body strips the HTTP envelope exactly when the payload
+    opens with a status line, and q183's extract_html_text/html_title
+    derive the text tier. Every stage after the scan is a pure
+    regexp projection — zero Exchange until the final orderBy
+    (plan-asserted in tests/test_warc.py).
+
+    The oracle reconstructs all seven output columns from the SAME
+    planted truth WITHOUT the file round-trip — so the hash verdict
+    isolates exactly what the Spark side adds: marker framing, header
+    extraction (first-occurrence, case-insensitive, escaped-literal
+    names), the byte-count cross-check, and envelope stripping. The
+    driver-side fixture write is a bounded collect (150 records — the
+    q169/q148 fixture-file pattern); production reads existing WARC
+    files, never writes them.
+    """
+    import os
+    import tempfile
+
+    from ..operators import warc as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ids = F.col("doc_id").cast("string")
+    crlf = "\r\n"
+    html = F.concat(
+        F.lit("<html><head><title>Doc &amp; "), ids,
+        F.lit("</title></head><body><h1>D"), ids,
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    http_payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf),
+        html,
+    )
+    meta_payload = F.concat(
+        F.lit("fetchTimeMs: 5"), ids, F.lit(crlf + "recordCount: 1")
+    )
+    m3 = F.col("doc_id") % 3
+    wtype = (
+        F.when(m3 == 0, F.lit("response"))
+        .when(m3 == 1, F.lit("conversion"))
+        .otherwise(F.lit("metadata"))
+    )
+    payload = (
+        F.when(m3 == 0, http_payload)
+        .when(m3 == 1, F.col("text"))
+        .otherwise(meta_payload)
+    )
+    clen = F.octet_length(payload) + F.when(
+        F.col("doc_id") % 10 == 0, F.lit(7)
+    ).otherwise(F.lit(0))
+    date = F.concat(
+        F.lit("2026-01-01T00:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit(":00Z"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: "), wtype, F.lit(crlf),
+        F.lit("WARC-Target-URI: https://ex.com/d/"), ids, F.lit(crlf),
+        F.lit("WARC-Date: "), date, F.lit(crlf),
+        F.lit("Content-Length: "), clen.cast("string"), F.lit(crlf),
+        F.lit(crlf), payload, F.lit(crlf + crlf),
+    )
+    rows = d.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
+    wdir = tempfile.mkdtemp(prefix="q184_warc_")
+    # newline="" so Python never translates the spec-mandated CRLFs.
+    with open(os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline="") as fh:
+        fh.write("".join(r["rec"] for r in rows))
+
+    parsed = W.parse_warc(W.read_warc(spark, wdir))
+    body = W.http_body(F.col("payload"))
+    return (
+        parsed.select(
+            F.regexp_extract("target_uri", r"/d/(\d+)$", 1).cast("long").alias("rec_id"),
+            "warc_type",
+            "warc_date",
+            "content_length",
+            "frame_suspect",
+            _H.html_title(body).alias("title"),
+            _H.extract_html_text(body).alias("clean_text"),
+        )
+        .orderBy("rec_id")
     )

@@ -73,6 +73,18 @@ CASES = [
         "",
         0,
     ),
+    # inline tags strip to EMPTY (r12 — no word split), other tags to
+    # a space; anchors are inline too
+    (
+        "bo<b>ld</b> and <span class='x'>span</span>py "
+        '<em>em</em>pha<i>sized</i> <a href="/x">link</a>ed<table><tr>'
+        "<td>cell</td></tr></table>",
+        # opening <table>/<tr>/<td> strip to spaces (collapsed); the
+        # closing block tags' newlines are trailing and trim away
+        "bold and spanpy emphasized linked cell",
+        "",
+        1,
+    ),
     # no markup passes through
     ("plain text only", "plain text only", "", 0),
     # anchors without href don't count; href in other tags doesn't count

@@ -154,6 +154,58 @@ def test_hot_key_two_path_join_equals_plain(spark, skewed):
         assert two_path == plain, how
 
 
+def test_hot_key_join_precomputed_frame_equals_inline(spark, skewed):
+    """r12 (VERDICT r11 item 3 — the persisted-index pattern applied
+    to skew): a precomputed hot-key frame must (a) skip the per-call
+    detection job and (b) yield results identical to detect-inline —
+    including through a parquet round-trip of the frame (the
+    detect-once-per-epoch deployment shape) and with a STALE hot set
+    (results must not depend on which path a key takes)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import (
+        detect_hot_keys,
+        hot_key_salted_join,
+    )
+
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"cold_{i}", 100 + i) for i in range(5)],
+        "k string, dim_val int",
+    )
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                hot_key_salted_join(
+                    skewed, dim, on=["k"], salt_cols=["id"], buckets=8,
+                    how="left", hot_row_threshold=1_000, **kw,
+                ).select("id", "dim_val").collect(),
+            )
+        )
+
+    inline = run()
+    hot = detect_hot_keys(skewed, ["k"], 1_000)
+    assert run(hot_keys=hot) == inline
+
+    # Parquet round-trip (frame persisted beside the corpus epoch).
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="hotkeys_") + "/hot"
+    hot.write.parquet(p)
+    assert run(hot_keys=spark.read.parquet(p)) == inline
+
+    # Stale/foreign hot set: a cold key wrongly marked hot (and the
+    # true hot key missing) only moves keys between paths.
+    stale = spark.createDataFrame([("cold_3",)], "k string")
+    assert run(hot_keys=stale) == inline
+
+    # Wrong columns fail fast.
+    bad = spark.createDataFrame([(1,)], "zzz int")
+    with pytest.raises(ValueError, match="lacks join column"):
+        hot_key_salted_join(
+            skewed, dim, on=["k"], salt_cols=["id"], hot_keys=bad
+        )
+
+
 def test_detect_hot_keys_exact_and_sampled(spark, skewed):
     from apache_hadoop_framework_for_peptide_identification_spark.operators.skew import detect_hot_keys
 
