@@ -68,7 +68,7 @@ def decode_image(
     """Decode image payloads to (width, height, channels).
 
     STUB: real decoding needs Pillow/opencv, absent here (re-probed
-    rounds 8-11, latest 2026-08-14 r11: `import PIL` and `import cv2`
+    rounds 8-12, latest 2026-08-15 r12: `import PIL` and `import cv2`
     both raise ModuleNotFoundError). With
     ``fake=True`` dimensions are derived deterministically from the
     payload **md5** so downstream plumbing (schema, joins, filters) is
