@@ -48,6 +48,22 @@ Documented trades (same class as html.py's regex-not-parser note):
   framing fallback;
 - header parsing takes the FIRST occurrence of a header name,
   case-insensitively, per the spec's uniqueness rule.
+
+r12 adds the WRITE side — :func:`write_warc` — completing the
+container layer's read/write symmetry (the csv/json/xml roundtrip
+discipline, q71/q72/q128): each DataFrame row becomes one record
+(version line + headers + blank line + payload) and the text SINK's
+``lineSep`` supplies the spec's double-CRLF record separator after
+every row — so the write is fully distributed with NO coalesce, and
+every part file is a valid standalone WARC file (records never span
+rows, rows never span files). ``Content-Length`` is computed by the
+writer (octet_length of the payload), so read-back ``frame_suspect``
+is false by construction; a payload that embeds the literal record
+marker — the one input the marker-framed READER cannot survive — is
+refused AT WRITE TIME with a per-row ``raise_error`` naming the URI,
+turning the reader's documented mis-framing trade into a write-side
+hard error. Header VALUES must not contain CR/LF (they would open a
+phantom header line); the writer guards the URI and date the same way.
 """
 
 from __future__ import annotations
@@ -133,11 +149,16 @@ def parse_warc(df: DataFrame, record_col: str = "record") -> DataFrame:
     phantom fragment usually parses no Content-Length at all and
     stays null/false — it is the flagged row that marks the damage).
     False when the header is absent (nothing to cross-check).
-    Everything is a per-row expression — at 100 TB this is the scan's
-    projection, no shuffle, no UDF."""
+    Columns of ``df`` OTHER than ``record_col`` pass through unchanged
+    (r12 — so a caller can project extra headers off the raw record
+    first, e.g. ``warc_header(r, "WARC-Record-ID")``, and keep them
+    beside the standard parse). Everything is a per-row expression —
+    at 100 TB this is the scan's projection, no shuffle, no UDF."""
     r = F.col(record_col)
     clen = F.nullif(warc_header(r, "Content-Length"), F.lit("")).cast("bigint")
+    passthrough = [F.col(c) for c in df.columns if c != record_col]
     return df.select(
+        *passthrough,
         warc_header(r, "WARC-Type").alias("warc_type"),
         warc_header(r, "WARC-Target-URI").alias("target_uri"),
         warc_header(r, "WARC-Date").alias("warc_date"),
@@ -157,3 +178,112 @@ def http_body(payload: Column) -> Column:
     carry the body directly)."""
     is_http = payload.rlike(r"^HTTP/\d")
     return F.when(is_http, F.regexp_replace(payload, _HDR_END, "")).otherwise(payload)
+
+
+def warc_record(
+    warc_type: Column,
+    target_uri: Column,
+    warc_date: Column,
+    payload: Column,
+    marker: str = RECORD_MARKER,
+) -> Column:
+    """One WARC record as a string column: version line, WARC-Type /
+    WARC-Target-URI (omitted when empty) / WARC-Record-ID / WARC-Date /
+    Content-Length headers, blank line, payload — WITHOUT the trailing
+    record separator (the write side's ``lineSep`` supplies it, see
+    :func:`write_warc`). Pure expressions: Content-Length is the
+    payload's byte count (so the reader's frame_suspect cross-check
+    holds by construction) and the mandatory WARC-Record-ID is a
+    deterministic md5 urn over (uri, date, payload) — same inputs,
+    same id, which is what makes written files oracle-replayable.
+
+    Guards (per-row ``raise_error``, JVM-side): a payload embedding
+    the literal ``marker`` would mis-frame on every future read — the
+    one input the marker-framing READER cannot survive — and a CR/LF
+    inside the URI or date would open a phantom header line; both
+    refuse the WRITE with the offending URI named, instead of
+    producing a silently corrupt file.
+    """
+    version = marker[: marker.index("\r")] if "\r" in marker else marker.rstrip("\n")
+    bad_payload = payload.contains(F.lit(marker))
+    bad_hdr = target_uri.rlike(r"[\r\n]") | warc_date.rlike(r"[\r\n]")
+    checked = (
+        F.when(
+            bad_payload,
+            F.raise_error(
+                F.concat(
+                    F.lit("write_warc: payload embeds the record marker "
+                          "(would mis-frame on read) for URI "),
+                    target_uri,
+                )
+            ).cast("string"),
+        )
+        .when(
+            bad_hdr,
+            F.raise_error(
+                F.concat(
+                    F.lit("write_warc: CR/LF in a header value (phantom "
+                          "header line) for URI "),
+                    target_uri,
+                )
+            ).cast("string"),
+        )
+        .otherwise(payload)
+    )
+    rid = F.concat(
+        F.lit("<urn:md5:"),
+        F.md5(F.concat_ws("\x1f", target_uri, warc_date, payload)),
+        F.lit(">"),
+    )
+    return F.concat(
+        F.lit(version + "\r\n"),
+        F.lit("WARC-Type: "), warc_type, F.lit("\r\n"),
+        F.when(
+            target_uri != "",
+            F.concat(F.lit("WARC-Target-URI: "), target_uri, F.lit("\r\n")),
+        ).otherwise(F.lit("")),
+        F.lit("WARC-Record-ID: "), rid, F.lit("\r\n"),
+        F.lit("WARC-Date: "), warc_date, F.lit("\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(checked).cast("string"), F.lit("\r\n"),
+        F.lit("\r\n"),
+        checked,
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    type_col: str = "warc_type",
+    uri_col: str = "target_uri",
+    date_col: str = "warc_date",
+    payload_col: str = "payload",
+    mode: str = "error",
+    marker: str = RECORD_MARKER,
+) -> None:
+    """Write a DataFrame as WARC files (r12 — the container SINK
+    completing read_warc's layer): one record per row via
+    :func:`warc_record`, records separated by the spec's double CRLF
+    supplied as the text sink's ``lineSep`` (terminates EVERY row, so
+    the final record is spec-correctly separator-terminated too).
+
+    Scale shape: fully distributed — each task writes its partition's
+    rows as one part file, and because a record never spans rows, each
+    part file is a VALID standalone WARC file that read_warc (or any
+    conformant reader) consumes independently; no coalesce, no driver
+    involvement. Round-trips losslessly through
+    read_warc → parse_warc (q185): computed Content-Length makes
+    frame_suspect false by construction, and the marker/CRLF guards
+    refuse at write time the only inputs the reader cannot survive.
+    One documented asymmetry: warc_payload's display trim strips
+    PAYLOAD-trailing newline runs on read-back (they are
+    indistinguishable from the record separator under marker framing)
+    — payloads that must end in newlines belong in a length-walking
+    binary container, not WET-style text records.
+    """
+    rec = warc_record(
+        F.col(type_col), F.col(uri_col), F.col(date_col), F.col(payload_col),
+        marker=marker,
+    )
+    sep = "\r\n\r\n"
+    df.select(rec.alias("value")).write.mode(mode).option("lineSep", sep).text(path)

@@ -1227,3 +1227,101 @@ def q184_warc_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rec_id")
     )
+
+
+# --- q185: WARC container sink roundtrip, r12 --------------------------------
+
+_Q185_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+p AS (SELECT doc_id,
+   CASE WHEN doc_id % 20 = 0 THEN 'warcinfo' ELSE 'conversion' END AS warc_type,
+   CASE WHEN doc_id % 20 = 0 THEN '' ELSE 'https://ex.com/d/' || doc_id END AS target_uri,
+   '2026-01-01T00:' || lpad((doc_id % 60)::varchar, 2, '0') || ':00Z' AS warc_date,
+   CASE WHEN doc_id % 20 = 0 THEN 'crawl=r12 seg=' || doc_id
+        ELSE 'l1' || chr(10) || 'l2 ' || text END AS payload
+ FROM d)
+SELECT doc_id AS rec_id, warc_type, target_uri, warc_date,
+  '<urn:md5:' || md5(target_uri || chr(31) || warc_date || chr(31) || payload)
+    || '>' AS record_id,
+  strlen(payload) AS content_length,
+  FALSE AS frame_suspect,
+  payload
+FROM p ORDER BY rec_id
+"""
+
+
+@query("q185_warc_sink_roundtrip", oracle=_Q185_ORACLE)
+def q185_warc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container SINK + lossless roundtrip (added r12 — the write
+    half of the q184 layer, the csv/json/xml roundtrip discipline
+    applied to the crawl container): 200 planted records (conversion
+    with multi-line payloads built from the doc's text; every
+    twentieth a warcinfo with no target URI) go through
+    operators/warc.py write_warc — a fully DISTRIBUTED text sink where
+    each row becomes one record and the sink's lineSep supplies the
+    spec's double-CRLF separator, so every part file is a valid
+    standalone WARC file and no coalesce ever happens — then back
+    through read_warc → parse_warc (with the WARC-Record-ID header
+    projected alongside via the r12 passthrough).
+
+    The oracle reconstructs every column from the planted truth
+    WITHOUT the container hop, so a hash match proves the write→read
+    loop is lossless: multi-line payloads survive framing, the
+    writer's computed Content-Length makes frame_suspect false by
+    construction on all 200 rows, the absent-URI header is omitted
+    (not emitted empty) and parses back as '', and the deterministic
+    md5-urn WARC-Record-ID is replayed byte-for-byte by the oracle
+    (same md5 over the same (uri, date, payload) triple — pinning that
+    the writer emits exactly the headers it promises). The write-side
+    guards (payload embedding the record marker, CR/LF in header
+    values) are pytest-pinned in tests/test_warc.py; production
+    misuse fails at WRITE time instead of corrupting files.
+    """
+    import tempfile
+
+    from ..operators import warc as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ids = F.col("doc_id").cast("string")
+    is_info = F.col("doc_id") % 20 == 0
+    out = (
+        d.select(
+            F.when(is_info, F.lit("warcinfo")).otherwise(F.lit("conversion")).alias("warc_type"),
+            F.when(is_info, F.lit("")).otherwise(
+                F.concat(F.lit("https://ex.com/d/"), ids)
+            ).alias("target_uri"),
+            F.concat(
+                F.lit("2026-01-01T00:"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit(":00Z"),
+            ).alias("warc_date"),
+            F.when(is_info, F.concat(F.lit("crawl=r12 seg="), ids)).otherwise(
+                F.concat(F.lit("l1\nl2 "), F.col("text"))
+            ).alias("payload"),
+        )
+    )
+    wdir = tempfile.mkdtemp(prefix="q185_warc_") + "/out"
+    W.write_warc(out, wdir)
+
+    raw = W.read_warc(spark, wdir)
+    with_id = raw.withColumn(
+        "record_id", W.warc_header(F.col("record"), "WARC-Record-ID")
+    )
+    parsed = W.parse_warc(with_id)
+    rec_id = F.coalesce(
+        F.nullif(F.regexp_extract("target_uri", r"/d/(\d+)$", 1), F.lit("")).cast("long"),
+        F.regexp_extract("payload", r"seg=(\d+)", 1).cast("long"),
+    )
+    return (
+        parsed.select(
+            rec_id.alias("rec_id"),
+            "warc_type",
+            "target_uri",
+            "warc_date",
+            "record_id",
+            "content_length",
+            "frame_suspect",
+            "payload",
+        )
+        .orderBy("rec_id")
+    )

@@ -5,6 +5,7 @@ projection-only plan contract."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from apache_hadoop_framework_for_peptide_identification_spark.operators import html as H
@@ -193,6 +194,104 @@ def test_frame_suspect_keeps_content_owned_trailing_newlines(spark, tmp_path):
     p.write_text(rec)
     row = W.parse_warc(W.read_warc(spark, str(p))).first()
     assert row["frame_suspect"] is False
+
+
+def _sink_df(spark):
+    return spark.createDataFrame(
+        [
+            ("conversion", "http://a/1", "2026-01-01T00:00:00Z", "hello world"),
+            ("conversion", "http://a/2", "2026-01-01T00:00:01Z", "line1\nline2"),
+            ("warcinfo", "", "2026-01-01T00:00:02Z", "crawl=x"),
+        ],
+        "warc_type string, target_uri string, warc_date string, payload string",
+    )
+
+
+def test_write_warc_roundtrips_losslessly(spark, tmp_path):
+    """r12 container sink: write → read → parse must return exactly the
+    planted rows — multi-line payloads intact, Content-Length computed
+    (frame_suspect false everywhere), absent URI omitted and parsed
+    back as ''."""
+    d = str(tmp_path / "w")
+    W.write_warc(_sink_df(spark), d)
+    rows = W.parse_warc(W.read_warc(spark, d)).orderBy("warc_date").collect()
+    assert [(r["warc_type"], r["target_uri"], r["payload"]) for r in rows] == [
+        ("conversion", "http://a/1", "hello world"),
+        ("conversion", "http://a/2", "line1\nline2"),
+        ("warcinfo", "", "crawl=x"),
+    ]
+    assert all(r["frame_suspect"] is False for r in rows)
+    assert [r["content_length"] for r in rows] == [11, 11, 7]
+
+
+def test_write_warc_every_part_file_is_a_valid_warc(spark, tmp_path):
+    """Scale contract: the sink is distributed — one part file per
+    task — and each part file must be a standalone spec-valid WARC
+    file (records never span rows, rows never span files), so any
+    conformant reader consumes the parts independently."""
+    import glob
+
+    d = str(tmp_path / "w")
+    W.write_warc(_sink_df(spark).repartition(3), d)
+    parts = [p for p in glob.glob(d + "/part*") if not p.endswith(".crc")]
+    assert len(parts) >= 2  # genuinely multi-file
+    total = 0
+    for p in parts:
+        content = open(p, "rb").read()
+        if not content:
+            continue
+        assert content.startswith(b"WARC/1.0\r\n")
+        assert content.endswith(b"\r\n\r\n")  # spec separator terminates
+        n = W.parse_warc(W.read_warc(spark, p)).count()
+        assert n >= 1
+        total += n
+    assert total == 3
+
+
+def test_write_warc_refuses_marker_embedding_payload(spark, tmp_path):
+    """The one input marker framing cannot survive must fail at WRITE
+    time (per-row raise_error naming the URI), never produce a file
+    that silently mis-frames later."""
+    bad = spark.createDataFrame(
+        [("conversion", "http://b/1", "2026-01-01T00:00:00Z",
+          "quoting WARC/1.0\r\nWARC-Type: fake\r\n\r\ninner")],
+        "warc_type string, target_uri string, warc_date string, payload string",
+    )
+    with pytest.raises(Exception, match="embeds the record marker"):
+        W.write_warc(bad, str(tmp_path / "b"))
+
+
+def test_write_warc_refuses_crlf_in_header_values(spark, tmp_path):
+    """A CR/LF inside a header value would open a phantom header line
+    (header smuggling) — refused at write time."""
+    bad = spark.createDataFrame(
+        [("conversion", "http://b/1\r\nWARC-Type: fake", "2026-01-01T00:00:00Z", "x")],
+        "warc_type string, target_uri string, warc_date string, payload string",
+    )
+    with pytest.raises(Exception, match="CR/LF in a header value"):
+        W.write_warc(bad, str(tmp_path / "b"))
+
+
+def test_write_warc_record_id_is_deterministic(spark, tmp_path):
+    """WARC-Record-ID is an md5 urn over (uri, date, payload): two
+    writes of the same rows must emit byte-identical ids (what makes
+    written files oracle-replayable), and the id must parse back via
+    the header projection + parse_warc passthrough."""
+    from pyspark.sql import functions as F
+
+    ids = []
+    for sub in ["w1", "w2"]:
+        d = str(tmp_path / sub)
+        W.write_warc(_sink_df(spark), d)
+        raw = W.read_warc(spark, d).withColumn(
+            "record_id", W.warc_header(F.col("record"), "WARC-Record-ID")
+        )
+        parsed = W.parse_warc(raw).orderBy("warc_date")
+        assert "record_id" in parsed.columns  # passthrough held
+        ids.append([r["record_id"] for r in parsed.collect()])
+    assert ids[0] == ids[1]
+    assert all(i.startswith("<urn:md5:") and i.endswith(">") for i in ids[0])
+    assert len(set(ids[0])) == 3  # distinct per record
 
 
 def test_header_names_are_literal(spark):
