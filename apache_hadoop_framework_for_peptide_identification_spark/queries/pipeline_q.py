@@ -1325,3 +1325,125 @@ def q185_warc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rec_id")
     )
+
+
+# --- q186: robots.txt compliance filtering, r12 ------------------------------
+
+# Planted robots.txt texts (shared by builder comment and truth table):
+#   docs.example.com  — a trainbot-specific group (Disallow /private/,
+#                       Allow /private/ok$) ABOVE a catch-all group
+#                       that disallows everything: group selection must
+#                       pick the UA group or every URL goes False;
+#   wild.example.com  — star group with wildcard + $-anchored rules,
+#                       an Allow that out-specifies a Disallow, and the
+#                       historical empty "Disallow:" (allow-all idiom);
+#   other.example.com — only an otherbot group: trainbot selects no
+#                       group, so everything is allowed;
+#   none.example.com  — no robots.txt row at all.
+_ROBOTS_H0 = (
+    "# crawl policy\n"
+    "User-agent: trainbot\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok$\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+_ROBOTS_H1 = (
+    "User-agent: *\r\n"
+    "Disallow: /tmp/*\r\n"
+    "Disallow: *.jpg$\r\n"
+    "Allow: /tmp/pub\r\n"
+    "Disallow:\r\n"
+    "Crawl-delay: 10\r\n"
+)
+_ROBOTS_H2 = "User-agent: otherbot\nDisallow: /\n"
+
+_Q186_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 160),
+g AS (SELECT doc_id, doc_id % 4 AS h, (doc_id // 4) % 8 AS p FROM d),
+u AS (SELECT doc_id, h, p,
+  'https://' || CASE h WHEN 0 THEN 'docs.example.com'
+                       WHEN 1 THEN 'wild.example.com'
+                       WHEN 2 THEN 'other.example.com'
+                       ELSE 'none.example.com' END
+  || CASE p WHEN 0 THEN '/private/doc' || doc_id
+            WHEN 1 THEN '/private/ok'
+            WHEN 2 THEN '/public/doc' || doc_id
+            WHEN 3 THEN '/tmp/cache/' || doc_id
+            WHEN 4 THEN '/tmp/pub/file' || doc_id
+            WHEN 5 THEN '/private/okx'
+            WHEN 6 THEN '/media/x' || doc_id || '.jpg'
+            ELSE '/' END AS url
+ FROM g)
+SELECT doc_id, url,
+  NOT ((h = 0 AND p IN (0, 5)) OR (h = 1 AND p IN (3, 6))) AS crawl_allowed
+FROM u ORDER BY doc_id
+"""
+
+
+@query("q186_robots_compliance", oracle=_Q186_ORACLE)
+def q186_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (added r12 — the fetch-side
+    compliance layer of the crawl ladder, RFC 9309): 160 planted URLs
+    spread over a 4-host × 8-path grid resolve against three planted
+    robots.txt texts through operators/robots.py parse_robots (group
+    assembly via gaps-and-islands over exploded lines; UA-specific
+    groups beat the ``*`` groups) and robots_filter (rule paths
+    compiled to safe regexes ON the rule frame — ``*`` spans, trailing
+    ``$`` anchors, everything else escaped; longest match wins, ties
+    prefer Allow, no match allows).
+
+    The oracle is a HAND-DERIVED truth table over the planted grid
+    (the q183 hand-ground-truth pytest elevated to the driver hash):
+    every failure mode maps to a specific cell — group selection gone
+    wrong flips docs.example.com's public paths (the catch-all group
+    below disallows ``/``), a broken ``$`` anchor flips ``/private/ok``
+    vs ``/private/okx``, a broken wildcard flips ``/tmp/cache``, a
+    missed longest-match-Allow flips ``/tmp/pub``, keeping the empty
+    ``Disallow:`` as a rule flips the whole wild host, and a host with
+    no selected group (or no robots at all) must default to allowed.
+    Scale shape: the rule frame is per-host-tiny (broadcastable), the
+    URL corpus joins it by host and never all-pairs; the per-URL match
+    is regexp_like against host-local rules. Parsing windows run over
+    robots LINES, never corpus rows.
+    """
+    from ..operators import robots as R
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    ids = F.col("doc_id").cast("string")
+    h = F.col("doc_id") % 4
+    p = F.expr("doc_id div 4") % 8
+    host = (
+        F.when(h == 0, F.lit("docs.example.com"))
+        .when(h == 1, F.lit("wild.example.com"))
+        .when(h == 2, F.lit("other.example.com"))
+        .otherwise(F.lit("none.example.com"))
+    )
+    path = (
+        F.when(p == 0, F.concat(F.lit("/private/doc"), ids))
+        .when(p == 1, F.lit("/private/ok"))
+        .when(p == 2, F.concat(F.lit("/public/doc"), ids))
+        .when(p == 3, F.concat(F.lit("/tmp/cache/"), ids))
+        .when(p == 4, F.concat(F.lit("/tmp/pub/file"), ids))
+        .when(p == 5, F.lit("/private/okx"))
+        .when(p == 6, F.concat(F.lit("/media/x"), ids, F.lit(".jpg")))
+        .otherwise(F.lit("/"))
+    )
+    urls = d.select(
+        "doc_id", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [
+            ("docs.example.com", _ROBOTS_H0),
+            ("wild.example.com", _ROBOTS_H1),
+            ("other.example.com", _ROBOTS_H2),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = R.parse_robots(robots, user_agent="trainbot")
+    return (
+        R.robots_filter(urls, rules)
+        .select("doc_id", "url", "crawl_allowed")
+        .orderBy("doc_id")
+    )
