@@ -1096,8 +1096,9 @@ def connected_components(
     lineage so plan size stays constant. Near-dup graphs have tiny
     diameters (dup clusters are cliques-ish), so rounds ~ 2-3 in
     practice; for adversarial long-chain graphs at 100 TB switch to
-    the large-star/small-star variant (O(log n) rounds, same join
-    shape).
+    :func:`connected_components_star` (r12 — the promised
+    large-star/small-star variant made callable: O(log n) rounds,
+    same join shape, pytest-pinned label-equal).
     """
     sym = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
@@ -1129,7 +1130,130 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # r12 — found by the star-equality test on a 200-node chain:
+        # exhausting max_iter used to RETURN the unconverged labels
+        # silently (nodes > max_iter hops from their component's min
+        # keep a wrong cluster_id). Hash-min propagates one hop per
+        # round, so a component with diameter > max_iter cannot have
+        # converged; refuse instead of mislabeling.
+        raise ValueError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the round budget. Raise "
+            "max_iter, or use connected_components_star (O(log n) rounds) for "
+            "long-chain graphs."
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds (r12 — the O(log n)-round variant
+    :func:`connected_components`'s docstring promises for adversarial
+    long-chain graphs; the ivf_append rule: a documented discipline
+    must have a callable). Same contract as the hash-min form —
+    ``(id, cluster_id)`` with cluster_id = min node id per component,
+    nodes taken from the edge list — and pytest-pinned EQUAL to it on
+    random graphs, cliques, and the path graph where hash-min needs
+    O(diameter) rounds and this form needs O(log n)
+    (tests/test_dedup.py).
+
+    The two steps (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond" — the published alternating algorithm):
+
+    - LARGE-STAR: over the symmetrized edges, every node ``u`` links
+      each STRICTLY LARGER neighbor to ``m = min(N(u) ∪ {u})`` —
+      long tails collapse toward small ids without ever attaching a
+      smaller node upward (what keeps the step monotone);
+    - SMALL-STAR: over edges oriented (larger → smaller), every node
+      links its smaller neighbors AND itself to the minimum — local
+      stars flatten to height 1.
+
+    Each round is two groupBy-min aggregations + joins keyed on node
+    id (map-side combinable, integer pairs only), the driver loop
+    iterates over PLANS with localCheckpoint() truncating lineage
+    (the hash-min form's discipline), and convergence is detected by
+    an (edge count, unordered xxhash64 checksum) pair going stable —
+    one cheap aggregate per round instead of a set-difference join
+    (the 2⁻⁶⁴ checksum-collision risk is the documented trade).
+    Use the hash-min form for near-dup graphs (tiny diameters, ~2-3
+    rounds, fewer stages per round); this one when components can be
+    long chains — id-sorted crawl frontiers, temporal link graphs —
+    where O(diameter) rounds is the difference between 3 and 300
+    shuffles at 100 TB.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = e.localCheckpoint()
+
+    def _stamp(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-independent over the DISTINCT edge
+        # set and immune to ANSI long-overflow (summing 64-bit hashes
+        # overflows).
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # LARGE-STAR over the symmetrized edge set.
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv")).alias("m")
+        ls = (
+            sym.join(mins, "u")
+            .select("u", "v", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR over (larger -> smaller) orientation.
+        direct = (
+            ls.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        smins = direct.groupBy("u").agg(F.min("v").alias("m"))
+        part_nbrs = (
+            direct.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        part_self = smins.select(F.col("u"), F.col("m").alias("v"))
+        e = (
+            part_nbrs.union(part_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _stamp(e)
+        if cur == prev:
+            break
+        prev = cur
+    labels = e.groupBy("u").agg(F.min("v").alias("lbl"))
+    return nodes.join(labels, nodes["id"] == labels["u"], "left").select(
+        "id", F.coalesce("lbl", "id").alias("cluster_id")
+    )
 
 
 def fuzzy_name_pairs(

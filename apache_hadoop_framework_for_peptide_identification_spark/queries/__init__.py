@@ -211,6 +211,12 @@ _CHANGED_THIS_ROUND = [
     # q184 is NEW this round and carries the column's first hash).
     # hot_key_salted_join's optional precomputed hot_keys param
     # (r12 item 3) defaults to None = the exact r11-verified path.
+    # connected_components' non-convergence raise is guard-only for
+    # every converging graph (all of q79/q96/q112/q176's fixtures
+    # converge in 2-3 rounds — re-verified against their oracles this
+    # session), and connected_components_star is a NEW callable no
+    # driver query routes through (capacity policy (c): q79's oracle
+    # covers the CC contract; equality is pytest-pinned).
     # All re-verified foreign-CWD at sf0.01 in the round-12 session
     # log.
 ]

@@ -176,6 +176,79 @@ def test_connected_components_chain_and_islands(spark):
     assert set(got) == set(range(21)) | {100, 101, 200, 201, 202}
 
 
+def test_connected_components_star_equals_hash_min(spark):
+    """r12: the large-star/small-star variant (the O(log n)-round form
+    the hash-min docstring promises for long-chain graphs) must be
+    label-identical to connected_components on every graph shape —
+    chains (worst-case diameter), cliques, stars, islands, shuffled
+    ids, and a seeded random graph."""
+    import random
+
+    rng = random.Random(42)
+    rand_edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+    ]
+    cases = [
+        [(i, i + 1) for i in range(40)],                     # chain
+        [(i, j) for i in range(8) for j in range(i + 1, 8)], # clique
+        [(50, i) for i in range(40)],                        # star, hub mid-id
+        [(1, 2), (10, 11), (11, 12), (20, 21)],              # islands
+        [(i + 1, i) for i in range(30)] + [(500, 0)],        # reversed + bridge
+        [e for e in rand_edges if e[0] != e[1]],             # random
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(df).collect()
+        }
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components_star(df).collect()
+        }
+        assert got == want, (edges[:5], len(edges))
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """r12 (found by the star-equality test): a component whose
+    diameter exceeds max_iter used to come back silently MISLABELED —
+    hash-min propagates one hop per round, so the 200-node chain
+    cannot converge in 50. It must refuse, naming the star variant;
+    the star form solves the same graph inside its default budget."""
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=10)  # diameter 40 > 10
+    # the star variant solves the same graph inside a tiny round budget
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_star(edges, max_iter=14).collect()
+    }
+    assert all(v == 0 for v in got.values()) and len(got) == 41
+
+
+def test_connected_components_star_round_count_is_logarithmic(spark):
+    """The point of the variant: a 200-node path graph converges in
+    O(log n) alternating rounds (hash-min needs ~diameter rounds
+    there). Pinned loosely — well under the diameter, comfortably
+    above log2(n) — so a regression to per-hop propagation fails."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    # max_iter bounds the loop; convergence inside 16 rounds (log2(200)
+    # ≈ 7.6 plus the alternating constant) proves the collapse is
+    # multiplicative, not per-hop.
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_star(edges, max_iter=16).collect()
+    }
+    assert all(v == 0 for v in got.values())
+    assert set(got) == set(range(201))
+
+
 def test_cluster_keeper_dedup_end_to_end(dup_docs):
     """pairs -> components -> keep min per cluster: every planted copy
     (id 1000+i) maps to its original's cluster and is dropped by
