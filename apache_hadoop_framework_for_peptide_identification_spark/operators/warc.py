@@ -206,7 +206,11 @@ def warc_record(
     """
     version = marker[: marker.index("\r")] if "\r" in marker else marker.rstrip("\n")
     bad_payload = payload.contains(F.lit(marker))
-    bad_hdr = target_uri.rlike(r"[\r\n]") | warc_date.rlike(r"[\r\n]")
+    bad_hdr = (
+        target_uri.rlike(r"[\r\n]")
+        | warc_date.rlike(r"[\r\n]")
+        | warc_type.rlike(r"[\r\n]")
+    )
     checked = (
         F.when(
             bad_payload,

@@ -89,6 +89,20 @@ def test_substring_dedup_keeper_aggregate_is_hash(spark, name):
     assert any("HashAggregate" in l for l in keeper), plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q184_warc_parse_ladder", "q185_warc_sink_roundtrip"]
+)
+def test_warc_ladders_are_projections_until_the_sort(spark, name):
+    """r12 WARC queries: framing/parsing/extraction are scan-time
+    projections — the ONLY exchange in either plan is the final
+    orderBy's range partitioning. A hash exchange appearing here means
+    a parse stage started shuffling record text."""
+    plan = _plan(spark, name)
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    bad = [l for l in exchanges if "rangepartitioning" not in l]
+    assert not bad, bad
+
+
 def test_q44_corpus_never_shuffles(spark):
     """Brute-force ANN broadcasts the query side; the corpus join must
     be broadcast, with the only exchange the final window/rank."""
