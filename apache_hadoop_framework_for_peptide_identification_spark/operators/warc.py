@@ -98,6 +98,28 @@ def read_warc(spark: SparkSession, path: str, marker: str = RECORD_MARKER) -> Da
     )
 
 
+def read_warc_stream(
+    spark: SparkSession, path: str, marker: str = RECORD_MARKER
+) -> DataFrame:
+    """STREAMING twin of :func:`read_warc` (r12): watch a directory
+    for arriving WARC/WET files and emit one ``record`` row per
+    record, framed by the same scan-time ``lineSep`` — new crawl
+    segments flow straight into the ladder
+    (parse_warc → http_body → extract_html_text are per-row
+    projections, so they apply to a streaming frame unchanged; pair
+    with stream_neardup_ingest for the content tier). File-source
+    semantics: each file is processed exactly once per checkpoint,
+    records never span files (the write_warc layout guarantees it),
+    and framing tolerates nothing extra — same marker rules as the
+    batch reader. Verified end-to-end in tests/test_warc.py via an
+    availableNow foreachBatch drain."""
+    return (
+        spark.readStream.text(path, lineSep=marker)
+        .select(F.col("value").alias("record"))
+        .filter(F.col("record").rlike(r"\S"))
+    )
+
+
 def warc_header(record: Column, name: str) -> Column:
     """Value of header ``name`` in the record's header block (first
     occurrence, case-insensitive, value trimmed; '' when absent).

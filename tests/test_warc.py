@@ -294,6 +294,50 @@ def test_write_warc_record_id_is_deterministic(spark, tmp_path):
     assert len(set(ids[0])) == 3  # distinct per record
 
 
+def test_read_warc_stream_full_ladder(spark, tmp_path):
+    """r12 streaming ingest: records arriving as files flow through
+    the SAME projection ladder — two micro-batch drains (second file
+    lands after the first drain) must together yield exactly the
+    batch reader's parse, and the second drain must not reprocess the
+    first file (file-source exactly-once)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    out = []
+
+    def drain():
+        stream = W.read_warc_stream(spark, str(src))
+        q = (
+            W.parse_warc(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: out.extend(
+                    (r["warc_type"], r["target_uri"], r["payload"], r["frame_suspect"])
+                    for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (src / "a.warc").write_text(
+        "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://s/1\r\n"
+        "Content-Length: 5\r\n\r\nfirst\r\n\r\n"
+    )
+    drain()
+    assert out == [("conversion", "http://s/1", "first", False)]
+    (src / "b.warc").write_text(
+        "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: http://s/2\r\n"
+        "Content-Length: 6\r\n\r\nsecond\r\n\r\n"
+    )
+    drain()
+    assert sorted(out) == [
+        ("conversion", "http://s/1", "first", False),
+        ("conversion", "http://s/2", "second", False),
+    ]
+
+
 def test_header_names_are_literal(spark):
     """Header names are escaped into the regex: 'X.Custom' must not
     match 'XaCustom' via a wildcard dot (review finding)."""
