@@ -115,6 +115,41 @@ def test_pct_normalization_matches_python_reference(spark):
         assert r["n"] == ref(r["s"]), f"pct_normalize({r['s']!r}) = {r['n']!r}"
 
 
+def test_canonicalize_is_idempotent(spark):
+    """Canonicalization must be a projection onto its own image:
+    canonicalize(canonicalize(u)) == canonicalize(u) for every input —
+    the invariant that makes canonical URLs safe as join/dedup keys
+    (re-canonicalizing a stored key can never change it). Stressed
+    over a seeded generator mixing every rule: case, ports, fragments,
+    tracking params, percent-escapes (reserved, unreserved, malformed),
+    slashes, and junk."""
+    import random
+
+    rng = random.Random(7)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "a.b.co.uk", "X.Y", "h"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b/", "/%70age", "/a%2fb", "/p%ZZq", "/x%", "//y//"]
+    params = ["a=1", "B=%7e", "utm_source=x", "fbclid=Q", "z=%2F", "m", ""]
+    urls = []
+    for i in range(200):
+        q = "&".join(rng.sample(params, rng.randrange(0, len(params))))
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths) + (("?" + q) if q else "")
+            + (("#f" + str(i)) if rng.random() < 0.3 else "")
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    once = U.canonicalize_url(F.col("u"))
+    rows = (
+        df.select("i", "u", once.alias("c1"))
+        .select("i", "u", "c1", U.canonicalize_url(F.col("c1")).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert not rows, [(r["u"], r["c1"], r["c2"]) for r in rows[:5]]
+
+
 def test_sql_pct_normalize_matches_spark(spark):
     """Engine-portability of the GENERATED oracle expression (the q179
     contract): DuckDB's replay must equal the Spark column for every
