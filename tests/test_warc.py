@@ -338,6 +338,54 @@ def test_read_warc_stream_full_ladder(spark, tmp_path):
     ]
 
 
+def test_write_read_roundtrip_property(spark, tmp_path):
+    """Seeded adversarial roundtrip: 150 generated records — payloads
+    mixing internal blank lines (\\r\\n\\r\\n INSIDE content), lone CRs,
+    header-lookalike lines, HTTP-status-lookalike openings, unicode,
+    empty payloads, and marker PREFIXES ('WARC/1.' without the full
+    marker) — must come back byte-identical through write_warc →
+    read_warc → parse_warc with frame_suspect false everywhere.
+    Excluded by the documented trades: payload-trailing newlines
+    (display-trimmed on read) and full embedded markers (refused at
+    write). content_length must equal the payload's UTF-8 byte count
+    on every row."""
+    import random
+
+    rng = random.Random(11)
+    pieces = [
+        "plain words", "line\nbreaks", "blank\r\n\r\ninside", "lone\rcr",
+        "Fake-Header: value", "HTTP/1.1 lookalike", "WARC/1.", "tab\tsep",
+        "unicode é ☃", "", "a" * 300,
+    ]
+    rows = []
+    for i in range(150):
+        body = " | ".join(
+            rng.choice(pieces) for _ in range(rng.randrange(1, 4))
+        ).rstrip("\r\n")
+        # payloads OPENING with a real HTTP status line are consumed by
+        # http_body downstream, but parse_warc must still return them
+        # verbatim — keep them in.
+        rows.append(
+            ("conversion", f"http://p/{i}", "2026-01-01T00:00:00Z", body)
+        )
+    df = spark.createDataFrame(
+        rows, "warc_type string, target_uri string, warc_date string, payload string"
+    )
+    d = str(tmp_path / "prop")
+    W.write_warc(df, d)
+    got = {
+        r["target_uri"]: r
+        for r in W.parse_warc(W.read_warc(spark, d)).collect()
+    }
+    assert len(got) == 150
+    for wtype, uri, date, body in rows:
+        r = got[uri]
+        assert r["payload"] == body, (uri, body, r["payload"])
+        assert r["frame_suspect"] is False, uri
+        assert r["content_length"] == len(body.encode("utf-8")), uri
+        assert r["warc_type"] == wtype and r["warc_date"] == date
+
+
 def test_header_names_are_literal(spark):
     """Header names are escaped into the regex: 'X.Custom' must not
     match 'XaCustom' via a wildcard dot (review finding)."""
