@@ -192,6 +192,41 @@ def parse_warc(df: DataFrame, record_col: str = "record") -> DataFrame:
     )
 
 
+_HTTP_STATUS_RE = r"^HTTP/\d(?:\.\d)?\s+(\d{3})"
+
+
+def http_status(payload: Column) -> Column:
+    """HTTP status code of a response payload's envelope (int; NULL
+    when the payload does not open with a status line — conversion/WET
+    records). Pure regexp projection; pairs with :func:`http_header`
+    for the status/MIME gate crawl pipelines apply BEFORE extraction
+    (fetch errors and non-text content are the majority of raw crawl
+    responses — dropping them pre-extraction is the cheap win)."""
+    return F.nullif(
+        F.regexp_extract(payload, _HTTP_STATUS_RE, 1), F.lit("")
+    ).cast("int")
+
+
+def http_header(payload: Column, name: str) -> Column:
+    """Value of HTTP header ``name`` in a response payload's envelope
+    (first occurrence, case-insensitive, trimmed; '' when absent or
+    when the payload is not an HTTP envelope). The envelope is the
+    block before the first blank line — exactly what :func:`http_body`
+    strips — so this is the same regexp discipline as
+    :func:`warc_header`, applied one protocol layer down. Media-type
+    values usually carry parameters (``text/html; charset=utf-8``);
+    split on ``;`` downstream when gating on the bare MIME type."""
+    import re as _re
+
+    name_lit = _re.sub(r"([^A-Za-z0-9_])", r"\\\1", name)
+    envelope = F.when(
+        payload.rlike(r"^HTTP/\d"), F.regexp_extract(payload, _HDR_END, 1)
+    ).otherwise(F.lit(""))
+    return F.trim(
+        F.regexp_extract(envelope, rf"(?im)^{name_lit}:[ \t]*([^\r\n]*)", 1)
+    )
+
+
 def http_body(payload: Column) -> Column:
     """Body of an HTTP response payload (``response`` records wrap the
     fetched bytes in status line + headers + blank line): everything

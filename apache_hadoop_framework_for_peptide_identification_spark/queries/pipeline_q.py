@@ -1447,3 +1447,113 @@ def q186_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url", "crawl_allowed")
         .orderBy("doc_id")
     )
+
+
+# --- q187: HTTP status/MIME gate on WARC responses, r12 ----------------------
+
+_Q187_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+g AS (SELECT doc_id, text, doc_id % 5 AS s, doc_id % 3 AS m FROM d),
+p AS (SELECT doc_id, text,
+   CASE s WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301
+          WHEN 3 THEN 404 ELSE 200 END AS status,
+   CASE m WHEN 0 THEN 'text/html; charset=utf-8'
+          WHEN 1 THEN 'image/jpeg' ELSE 'text/plain' END AS ctype
+ FROM g)
+SELECT doc_id, status,
+  trim(string_split(ctype, ';')[1]) AS mime,
+  (status = 200 AND trim(string_split(ctype, ';')[1]) LIKE 'text/%') AS kept,
+  CASE WHEN status = 200 AND trim(string_split(ctype, ';')[1]) = 'text/html'
+       THEN 'D' || doc_id || chr(10) || text
+       WHEN status = 200 AND trim(string_split(ctype, ';')[1]) = 'text/plain'
+       THEN text
+       ELSE '' END AS clean_text
+FROM p ORDER BY doc_id
+"""
+
+
+@query("q187_http_status_mime_gate", oracle=_Q187_ORACLE)
+def q187_http_status_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP status + MIME gate on WARC response records (added r12 —
+    the fetch-tier filter between q184's parsing and q183's
+    extraction: raw crawls are mostly redirects, 404s, and non-text
+    content types, and production pipelines drop them BEFORE paying
+    for extraction). 150 planted response records carry envelopes with
+    status cycling 200/200/301/404/200 and Content-Type cycling
+    text/html (with a charset parameter that must be split off) /
+    image/jpeg / text/plain; html bodies wrap the doc's text in an
+    <h1>+<p> page, non-html payloads carry bytes the gate must never
+    extract.
+
+    operators/warc.py http_status / http_header are pure regexp
+    projections over the payload's envelope block (the warc_header
+    discipline one protocol layer down — first occurrence,
+    case-insensitive, parameter split downstream); the gate keeps
+    status == 200 AND mime LIKE 'text/%' and extraction runs ONLY on
+    kept rows (non-kept rows emit '' — the oracle pins that the jpeg
+    payload's fake bytes never leak into clean_text). Like q184 the
+    records go through a REAL file so the envelope survives framing;
+    the oracle rebuilds status/mime/kept/clean_text closed-form from
+    the planted grid. Zero Exchange until the final sort (the warc
+    plan contract)."""
+    import tempfile
+
+    from ..operators import warc as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    ids = F.col("doc_id").cast("string")
+    crlf = "\r\n"
+    s = F.col("doc_id") % 5
+    m = F.col("doc_id") % 3
+    status_line = (
+        F.when(s == 2, F.lit("HTTP/1.1 301 Moved Permanently"))
+        .when(s == 3, F.lit("HTTP/1.1 404 Not Found"))
+        .otherwise(F.lit("HTTP/1.1 200 OK"))
+    )
+    ctype = (
+        F.when(m == 0, F.lit("text/html; charset=utf-8"))
+        .when(m == 1, F.lit("image/jpeg"))
+        .otherwise(F.lit("text/plain"))
+    )
+    body = (
+        F.when(m == 0, F.concat(F.lit("<html><body><h1>D"), ids,
+                                F.lit("</h1><p>"), F.col("text"),
+                                F.lit("</p></body></html>")))
+        .when(m == 1, F.concat(F.lit("\xff\xd8fakejpegbytes"), ids))
+        .otherwise(F.col("text"))
+    )
+    payload = F.concat(
+        status_line, F.lit(crlf),
+        F.lit("Content-Type: "), ctype, F.lit(crlf),
+        F.lit("Server: test"), F.lit(crlf),
+        F.lit(crlf), body,
+    )
+    records = d.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("https://ex.com/d/"), ids).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        payload.alias("payload"),
+    )
+    wdir = tempfile.mkdtemp(prefix="q187_warc_") + "/out"
+    W.write_warc(records, wdir)
+
+    parsed = W.parse_warc(W.read_warc(spark, wdir))
+    pay = F.col("payload")
+    status = W.http_status(pay)
+    mime = F.trim(F.element_at(F.split(W.http_header(pay, "Content-Type"), ";"), 1))
+    kept = (status == 200) & mime.startswith("text/")
+    from ..operators import html as H
+
+    clean = F.when(
+        kept & (mime == "text/html"), H.extract_html_text(W.http_body(pay))
+    ).when(kept, W.http_body(pay)).otherwise(F.lit(""))
+    return (
+        parsed.select(
+            F.regexp_extract("target_uri", r"/d/(\d+)$", 1).cast("long").alias("doc_id"),
+            status.alias("status"),
+            mime.alias("mime"),
+            kept.alias("kept"),
+            clean.alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

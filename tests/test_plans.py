@@ -90,7 +90,12 @@ def test_substring_dedup_keeper_aggregate_is_hash(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q184_warc_parse_ladder", "q185_warc_sink_roundtrip"]
+    "name",
+    [
+        "q184_warc_parse_ladder",
+        "q185_warc_sink_roundtrip",
+        "q187_http_status_mime_gate",
+    ],
 )
 def test_warc_ladders_are_projections_until_the_sort(spark, name):
     """r12 WARC queries: framing/parsing/extraction are scan-time

@@ -386,6 +386,37 @@ def test_write_read_roundtrip_property(spark, tmp_path):
         assert r["warc_type"] == wtype and r["warc_date"] == date
 
 
+def test_http_status_and_header_projections(spark):
+    """r12 fetch-tier gate: status parses from HTTP/1.0, HTTP/1.1, and
+    HTTP/2-style status lines; non-envelope payloads give NULL status
+    and '' headers; header lookup is case-insensitive/first-wins and
+    never leaks matches from the BODY (a body line that looks like a
+    header must not count — the envelope ends at the blank line)."""
+    rows = [
+        (0, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nbody"),
+        (1, "HTTP/1.0 404 Not Found\r\ncontent-type: text/plain\r\n\r\nx"),
+        (2, "HTTP/2 301\r\nLocation: /a\r\n\r\n"),
+        (3, "plain wet text, no envelope"),
+        (4, "HTTP/1.1 200 OK\r\nServer: s\r\n\r\nContent-Type: fake/body"),
+        (5, "HTTP/1.1 200 OK\r\nContent-Type: a/1\r\nContent-Type: b/2\r\n\r\nx"),
+    ]
+    df = spark.createDataFrame(rows, "i long, payload string")
+    got = {
+        r["i"]: (r["st"], r["ct"])
+        for r in df.select(
+            "i",
+            W.http_status(F.col("payload")).alias("st"),
+            W.http_header(F.col("payload"), "Content-Type").alias("ct"),
+        ).collect()
+    }
+    assert got[0] == (200, "text/html")
+    assert got[1] == (404, "text/plain")  # case-insensitive name
+    assert got[2] == (301, "")
+    assert got[3] == (None, "")           # not an envelope
+    assert got[4] == (200, "")            # body lookalike must NOT match
+    assert got[5] == (200, "a/1")         # first occurrence wins
+
+
 def test_header_names_are_literal(spark):
     """Header names are escaped into the regex: 'X.Custom' must not
     match 'XaCustom' via a wildcard dot (review finding)."""
