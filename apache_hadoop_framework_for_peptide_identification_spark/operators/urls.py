@@ -221,6 +221,89 @@ def url_keeper_dedup(
     )
 
 
+# ------------------------------------------------------ discovery layer
+
+# XML character entities, decoded in sitemap <loc> values (&amp; LAST —
+# the html.py ordering rule: "&amp;lt;" is the literal text "&lt;").
+_XML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _xml_text(entry, tag: str):
+    """Trimmed, entity-decoded text of the FIRST <tag> element inside
+    an entry fragment ('' when absent). Pure regexp projection."""
+    val = F.regexp_extract(entry, rf"(?is)<{tag}\b[^>]*>\s*(.*?)\s*</{tag}>", 1)
+    for ent, ch in _XML_ENTITIES:
+        val = F.regexp_replace(val, ent, ch)
+    return val
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Parse sitemap XML (sitemaps.org 0.9) into one row per entry —
+    the DISCOVERY side of the crawl ladder (robots.txt's ``Sitemap:``
+    lines point here; the produced locs feed q179's canonicalization
+    and the frontier). Handles BOTH document kinds in one pass:
+    ``<urlset>`` page entries (kind ``url``: loc, lastmod, changefreq,
+    priority) and ``<sitemapindex>`` child references (kind
+    ``sitemap``: loc, lastmod). Columns other than ``xml_col`` pass
+    through unchanged (the parse_warc r12 rule), so a (host, xml)
+    frame keeps its host beside each exploded entry.
+
+    Same engine-portable discipline as operators/html.py: the parse is
+    a regexp_extract_all + transform projection (tags matched with
+    attributes tolerated, values trimmed, the five XML character
+    entities decoded ``&amp;`` last) — namespace declarations are
+    ATTRIBUTES under this grammar and ignored, which is exactly right
+    for the sitemap namespace. At 100 TB sitemap files are a rounding
+    error next to the crawl; what matters is that this runs in the
+    same scan-time-projection tier as the rest of the layer — one
+    explode per document, no UDF, no shuffle beyond the explode's
+    narrow pass, and the q188 oracle replays the grammar closed-form.
+    """
+    xml = F.col(xml_col)
+    passthrough = [F.col(c) for c in df.columns if c != xml_col]
+
+    def entries(tag: str, kind: str):
+        frags = F.regexp_extract_all(
+            xml, F.lit(rf"(?is)<{tag}\b[^>]*>(.*?)</{tag}>"), F.lit(1)
+        )
+        return F.transform(
+            frags,
+            lambda e: F.struct(
+                F.lit(kind).alias("kind"),
+                _xml_text(e, "loc").alias("loc"),
+                _xml_text(e, "lastmod").alias("lastmod"),
+                _xml_text(e, "changefreq").alias("changefreq"),
+                # try_cast: real-world priority values are not always
+                # numeric, and under ANSI mode a plain cast would fail
+                # the whole scan on one malformed element.
+                F.nullif(_xml_text(e, "priority"), F.lit("")).try_cast("double").alias(
+                    "priority"
+                ),
+            ),
+        )
+
+    both = F.concat(entries("url", "url"), entries("sitemap", "sitemap"))
+    return (
+        df.select(*passthrough, F.explode(both).alias("__e"))
+        .select(
+            *passthrough,
+            F.col("__e.kind").alias("kind"),
+            F.col("__e.loc").alias("loc"),
+            F.col("__e.lastmod").alias("lastmod"),
+            F.col("__e.changefreq").alias("changefreq"),
+            F.col("__e.priority").alias("priority"),
+        )
+        .filter(F.col("loc") != "")
+    )
+
+
 # ------------------------------------------------------- domain layer
 
 # Well-known two-level public suffixes for the registered-domain

@@ -1557,3 +1557,100 @@ def q187_http_status_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q188: sitemap discovery parsing, r12 ------------------------------------
+
+_Q188_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+base AS (SELECT doc_id, doc_id % 5 = 0 AS is_index,
+                'https://s' || (doc_id % 4) || '.com' AS site,
+                lpad(((doc_id % 28) + 1)::varchar, 2, '0') AS dd,
+                ((doc_id % 9) + 1)::varchar AS pr
+ FROM d),
+urlrows AS (
+  SELECT doc_id, 'url' AS kind,
+         site || '/p' || doc_id || '?a=1&b=2' AS loc,
+         '2026-01-' || dd AS lastmod, 'daily' AS changefreq,
+         ('0.' || pr)::double AS priority
+  FROM base WHERE NOT is_index
+  UNION ALL
+  SELECT doc_id, 'url', site || '/q' || doc_id, '', '', NULL
+  FROM base WHERE NOT is_index
+  UNION ALL
+  SELECT doc_id, 'url', site || '/r' || doc_id, '2026-01-' || dd, '', NULL
+  FROM base WHERE NOT is_index),
+idxrows AS (
+  SELECT doc_id, 'sitemap' AS kind,
+         site || '/sitemap-' || doc_id || '-1.xml' AS loc,
+         '2026-01-' || dd AS lastmod, '' AS changefreq,
+         NULL::double AS priority
+  FROM base WHERE is_index
+  UNION ALL
+  SELECT doc_id, 'sitemap', site || '/sitemap-' || doc_id || '-2.xml',
+         '', '', NULL
+  FROM base WHERE is_index)
+SELECT * FROM (SELECT * FROM urlrows UNION ALL SELECT * FROM idxrows)
+ORDER BY doc_id, loc
+"""
+
+
+@query("q188_sitemap_discovery", oracle=_Q188_ORACLE)
+def q188_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (added r12 — the DISCOVERY side of the crawl
+    ladder: robots.txt's ``Sitemap:`` lines point at these files, and
+    the produced locs feed q179's canonicalization and the frontier).
+    120 planted sitemap documents — every fifth a ``<sitemapindex>``
+    with two child references (one carrying lastmod), the rest
+    ``<urlset>`` files with three ``<url>`` entries each: a full entry
+    (whitespace-padded loc with an entity-escaped ``&amp;``, lastmod,
+    changefreq, priority), a loc-only entry, and a loc+lastmod entry —
+    all under the real sitemaps.org namespace declaration, which the
+    grammar must treat as an inert attribute.
+
+    operators/urls.py parse_sitemap is a regexp_extract_all +
+    transform projection (the html.py discipline — tags matched with
+    attributes tolerated, ``<url>`` must not match ``<urlset>`` and
+    ``<sitemap>`` must not match ``<sitemapindex>`` via the \\b
+    anchor, values trimmed, the five XML character entities decoded
+    ``&amp;`` last, priority cast to double); both document kinds
+    parse in ONE pass and the doc_id passthrough keeps provenance.
+    The oracle rebuilds every expected entry row closed-form from the
+    planted grid — a missed entry, a leaked namespace attribute, an
+    undecoded entity, or a priority parse drift all hash-mismatch.
+    """
+    from ..operators import urls as U
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    ids = F.col("doc_id").cast("string")
+    is_index = F.col("doc_id") % 5 == 0
+    site = F.concat(F.lit("https://s"), (F.col("doc_id") % 4).cast("string"), F.lit(".com"))
+    dd = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    pr = ((F.col("doc_id") % 9) + 1).cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>\n'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              " <url><loc> "),
+        site, F.lit("/p"), ids, F.lit("?a=1&amp;b=2 </loc><lastmod>2026-01-"), dd,
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."), pr,
+        F.lit("</priority></url>\n <url><loc>"),
+        site, F.lit("/q"), ids,
+        F.lit("</loc></url>\n <url><loc>"),
+        site, F.lit("/r"), ids, F.lit("</loc><lastmod>2026-01-"), dd,
+        F.lit("</lastmod></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              " <sitemap><loc>"),
+        site, F.lit("/sitemap-"), ids, F.lit("-1.xml</loc><lastmod>2026-01-"), dd,
+        F.lit("</lastmod></sitemap>\n <sitemap><loc>"),
+        site, F.lit("/sitemap-"), ids, F.lit("-2.xml</loc></sitemap>\n</sitemapindex>"),
+    )
+    docs = d.select(
+        "doc_id", F.when(is_index, index).otherwise(urlset).alias("xml")
+    )
+    return (
+        U.parse_sitemap(docs, "xml")
+        .select("doc_id", "kind", "loc", "lastmod", "changefreq", "priority")
+        .orderBy("doc_id", "loc")
+    )

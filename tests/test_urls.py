@@ -228,6 +228,43 @@ def test_keeper_dedup_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_parse_sitemap_grammar_corners(spark):
+    """r12 discovery layer: <url> must not match <urlset> and
+    <sitemap> must not match <sitemapindex> (the \\b anchor); both
+    kinds parse in one pass; namespace declarations are inert
+    attributes; loc whitespace trims; entities decode with &amp; LAST
+    (&amp;lt; is the literal text &lt;); entries without a loc drop;
+    non-numeric priority comes back NULL instead of failing; and
+    passthrough columns survive the explode."""
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>  https://a/1?x=1&amp;y=2  </loc><priority>0.5</priority></url>"
+        "<url><loc>https://a/amp?e=&amp;lt;</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc -> dropped
+        "<url><loc>https://a/badprio</loc><priority>high</priority></url>"
+        "</urlset>"
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("h1", xml), ("h2", idx)], "src string, xml string"
+    )
+    rows = {
+        r["loc"]: r
+        for r in U.parse_sitemap(df).collect()
+    }
+    assert set(rows) == {
+        "https://a/1?x=1&y=2", "https://a/amp?e=&lt;",
+        "https://a/badprio", "https://a/s1.xml",
+    }
+    assert rows["https://a/1?x=1&y=2"]["priority"] == 0.5
+    assert rows["https://a/1?x=1&y=2"]["src"] == "h1"  # passthrough
+    assert rows["https://a/badprio"]["priority"] is None  # try-cast, no crash
+    assert rows["https://a/s1.xml"]["kind"] == "sitemap"
+    assert rows["https://a/amp?e=&lt;"]["kind"] == "url"
+
+
 def test_registered_domain_heuristic(spark):
     cases = [
         ("http://www.example.com/x", "example.com"),
