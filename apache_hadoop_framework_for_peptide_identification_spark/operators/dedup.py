@@ -1134,14 +1134,18 @@ def connected_components(
         # r12 — found by the star-equality test on a 200-node chain:
         # exhausting max_iter used to RETURN the unconverged labels
         # silently (nodes > max_iter hops from their component's min
-        # keep a wrong cluster_id). Hash-min propagates one hop per
-        # round, so a component with diameter > max_iter cannot have
-        # converged; refuse instead of mislabeling.
+        # keep a wrong cluster_id). Confirming convergence costs one
+        # no-change round on top of the ~diameter propagation rounds,
+        # so budget max_iter ≥ diameter + 1; when the budget runs out
+        # before the confirming round, refuse instead of mislabeling
+        # (a graph that converged EXACTLY on the last round raises too
+        # — conservative by design, since without the extra round the
+        # two cases are indistinguishable).
         raise ValueError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds — a component's diameter exceeds the round budget. Raise "
-            "max_iter, or use connected_components_star (O(log n) rounds) for "
-            "long-chain graphs."
+            f"connected_components could not confirm convergence within "
+            f"max_iter={max_iter} rounds (confirmation needs ~diameter + 1 "
+            "rounds). Raise max_iter, or use connected_components_star "
+            "(O(log n) rounds) for long-chain graphs."
         )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -1187,20 +1191,21 @@ def connected_components_star(
     where O(diameter) rounds is the difference between 3 and 300
     shuffles at 100 TB.
     """
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    # Nodes come from the RAW edge list — BEFORE the self-loop filter —
+    # so a node whose only edge is (x, x) still appears in the output
+    # as its own singleton cluster, exactly like the hash-min form
+    # (r12 review finding: deriving nodes after the filter silently
+    # dropped self-loop-only nodes).
     nodes = (
-        e.select(F.col("u").alias("id"))
-        .union(e.select(F.col("v").alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    e = e.localCheckpoint()
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
     def _stamp(df: DataFrame) -> tuple[int, int]:
         # bit_xor, not sum: order-independent over the DISTINCT edge
@@ -1250,6 +1255,17 @@ def connected_components_star(
         if cur == prev:
             break
         prev = cur
+    else:
+        # Same contract as the hash-min form's r12 guard (review
+        # finding: the star form initially lacked it): an exhausted
+        # round budget without a stable stamp means the star forest
+        # may still be partial — returning it would fragment
+        # components silently, the exact failure this module refuses.
+        raise ValueError(
+            f"connected_components_star could not confirm convergence within "
+            f"max_iter={max_iter} rounds (needs ~2·log2(n) + 1 rounds, plus "
+            "one no-change round to confirm). Raise max_iter."
+        )
     labels = e.groupBy("u").agg(F.min("v").alias("lbl"))
     return nodes.join(labels, nodes["id"] == labels["u"], "left").select(
         "id", F.coalesce("lbl", "id").alias("cluster_id")

@@ -144,17 +144,26 @@ def robots_filter(
     """Resolve every URL against the rule frame :func:`parse_robots`
     produced: adds ``crawl_allowed`` (boolean). Longest matching rule
     wins; ties prefer Allow; no matching rule (or no rules for the
-    host) ⇒ allowed. The join is an equi-join on the lowercased host,
-    so the corpus shuffles once by host (or not at all when the rule
-    frame broadcasts); the regex match runs on the joined, host-local
-    candidate set. Returns all input columns plus ``crawl_allowed``.
+    host) ⇒ allowed. Returns all input columns plus ``crawl_allowed``.
+
+    SINGLE-PASS shape (r12 review finding — the first form re-joined
+    the winner verdicts back to the corpus, paying a second corpus
+    scan and a url-keyed shuffle): the compiled rules collapse to ONE
+    array row per host, that tiny frame broadcast-joins the corpus on
+    the lowercased host, and the longest-match/Allow-ties resolution
+    is a map-side ``aggregate`` fold over the host's rule array — the
+    corpus is scanned once and never shuffles at all. Rules per host
+    are bounded by the robots.txt file size, so the fold is a short
+    per-row loop.
     """
     compiled = rules.select(
         F.col("host").alias("__h"),
-        F.col("rule_path"),
-        F.col("allow"),
         _rule_regex(F.col("rule_path")).alias("__re"),
         F.length("rule_path").alias("__len"),
+        F.col("allow"),
+    )
+    per_host = compiled.groupBy("__h").agg(
+        F.collect_list(F.struct("__re", "__len", "allow")).alias("__rules")
     )
     base = urls.withColumn("__h", url_host(F.col(url_col))).withColumn(
         "__path",
@@ -162,24 +171,23 @@ def robots_filter(
             F.regexp_extract(F.trim(F.col(url_col)), _PATH_RE, 1) == "", F.lit("/")
         ).otherwise(F.regexp_extract(F.trim(F.col(url_col)), _PATH_RE, 1)),
     )
-    hits = (
-        base.join(compiled, "__h", "left")
-        .filter(F.col("__re").isNotNull() & F.expr("regexp_like(__path, __re)"))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(F.col(url_col)).orderBy(
-                    F.col("__len").desc(),
-                    F.col("allow").desc(),
-                    F.col("rule_path"),
-                )
+    joined = base.join(F.broadcast(per_host), "__h", "left")
+    empty = F.array().cast("array<struct<__re:string,__len:int,allow:boolean>>")
+    init = F.struct(F.lit(-1).alias("l"), F.lit(True).alias("a"))
+    # Fold: keep (longest match, Allow on equal length); init (-1, True)
+    # doubles as the no-match default-allow.
+    verdict = F.aggregate(
+        F.coalesce(F.col("__rules"), empty),
+        init,
+        lambda acc, r: F.when(
+            F.regexp_like(F.col("__path"), r["__re"])
+            & (
+                (r["__len"] > acc["l"])
+                | ((r["__len"] == acc["l"]) & r["allow"] & ~acc["a"])
             ),
-        )
-        .filter(F.col("__rn") == 1)
-        .select(F.col(url_col).alias("__u"), F.col("allow").alias("__verdict"))
+            F.struct(r["__len"].alias("l"), r["allow"].alias("a")),
+        ).otherwise(acc),
     )
-    return (
-        base.join(hits, base[url_col] == F.col("__u"), "left")
-        .withColumn("crawl_allowed", F.coalesce(F.col("__verdict"), F.lit(True)))
-        .drop("__u", "__verdict", "__h", "__path")
+    return joined.withColumn("crawl_allowed", verdict["a"]).drop(
+        "__h", "__path", "__rules"
     )

@@ -260,6 +260,19 @@ def hot_key_salted_join(
                 f"column(s) {missing} — pass the frame detect_hot_keys "
                 f"returned (columns {list(on)})"
             )
+        # The max_hot_keys guard applies to the precomputed path too
+        # (r12 review finding): the frame is collected (single key) or
+        # broadcast (multi key), so a mistakenly huge frame — a raw
+        # key-counts table with the right column names — must raise
+        # exactly like detect_hot_keys would, not OOM the driver.
+        n_hot = hot_keys.limit(max_hot_keys + 1).count()
+        if n_hot > max_hot_keys:
+            raise ValueError(
+                f"hot_key_salted_join: precomputed hot_keys frame holds > "
+                f"{max_hot_keys} rows — that is spread, not skew (or the "
+                "wrong frame); pass detect_hot_keys output, raise "
+                "max_hot_keys deliberately, or use AQE skew-join."
+            )
         hot = hot_keys.select(*on)
     else:
         hot = detect_hot_keys(big, on, hot_row_threshold, sample_fraction, max_hot_keys)

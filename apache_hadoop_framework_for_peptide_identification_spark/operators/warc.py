@@ -58,12 +58,14 @@ every row — so the write is fully distributed with NO coalesce, and
 every part file is a valid standalone WARC file (records never span
 rows, rows never span files). ``Content-Length`` is computed by the
 writer (octet_length of the payload), so read-back ``frame_suspect``
-is false by construction; a payload that embeds the literal record
-marker — the one input the marker-framed READER cannot survive — is
-refused AT WRITE TIME with a per-row ``raise_error`` naming the URI,
-turning the reader's documented mis-framing trade into a write-side
-hard error. Header VALUES must not contain CR/LF (they would open a
-phantom header line); the writer guards the URI and date the same way.
+is false by construction; and every input class the marker-framed
+READER cannot roundtrip is refused AT WRITE TIME with a per-row
+``raise_error`` naming the URI — payloads embedding the literal
+record marker (would mis-frame), CR/LF inside header values (phantom
+header lines), and newline-terminated payloads (indistinguishable
+from the record separator, so the display trim would shorten them
+silently) — turning every documented reader trade into a write-side
+hard error.
 """
 
 from __future__ import annotations
@@ -178,6 +180,20 @@ def parse_warc(df: DataFrame, record_col: str = "record") -> DataFrame:
     at 100 TB this is the scan's projection, no shuffle, no UDF."""
     r = F.col(record_col)
     clen = F.nullif(warc_header(r, "Content-Length"), F.lit("")).cast("bigint")
+    parsed_names = {
+        "warc_type", "target_uri", "warc_date", "content_length",
+        "payload", "frame_suspect",
+    }
+    clash = [c for c in df.columns if c != record_col and c in parsed_names]
+    if clash:
+        # r12 review finding: a silent duplicate column name would
+        # surface only later as AMBIGUOUS_REFERENCE in the caller.
+        raise ValueError(
+            f"parse_warc: passthrough column(s) {clash} collide with the "
+            "parsed output columns — rename them before parsing (the "
+            "passthrough exists for EXTRA projections like a record-id, "
+            "not for pre-computing the standard columns)."
+        )
     passthrough = [F.col(c) for c in df.columns if c != record_col]
     return df.select(
         *passthrough,
@@ -268,6 +284,15 @@ def warc_record(
         | warc_date.rlike(r"[\r\n]")
         | warc_type.rlike(r"[\r\n]")
     )
+    # Trailing newlines are the THIRD lossy input class (r12 review
+    # finding — the guard set was incomplete without it): under marker
+    # framing a payload-final "\n" is indistinguishable from the
+    # record separator on read-back, so warc_payload's display trim
+    # would return a payload SHORTER than the written Content-Length
+    # with frame_suspect still false. Refuse at write time like the
+    # other two classes; newline-terminated text belongs in a
+    # length-walking binary container, not marker-framed records.
+    bad_tail = payload.rlike(r"\n\z")
     checked = (
         F.when(
             bad_payload,
@@ -285,6 +310,17 @@ def warc_record(
                 F.concat(
                     F.lit("write_warc: CR/LF in a header value (phantom "
                           "header line) for URI "),
+                    target_uri,
+                )
+            ).cast("string"),
+        )
+        .when(
+            bad_tail,
+            F.raise_error(
+                F.concat(
+                    F.lit("write_warc: payload ends with a newline — "
+                          "indistinguishable from the record separator on "
+                          "read-back (lossy roundtrip) for URI "),
                     target_uri,
                 )
             ).cast("string"),
@@ -334,13 +370,14 @@ def write_warc(
     conformant reader) consumes independently; no coalesce, no driver
     involvement. Round-trips losslessly through
     read_warc → parse_warc (q185): computed Content-Length makes
-    frame_suspect false by construction, and the marker/CRLF guards
-    refuse at write time the only inputs the reader cannot survive.
-    One documented asymmetry: warc_payload's display trim strips
-    PAYLOAD-trailing newline runs on read-back (they are
-    indistinguishable from the record separator under marker framing)
-    — payloads that must end in newlines belong in a length-walking
-    binary container, not WET-style text records.
+    frame_suspect false by construction, and the per-row guards refuse
+    at write time ALL THREE input classes the reader cannot roundtrip
+    — marker-embedding payloads (would mis-frame), CR/LF in header
+    values (phantom header lines), and newline-terminated payloads
+    (indistinguishable from the record separator, so the display trim
+    would shorten them silently). Payloads that must end in newlines
+    belong in a length-walking binary container, not WET-style text
+    records.
     """
     rec = warc_record(
         F.col(type_col), F.col(uri_col), F.col(date_col), F.col(payload_col),

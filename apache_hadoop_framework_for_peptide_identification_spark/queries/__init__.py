@@ -211,6 +211,13 @@ _CHANGED_THIS_ROUND = [
     # q184 is NEW this round and carries the column's first hash).
     # hot_key_salted_join's optional precomputed hot_keys param
     # (r12 item 3) defaults to None = the exact r11-verified path.
+    # Late-r12 review-hardening pass, same precedent: the write_warc
+    # trailing-newline guard, parse_warc passthrough-collision raise,
+    # hot_keys size guard, CC exhaustion raises (both forms), and the
+    # robots_filter single-pass rewrite all either raise-only or sit
+    # on never-driver-verified queries (q185/q186/q187 lead the
+    # window by rule (0)); every affected query re-verified
+    # foreign-CWD at sf0.01 after the pass.
     # connected_components' non-convergence raise is guard-only for
     # every converging graph (all of q79/q96/q112/q176's fixtures
     # converge in 2-3 rounds — re-verified against their oracles this

@@ -194,7 +194,10 @@ def test_connected_components_star_equals_hash_min(spark):
         [(50, i) for i in range(40)],                        # star, hub mid-id
         [(1, 2), (10, 11), (11, 12), (20, 21)],              # islands
         [(i + 1, i) for i in range(30)] + [(500, 0)],        # reversed + bridge
-        [e for e in rand_edges if e[0] != e[1]],             # random
+        rand_edges,                                          # random, incl. self-loops
+        [(7, 7), (1, 2)],  # self-loop-ONLY node must survive as its own
+        # singleton (r12 review finding: nodes derived after the
+        # self-loop filter silently dropped id 7)
     ]
     for edges in cases:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
@@ -220,9 +223,13 @@ def test_connected_components_raises_on_nonconvergence(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
-    with _pytest.raises(ValueError, match="did not converge"):
+    with _pytest.raises(ValueError, match="confirm convergence"):
         dedup.connected_components(edges, max_iter=10)  # diameter 40 > 10
-    # the star variant solves the same graph inside a tiny round budget
+    # the star variant refuses on an exhausted budget too (r12 review:
+    # it initially returned the partial star forest silently)...
+    with _pytest.raises(ValueError, match="confirm convergence"):
+        dedup.connected_components_star(edges, max_iter=1)
+    # ...and solves the same graph inside a modest round budget
     got = {
         r["id"]: r["cluster_id"]
         for r in dedup.connected_components_star(edges, max_iter=14).collect()

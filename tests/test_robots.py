@@ -159,10 +159,12 @@ def test_url_host_folding_and_ports(spark):
     }
 
 
-def test_rule_frame_joins_broadcast(spark):
-    """Scale contract: the compiled rule frame is per-host-tiny — the
-    corpus-side join must be a broadcast hash join, never a sort-merge
-    shuffle of the URL corpus."""
+def test_rule_frame_joins_broadcast_and_corpus_never_shuffles(spark):
+    """Scale contract (single-pass form, r12 review): the per-host
+    rule-array frame broadcast-joins the corpus and resolution is a
+    map-side fold — so the URL side of the plan must contain NO
+    exchange at all (the only exchanges belong to the tiny rule-frame
+    aggregation), and the join must be broadcast, never sort-merge."""
     texts = {"a.com": "User-agent: *\nDisallow: /x\n"}
     rules = _rules(spark, texts, "b")
     urls = spark.range(1000).select(
@@ -171,4 +173,14 @@ def test_rule_frame_joins_broadcast(spark):
     out = R.robots_filter(urls, rules)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+    # The rule-frame subtree (tiny, parse_robots' own group joins) may
+    # shuffle/sort-merge internally; the URL side must not — no
+    # exchange and no sort-merge join may ever touch the url column.
+    bad = [
+        l
+        for l in plan.splitlines()
+        if ("Exchange hashpartitioning" in l or "SortMergeJoin" in l)
+        and "url#" in l
+    ]
+    assert not bad, bad
     assert out.filter(~F.col("crawl_allowed")).count() == 1000

@@ -272,6 +272,38 @@ def test_write_warc_refuses_crlf_in_header_values(spark, tmp_path):
         W.write_warc(bad, str(tmp_path / "b"))
 
 
+def test_write_warc_refuses_newline_terminated_payload(spark, tmp_path):
+    """r12 review: the third lossy class — a payload ending in a
+    newline is indistinguishable from the record separator on
+    read-back (the display trim would shorten it silently with
+    frame_suspect still false) — must refuse at write time like the
+    other two guards. Interior newlines stay fine."""
+    bad = spark.createDataFrame(
+        [("conversion", "http://b/1", "2026-01-01T00:00:00Z", "data\n")],
+        "warc_type string, target_uri string, warc_date string, payload string",
+    )
+    with pytest.raises(Exception, match="ends with a newline"):
+        W.write_warc(bad, str(tmp_path / "b1"))
+    ok = spark.createDataFrame(
+        [("conversion", "http://b/2", "2026-01-01T00:00:00Z", "in\nterior")],
+        "warc_type string, target_uri string, warc_date string, payload string",
+    )
+    W.write_warc(ok, str(tmp_path / "b2"))
+    row = W.parse_warc(W.read_warc(spark, str(tmp_path / "b2"))).first()
+    assert row["payload"] == "in\nterior" and row["frame_suspect"] is False
+
+
+def test_parse_warc_rejects_colliding_passthrough_names(spark):
+    """r12 review: a passthrough column named like a parsed output
+    column would silently duplicate the name and break downstream
+    selects with AMBIGUOUS_REFERENCE — fail fast instead."""
+    df = spark.createDataFrame(
+        [("WARC-Type: x\r\n\r\nbody", "pre")], "record string, warc_date string"
+    )
+    with pytest.raises(ValueError, match="collide with the parsed"):
+        W.parse_warc(df)
+
+
 def test_write_warc_record_id_is_deterministic(spark, tmp_path):
     """WARC-Record-ID is an md5 urn over (uri, date, payload): two
     writes of the same rows must emit byte-identical ids (what makes
