@@ -119,6 +119,41 @@ def parse_robots(
     return rules
 
 
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt — one ``(host,
+    sitemap_url)`` row per line (r12; the connector between this
+    module and urls.parse_sitemap: robots_sitemaps finds the sitemap
+    URLs, a fetcher pulls them, parse_sitemap explodes their entries
+    into the frontier). Per RFC 9309 §2.3 the directive is
+    INDEPENDENT of user-agent groups, so every Sitemap line counts
+    regardless of position; names are case-insensitive, values keep
+    their case (URLs), comments and CRLFs are stripped, empty values
+    drop. Pure split/regexp projections — no UDF, one explode."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(robots_col), "\n")).alias("line"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace(F.regexp_replace("line", "#.*", ""), "\r", "")).alias(
+            "line"
+        ),
+    )
+    return (
+        lines.filter(F.lower(F.col("line")).rlike(r"^sitemap\s*:"))
+        .select(
+            "host",
+            F.trim(F.regexp_extract("line", r"(?i)^sitemap\s*:(.*)$", 1)).alias(
+                "sitemap_url"
+            ),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
 def _rule_regex(rule_path):
     """Compile a robots rule path to an anchored regex: everything
     regexp-escaped except the spec's two metacharacters — ``*`` spans

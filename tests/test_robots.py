@@ -159,6 +159,46 @@ def test_url_host_folding_and_ports(spark):
     }
 
 
+def test_robots_sitemaps_extraction_and_ladder_composition(spark):
+    """r12 connector: Sitemap: directives extract regardless of group
+    position (RFC 9309 §2.3 — UA-independent), case-insensitively in
+    the NAME but case-preserving in the URL, comments/CRLF stripped,
+    empty values dropped — and the output composes straight into
+    parse_sitemap (host carried through as provenance)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import urls as U
+
+    texts = {
+        "a.com": (
+            "Sitemap: https://a.com/TopLevel.xml\r\n"
+            "User-agent: *\nDisallow: /x\n"
+            "SITEMAP: https://a.com/inside-group.xml # trailing comment\n"
+            "sitemap:\n"  # empty value -> dropped
+        ),
+        "b.com": "User-agent: *\nDisallow: /\n",  # none
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "host string, robots_txt string"
+    )
+    got = {
+        (r["host"], r["sitemap_url"])
+        for r in R.robots_sitemaps(df).collect()
+    }
+    assert got == {
+        ("a.com", "https://a.com/TopLevel.xml"),
+        ("a.com", "https://a.com/inside-group.xml"),
+    }
+    # Composition: pretend we fetched one of them; entries explode with
+    # the host still attached.
+    fetched = spark.createDataFrame(
+        [("a.com", "<urlset><url><loc>https://a.com/p1</loc></url></urlset>")],
+        "host string, xml string",
+    )
+    rows = U.parse_sitemap(fetched).collect()
+    assert [(r["host"], r["kind"], r["loc"]) for r in rows] == [
+        ("a.com", "url", "https://a.com/p1")
+    ]
+
+
 def test_rule_frame_joins_broadcast_and_corpus_never_shuffles(spark):
     """Scale contract (single-pass form, r12 review): the per-host
     rule-array frame broadcast-joins the corpus and resolution is a
