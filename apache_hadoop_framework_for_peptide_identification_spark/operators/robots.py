@@ -11,10 +11,15 @@ user-agent may fetch it. Spark-first like the rest of the layer
   user-agent selects — using the gaps-and-islands idiom over exploded
   lines: a group is one-or-more consecutive ``User-agent`` lines plus
   the rules that follow; the UA-specific groups win over the ``*``
-  groups when both exist for a host (RFC 9309 §2.2.1, simplified to
-  exact-token-or-* matching — product-token prefix matching is the
-  documented out-of-scope refinement). All per-host windows — a
-  robots corpus is one small text per host, so the shuffle is keyed
+  groups when both exist for a host (RFC 9309 §2.2.1). Two group-
+  match modes (r13): ``ua_match="exact"`` (token equality, the r12
+  behavior and the default) and ``ua_match="prefix"`` — the RFC 9309
+  / Google-matcher rule where a group applies when its token is a
+  case-insensitive PREFIX of the crawler's product token (the part
+  of ``user_agent`` before ``/``), and among matching groups the
+  LONGEST token wins (``User-agent: examplebot`` selects for a
+  crawler identifying as ``ExampleBot/1.2``). All per-host windows —
+  a robots corpus is one small text per host, so the shuffle is keyed
   by host and carries rule-sized rows, never the URL corpus.
 - :func:`robots_filter` joins the rule frame to a URL corpus by host
   and resolves each URL per the spec: among rules whose path-pattern
@@ -25,6 +30,9 @@ user-agent may fetch it. Spark-first like the rest of the layer
   (everything else regexp-escaped), so the per-URL match is one
   ``regexp_like`` against an equi-joined, host-local rule set:
   cost is URLs × rules-per-host, output-proportional, no all-pairs.
+  BOTH join sides fold the host (lowercase + port strip — ADVICE r12:
+  the r12 form folded only the URL side, so a mixed-case host in the
+  robots corpus silently matched nothing and failed OPEN).
 
 Documented trades: matching uses the URL's PATH (query string
 excluded — Google's reference matcher includes it; planted oracles
@@ -48,6 +56,7 @@ def parse_robots(
     host_col: str = "host",
     robots_col: str = "robots_txt",
     user_agent: str = "*",
+    ua_match: str = "exact",
 ) -> DataFrame:
     """Parse robots.txt texts into the rule frame ``(host, rule_path,
     allow)`` for the group(s) ``user_agent`` selects. Group assembly is
@@ -56,10 +65,32 @@ def parse_robots(
     ``Disallow`` lines attach to the latest group; comments (``#``),
     blank lines, and unknown directives are inert. Directive names are
     case-insensitive and tolerate whitespace + ``\\r`` line endings.
-    Groups naming ``user_agent`` (case-insensitive exact token) beat
-    the ``*`` groups per host; hosts with neither yield no rules (and
-    therefore allow everything downstream)."""
+    Hosts selecting no group yield no rules (and therefore allow
+    everything downstream).
+
+    ``ua_match`` picks the group-selection rule (r13 — VERDICT r12
+    item 5):
+
+    - ``"exact"`` (default): groups whose token case-insensitively
+      EQUALS ``user_agent`` beat the ``*`` groups per host.
+    - ``"prefix"``: the RFC 9309 §2.2.1 / Google-matcher rule — the
+      crawler's PRODUCT TOKEN is ``user_agent`` up to the first ``/``
+      (version stripped); a group applies when its token is a
+      case-insensitive prefix of that product token, and among
+      matching groups the LONGEST token wins (``examplebot`` beats
+      ``example`` for crawler ``ExampleBot/1.2``); ``*`` groups apply
+      only when no token matches.
+
+    Both modes run through one plan shape: per (host, group) the best
+    match length aggregates map-side, the per-host maximum picks the
+    winning group(s). In exact mode every match has the same token
+    length, so longest-wins degenerates to the r12 any-match rule —
+    the r12 behavior is preserved bit-for-bit."""
+    if ua_match not in ("exact", "prefix"):
+        raise ValueError(f"ua_match must be 'exact' or 'prefix', got {ua_match!r}")
     ua = user_agent.lower()
+    # crawler product token: user_agent up to the first '/', trimmed.
+    tok = user_agent.split("/", 1)[0].strip().lower()
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "line"),
@@ -85,23 +116,33 @@ def parse_robots(
     starts = parsed.withColumn(
         "group_id", F.sum((is_ua & ~prev_ua).cast("int")).over(w)
     )
-    # Which groups does the UA select? Exact-token groups win over '*'.
+    # Which groups does the UA select? Token groups win over '*'; among
+    # token matches the LONGEST token wins (exact mode: all matches
+    # share one length, so this is the r12 any-match rule).
+    if ua_match == "exact":
+        m = F.lower(F.col("value")) == ua
+    else:  # prefix: group token is a case-insensitive prefix of tok
+        m = (
+            (F.length("value") > 0)
+            & (F.col("value") != "*")
+            & F.lit(tok).startswith(F.lower(F.col("value")))
+        )
     group_uas = (
         starts.filter(is_ua)
         .groupBy("host", "group_id")
         .agg(
-            F.max((F.lower(F.col("value")) == ua).cast("int")).alias("has_ua"),
+            F.max(F.when(m, F.length("value")).otherwise(F.lit(-1))).alias("ua_len"),
             F.max((F.col("value") == "*").cast("int")).alias("has_star"),
         )
     )
     host_pref = group_uas.groupBy("host").agg(
-        F.max("has_ua").alias("any_ua")
+        F.max("ua_len").alias("best_len")
     )
     chosen = (
         group_uas.join(host_pref, "host")
         .filter(
-            ((F.col("any_ua") == 1) & (F.col("has_ua") == 1))
-            | ((F.col("any_ua") == 0) & (F.col("has_star") == 1))
+            ((F.col("best_len") >= 0) & (F.col("ua_len") == F.col("best_len")))
+            | ((F.col("best_len") < 0) & (F.col("has_star") == 1))
         )
         .select("host", "group_id")
     )
@@ -163,9 +204,17 @@ def _rule_regex(rule_path):
     body = F.when(ends_anchored, F.expr("substring(rule_path, 1, length(rule_path) - 1)")).otherwise(
         rule_path
     )
-    # escape regex metacharacters, then turn the escaped \* back into .*
-    escaped = F.regexp_replace(body, r"([.\[\]{}()+?^$\\|*])", r"\\$1")
-    wild = F.regexp_replace(escaped, r"\\\*", ".*")
+    # Swap every '*' (robots.txt has no escaping — every star IS a
+    # wildcard) for a \x00 placeholder FIRST, then regexp-escape the
+    # rest, then substitute '.*'. The r12 form escaped '*' alongside
+    # the other metacharacters and un-escaped it afterwards, which
+    # mis-compiled a literal backslash immediately before '*' (the
+    # un-escape consumed the escaped backslash's second character —
+    # ADVICE r12). \x00 cannot appear in a rule: the line parser
+    # extracts values from split text lines.
+    starred = F.regexp_replace(body, r"\*", "\x00")
+    escaped = F.regexp_replace(starred, r"([.\[\]{}()+?^$\\|])", r"\\$1")
+    wild = F.regexp_replace(escaped, "\x00", ".*")
     return F.concat(
         F.lit("^"), wild, F.when(ends_anchored, F.lit("$")).otherwise(F.lit(""))
     )
@@ -175,6 +224,7 @@ def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Resolve every URL against the rule frame :func:`parse_robots`
     produced: adds ``crawl_allowed`` (boolean). Longest matching rule
@@ -184,15 +234,34 @@ def robots_filter(
     SINGLE-PASS shape (r12 review finding — the first form re-joined
     the winner verdicts back to the corpus, paying a second corpus
     scan and a url-keyed shuffle): the compiled rules collapse to ONE
-    array row per host, that tiny frame broadcast-joins the corpus on
-    the lowercased host, and the longest-match/Allow-ties resolution
-    is a map-side ``aggregate`` fold over the host's rule array — the
-    corpus is scanned once and never shuffles at all. Rules per host
-    are bounded by the robots.txt file size, so the fold is a short
-    per-row loop.
+    array row per host, that tiny frame joins the corpus on the
+    FOLDED host (lowercase, port stripped — folded on BOTH sides;
+    ADVICE r12: the r12 form folded only the URL side, so mixed-case
+    or port-suffixed hosts in the robots corpus failed open), and the
+    longest-match/Allow-ties resolution is a map-side ``aggregate``
+    fold over the host's rule array — the corpus is scanned once and
+    never shuffles on the url. Rules per host are bounded by the
+    robots.txt file size, so the fold is a short per-row loop.
+
+    ``broadcast`` (r13 — VERDICT r12 item 3): True (default) pins a
+    broadcast join — right whenever the DISTINCT-HOST universe × its
+    rule arrays fits the broadcast budget (any single-tenant crawl
+    scope; ~10⁶ hosts × ~1 KiB of compiled rules ≈ 1 GiB is the
+    practical ceiling). For a full-web host set (~10⁸ hosts) pass
+    ``broadcast=False``: the join becomes a host-keyed SHUFFLED hash
+    join — the corpus shuffles ONCE on the folded host (never on the
+    url), the rule frame stays one array row per host, and resolution
+    is still the same map-side fold after the join.
     """
+    clash = {"__h", "__path", "__rules", "crawl_allowed"} & set(urls.columns)
+    if clash:
+        raise ValueError(
+            "robots_filter internal/output columns collide with input "
+            f"columns {sorted(clash)} — rename them first"
+        )
+    folded_host = F.regexp_replace(F.lower(F.trim(F.col("host"))), ":[0-9]+$", "")
     compiled = rules.select(
-        F.col("host").alias("__h"),
+        folded_host.alias("__h"),
         _rule_regex(F.col("rule_path")).alias("__re"),
         F.length("rule_path").alias("__len"),
         F.col("allow"),
@@ -206,7 +275,8 @@ def robots_filter(
             F.regexp_extract(F.trim(F.col(url_col)), _PATH_RE, 1) == "", F.lit("/")
         ).otherwise(F.regexp_extract(F.trim(F.col(url_col)), _PATH_RE, 1)),
     )
-    joined = base.join(F.broadcast(per_host), "__h", "left")
+    side = F.broadcast(per_host) if broadcast else per_host.hint("shuffle_hash")
+    joined = base.join(side, "__h", "left")
     empty = F.array().cast("array<struct<__re:string,__len:int,allow:boolean>>")
     init = F.struct(F.lit(-1).alias("l"), F.lit(True).alias("a"))
     # Fold: keep (longest match, Allow on equal length); init (-1, True)

@@ -172,60 +172,21 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 12
+_CHANGED_IN_ROUND = 13
 _CHANGED_THIS_ROUND = [
-    # r12: canonicalize_url gained RFC 3986 §6.2.2 percent-encoding
-    # normalization (uppercase hex, decode unreserved — ADVICE r11 /
-    # VERDICT r11 item 5) applied to path and query, and q179's
-    # fixture plants hex-case + unreserved-decode variant groups with
-    # the oracle's percent steps GENERATED from the operator's own
-    # table — both implementation and oracle changed; fresh verdict.
-    "q179_url_canonical_dedup",
-    # r12: _duplicate_runs now emits one (start, end) interval per
-    # qualifying run instead of per-position rows (VERDICT r11 item
-    # 4) — the removal joins and coverage filters of BOTH substring
-    # forms route through the changed detection output shape;
-    # output-identical (interval == union of its positions, pinned by
-    # the brute-force property tests) but the path changed; fresh
-    # verdicts (the r10 split-API precedent).
-    "q177_exact_substring_dedup",
-    "q182_sliding_substring_dedup",
-    # r12: remove_reference_spans folds sorted hit starts into merged
-    # removal intervals map-side (the q177/q182 twin, VERDICT r11
-    # obs. 2) — changed coverage path, same outputs (property tests);
+    # r13: the robots layer changed implementation AND oracle together
+    # (VERDICT r12 items 3+5, ADVICE r12 all three): parse_robots
+    # gained RFC 9309 product-token PREFIX group matching (q186 now
+    # runs ua_match="prefix" as crawler "ExampleBot/1.2" with a
+    # longest-token-wins cell planted on other.example.com),
+    # robots_filter folds the host on BOTH join sides (lowercase +
+    # port strip — the r12 form failed open on mixed-case rule
+    # hosts), _rule_regex compiles '*' via a placeholder (the
+    # escape-then-unescape order mis-compiled a literal backslash
+    # before '*'), and the broadcast=False host-keyed shuffle
+    # fallback landed. Fixture texts + truth-table oracle rewritten;
     # fresh verdict.
-    "q178_decontaminate_spans",
-    # r12: html.py's tag strip split into inline-tags-to-EMPTY vs
-    # everything-else-to-space (VERDICT r11 obs. 3 — "bo<b>ld</b>"
-    # extracts as "bold"), and q183's fixture plants a mid-word
-    # <em>/<i> case; rule table AND generated oracle changed together;
-    # fresh verdict.
-    "q183_html_extract_text",
-    # NOT pinned (q119-precedent: guard-only or out-of-path changes
-    # cannot alter a green query's output): stream_neardup_ingest's
-    # fresh-checkpoint-over-existing-store fail-fast (raises before
-    # any batch or is a no-op; q180 always seeds a fresh store),
-    # ivf_append/ivf_query's dim + centroid-contiguity guards (raise
-    # only on malformed stores; q68's frames are well-formed), and
-    # parse_warc's frame_suspect column (no driver verdict existed —
-    # q184 is NEW this round and carries the column's first hash).
-    # hot_key_salted_join's optional precomputed hot_keys param
-    # (r12 item 3) defaults to None = the exact r11-verified path.
-    # Late-r12 review-hardening pass, same precedent: the write_warc
-    # trailing-newline guard, parse_warc passthrough-collision raise,
-    # hot_keys size guard, CC exhaustion raises (both forms), and the
-    # robots_filter single-pass rewrite all either raise-only or sit
-    # on never-driver-verified queries (q185/q186/q187 lead the
-    # window by rule (0)); every affected query re-verified
-    # foreign-CWD at sf0.01 after the pass.
-    # connected_components' non-convergence raise is guard-only for
-    # every converging graph (all of q79/q96/q112/q176's fixtures
-    # converge in 2-3 rounds — re-verified against their oracles this
-    # session), and connected_components_star is a NEW callable no
-    # driver query routes through (capacity policy (c): q79's oracle
-    # covers the CC contract; equality is pytest-pinned).
-    # All re-verified foreign-CWD at sf0.01 in the round-12 session
-    # log.
+    "q186_robots_compliance",
 ]
 
 

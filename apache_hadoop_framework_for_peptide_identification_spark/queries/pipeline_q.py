@@ -1342,7 +1342,7 @@ def q185_warc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   none.example.com  — no robots.txt row at all.
 _ROBOTS_H0 = (
     "# crawl policy\n"
-    "User-agent: trainbot\n"
+    "User-agent: examplebot\n"
     "Disallow: /private/\n"
     "Allow: /private/ok$\n"
     "\n"
@@ -1357,7 +1357,16 @@ _ROBOTS_H1 = (
     "Disallow:\r\n"
     "Crawl-delay: 10\r\n"
 )
-_ROBOTS_H2 = "User-agent: otherbot\nDisallow: /\n"
+_ROBOTS_H2 = (
+    "User-agent: otherbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: example\n"
+    "Disallow: /public/\n"
+    "\n"
+    "User-agent: examplebot\n"
+    "Disallow: /private/\n"
+)
 
 _Q186_ORACLE = """
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 160),
@@ -1377,36 +1386,48 @@ u AS (SELECT doc_id, h, p,
             ELSE '/' END AS url
  FROM g)
 SELECT doc_id, url,
-  NOT ((h = 0 AND p IN (0, 5)) OR (h = 1 AND p IN (3, 6))) AS crawl_allowed
+  NOT ((h = 0 AND p IN (0, 5)) OR (h = 1 AND p IN (3, 6))
+       OR (h = 2 AND p IN (0, 1, 5))) AS crawl_allowed
 FROM u ORDER BY doc_id
 """
 
 
 @query("q186_robots_compliance", oracle=_Q186_ORACLE)
 def q186_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt compliance filtering (added r12 — the fetch-side
-    compliance layer of the crawl ladder, RFC 9309): 160 planted URLs
-    spread over a 4-host × 8-path grid resolve against three planted
-    robots.txt texts through operators/robots.py parse_robots (group
-    assembly via gaps-and-islands over exploded lines; UA-specific
-    groups beat the ``*`` groups) and robots_filter (rule paths
-    compiled to safe regexes ON the rule frame — ``*`` spans, trailing
-    ``$`` anchors, everything else escaped; longest match wins, ties
-    prefer Allow, no match allows).
+    """robots.txt compliance filtering (added r12, re-pinned r13 with
+    RFC 9309 product-token PREFIX group matching — VERDICT r12 item
+    5): 160 planted URLs spread over a 4-host × 8-path grid resolve
+    against three planted robots.txt texts through
+    operators/robots.py parse_robots (group assembly via
+    gaps-and-islands over exploded lines; ua_match="prefix": the
+    crawler identifies as ``ExampleBot/1.2``, whose product token
+    ``examplebot`` is prefix-matched case-insensitively by the
+    planted ``User-agent: examplebot`` groups, with the LONGEST
+    matching token winning and ``*`` only as fallback) and
+    robots_filter (rule paths compiled to safe regexes ON the rule
+    frame — ``*`` spans, trailing ``$`` anchors, everything else
+    escaped; longest match wins, ties prefer Allow, no match allows).
 
     The oracle is a HAND-DERIVED truth table over the planted grid
     (the q183 hand-ground-truth pytest elevated to the driver hash):
     every failure mode maps to a specific cell — group selection gone
     wrong flips docs.example.com's public paths (the catch-all group
-    below disallows ``/``), a broken ``$`` anchor flips ``/private/ok``
-    vs ``/private/okx``, a broken wildcard flips ``/tmp/cache``, a
+    below disallows ``/``), broken prefix matching flips the whole
+    docs host to the catch-all, a missed longest-token-wins flips
+    other.example.com's public paths (its shorter ``example`` group
+    disallows ``/public/`` and must LOSE to ``examplebot``'s
+    ``/private/`` group, while its unselected ``otherbot`` group
+    disallows ``/``), a broken ``$`` anchor flips ``/private/ok`` vs
+    ``/private/okx``, a broken wildcard flips ``/tmp/cache``, a
     missed longest-match-Allow flips ``/tmp/pub``, keeping the empty
-    ``Disallow:`` as a rule flips the whole wild host, and a host with
-    no selected group (or no robots at all) must default to allowed.
-    Scale shape: the rule frame is per-host-tiny (broadcastable), the
-    URL corpus joins it by host and never all-pairs; the per-URL match
-    is regexp_like against host-local rules. Parsing windows run over
-    robots LINES, never corpus rows.
+    ``Disallow:`` as a rule flips the whole wild host, and a host
+    with no robots at all must default to allowed.
+    Scale shape: the rule frame is per-host-tiny (broadcastable, with
+    the r13 ``broadcast=False`` host-keyed shuffle fallback for
+    web-scale host universes), the URL corpus joins it by host and
+    never all-pairs; the per-URL match is regexp_like against
+    host-local rules. Parsing windows run over robots LINES, never
+    corpus rows.
     """
     from ..operators import robots as R
 
@@ -1441,7 +1462,7 @@ def q186_robots_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "host string, robots_txt string",
     )
-    rules = R.parse_robots(robots, user_agent="trainbot")
+    rules = R.parse_robots(robots, user_agent="ExampleBot/1.2", ua_match="prefix")
     return (
         R.robots_filter(urls, rules)
         .select("doc_id", "url", "crawl_allowed")

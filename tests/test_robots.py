@@ -199,6 +199,153 @@ def test_robots_sitemaps_extraction_and_ladder_composition(spark):
     ]
 
 
+def test_rules_side_host_folding(spark):
+    """ADVICE r12 (medium): a mixed-case or port-suffixed host in the
+    ROBOTS corpus must still match its URLs — the r12 form folded only
+    the URL side, so 'Example.com' + 'Disallow: /' allowed everything
+    (fail-open). Both sides now fold (lowercase + port strip)."""
+    texts = {
+        "Example.com": "User-agent: *\nDisallow: /\n",
+        "b.com:8080": "User-agent: *\nDisallow: /x\n",
+    }
+    got = _verdicts(
+        spark, _rules(spark, texts, "b"),
+        ["https://example.com/anything", "https://EXAMPLE.com/y",
+         "https://b.com/x/1", "https://b.com:8080/x/2", "https://b.com/y"],
+    )
+    assert got == {
+        "https://example.com/anything": False,
+        "https://EXAMPLE.com/y": False,
+        "https://b.com/x/1": False,
+        "https://b.com:8080/x/2": False,
+        "https://b.com/y": True,
+    }
+
+
+def test_literal_backslash_before_star(spark):
+    """ADVICE r12 (low): a literal backslash immediately before '*' in
+    a rule path mis-compiled under the escape-then-unescape order (the
+    unescape consumed the escaped backslash's second char). The rule
+    '/a\\*' means literal '/a\\' then any span."""
+    texts = {"a.com": "User-agent: *\nDisallow: /a\\*\n"}
+    got = _verdicts(
+        spark, _rules(spark, texts, "b"),
+        ["https://a.com/a\\x", "https://a.com/a\\", "https://a.com/ax"],
+    )
+    assert got == {
+        "https://a.com/a\\x": False,   # backslash then wildcard span
+        "https://a.com/a\\": False,    # wildcard spans empty too
+        "https://a.com/ax": True,      # no literal backslash -> no match
+    }
+
+
+def test_passthrough_collision_raises(spark):
+    """ADVICE r12 (low): internal/output names (__h/__path/__rules/
+    crawl_allowed) on the URLS frame would be silently overwritten and
+    dropped — refuse them up front (the parse_warc guard, mirrored)."""
+    import pytest
+
+    rules = _rules(spark, {"a.com": "User-agent: *\nDisallow: /x\n"}, "b")
+    for col in ["__h", "__path", "__rules", "crawl_allowed"]:
+        u = spark.createDataFrame(
+            [("https://a.com/x", "v")], f"url string, {col} string"
+        )
+        with pytest.raises(ValueError, match=col.replace("__", "")):
+            R.robots_filter(u, rules)
+
+
+def test_prefix_ua_match_product_token(spark):
+    """r13 (VERDICT r12 item 5): ua_match='prefix' — the RFC 9309 /
+    Google-matcher rule. A group token selects when it is a
+    case-insensitive prefix of the crawler's PRODUCT token (user_agent
+    up to '/'); the longest matching token wins; '*' only when no
+    token matches; exact mode keeps the r12 semantics."""
+    texts = {
+        "a.com": (
+            "User-agent: examplebot\nDisallow: /private/\n\n"
+            "User-agent: example\nDisallow: /public/\n\n"
+            "User-agent: *\nDisallow: /\n"
+        )
+    }
+    # crawler 'ExampleBot/1.2' -> product token 'examplebot':
+    # both token groups prefix-match; the LONGEST (examplebot) wins.
+    rules = _rules_mode(spark, texts, "ExampleBot/1.2", "prefix")
+    got = _verdicts(
+        spark, rules,
+        ["https://a.com/private/x", "https://a.com/public/x",
+         "https://a.com/other"],
+    )
+    assert got == {
+        "https://a.com/private/x": False,  # examplebot group applies
+        "https://a.com/public/x": True,    # example group must NOT apply
+        "https://a.com/other": True,       # star group must NOT apply
+    }
+    # 'Example/9' -> token 'example': only the shorter group matches.
+    rules2 = _rules_mode(spark, texts, "Example/9", "prefix")
+    got2 = _verdicts(spark, rules2, ["https://a.com/public/x",
+                                     "https://a.com/private/x"])
+    assert got2 == {
+        "https://a.com/public/x": False,
+        "https://a.com/private/x": True,
+    }
+    # 'OtherBot/2' matches no token -> the star group.
+    rules3 = _rules_mode(spark, texts, "OtherBot/2", "prefix")
+    assert _verdicts(spark, rules3, ["https://a.com/anything"]) == {
+        "https://a.com/anything": False
+    }
+    # exact mode: 'ExampleBot/1.2' literally names no group -> star.
+    rules4 = _rules_mode(spark, texts, "ExampleBot/1.2", "exact")
+    assert _verdicts(spark, rules4, ["https://a.com/other"]) == {
+        "https://a.com/other": False
+    }
+    # bad mode rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="ua_match"):
+        _rules_mode(spark, texts, "x", "fuzzy")
+
+
+def _rules_mode(spark, texts: dict[str, str], ua: str, mode: str):
+    df = spark.createDataFrame(
+        list(texts.items()), "host string, robots_txt string"
+    )
+    return R.parse_robots(df, user_agent=ua, ua_match=mode)
+
+
+def test_prefix_mode_empty_ua_value_selects_nothing(spark):
+    """An empty ``User-agent:`` value is a zero-length prefix of every
+    token — it must NOT select (guarded by the length check)."""
+    texts = {"a.com": "User-agent:\nDisallow: /\n"}
+    rules = _rules_mode(spark, texts, "AnyBot/1", "prefix")
+    assert _verdicts(spark, rules, ["https://a.com/x"]) == {
+        "https://a.com/x": True
+    }
+
+
+def test_shuffle_fallback_path(spark):
+    """r13 scale knob (VERDICT r12 item 3): broadcast=False swaps the
+    rule-frame join to a host-keyed SHUFFLED hash join — same
+    verdicts, and the plan shows a ShuffledHashJoin with no broadcast
+    of the rule frame and still no url-keyed exchange."""
+    texts = {"a.com": "User-agent: *\nDisallow: /x\n"}
+    rules = _rules(spark, texts, "b")
+    urls = spark.range(500).select(
+        F.concat(F.lit("https://a.com/x/"), F.col("id")).alias("url")
+    )
+    out = R.robots_filter(urls, rules, broadcast=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the corpus may shuffle on the folded host (__h), never on url
+    bad = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "url#" in l and "__h" not in l
+    ]
+    assert not bad, bad
+    assert out.filter(~F.col("crawl_allowed")).count() == 500
+
+
 def test_rule_frame_joins_broadcast_and_corpus_never_shuffles(spark):
     """Scale contract (single-pass form, r12 review): the per-host
     rule-array frame broadcast-joins the corpus and resolution is a
