@@ -1675,3 +1675,217 @@ def q188_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "kind", "loc", "lastmod", "changefreq", "priority")
         .orderBy("doc_id", "loc")
     )
+
+
+# --- q189: end-to-end crawl-ladder composition, r13 --------------------------
+# VERDICT r12 item 1: every ladder layer holds its own hash verdict
+# (q184 parse -> q187 gate -> q183 text -> q179 canonical -> q186
+# robots -> dedup), but composition is where schema/encoding drift
+# hides. This query runs planted raw WARC bytes through the FULL chain
+# to a deduped, compliance-filtered corpus under a single DuckDB hash.
+
+_Q189_BODY_SQL = (
+    "'<html><head><title>U' || u || ' &amp; doc</title></head>"
+    "<body><h1>D' || doc_id || '</h1><p>' || text || '</p></body></html>'"
+)
+
+_Q189_ORACLE = (
+    """
+WITH d AS (SELECT doc_id, text, doc_id // 2 AS u, (doc_id * 37) % 101 AS qual
+           FROM documents WHERE doc_id < 360),
+g AS (SELECT doc_id, text, u, qual,
+             u % 3 AS h, u % 4 AS p, (u // 3) % 3 AS s FROM d),
+f AS (SELECT doc_id, text, u, qual, h, p, s,
+   CASE h WHEN 0 THEN 'docs.example.com'
+          WHEN 1 THEN 'media.example.com'
+          ELSE 'open.example.com' END AS host,
+   CASE p WHEN 0 THEN '/private/u' WHEN 1 THEN '/pub/u'
+          WHEN 2 THEN '/tmp/u' ELSE '/page/u' END AS pathpfx
+ FROM g),
+c AS (SELECT doc_id, u, qual, text,
+   'https://' || host || pathpfx || u || '?a=1&b=' || u AS canon_url,
+   {body} AS body
+ FROM f
+ WHERE s = 0 AND NOT ((h = 0 AND p = 0) OR (h = 1 AND p = 2))),
+k AS (SELECT *, row_number() OVER (
+        PARTITION BY canon_url ORDER BY qual DESC, doc_id) AS rn FROM c)
+SELECT doc_id AS rec_id, canon_url, qual,
+  {title} AS title, {clean} AS clean_text
+FROM k WHERE rn = 1 ORDER BY rec_id
+""".format(
+        body=_Q189_BODY_SQL,
+        title=_H.sql_title("body"),
+        clean=_H.sql_extract_text("body"),
+    )
+)
+
+
+@query("q189_crawl_ladder_e2e", oracle=_Q189_ORACLE)
+def q189_crawl_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-ladder composition (added r13 — VERDICT r12
+    item 1): 360 planted WARC response records go through the ENTIRE
+    ingestion chain as one plan — file-framed WARC parse (q184's
+    layer), HTTP status/MIME gate (q187), HTML -> text extraction
+    (q183), URL canonicalization (q179), robots.txt compliance with
+    the r13 prefix grammar (q186), and canonical-URL keeper dedup —
+    and the deduped, compliance-filtered corpus lands under a single
+    DuckDB hash. Each layer already holds its own verdict; THIS query
+    pins the handoffs, where encoding/schema drift hides.
+
+    The grid (u = doc_id div 2 is the URL group, two crawled variants
+    per group): hosts cycle docs/media/open.example.com (u mod 3),
+    paths cycle /private//pub//tmp//page (u mod 4), fetch outcomes
+    cycle 200+text/html / 404 / 200+image/jpeg (u div 3 mod 3). The
+    even variant carries the clean URL with unsorted query params
+    (``?b=N&a=1``); the odd variant reaches the SAME canonical URL the
+    hard way — uppercase scheme+host, explicit ``:443``, a
+    percent-encoded path octet (``/%70rivate`` must decode to
+    ``/private`` BEFORE robots matching — the q179->q186 handoff), a
+    ``utm_source`` tracking param, and a fragment. Robots rules plant
+    the r13 grammar corners IN the composed path: docs.example.com
+    selects its ``User-agent: examplebot`` group only via
+    product-token prefix matching against crawler ``ExampleBot/1.2``
+    (its catch-all group disallows ``/`` — broken prefix matching
+    blanks the whole host), and the media rules row is keyed
+    ``Media.example.com:443`` — mixed case AND port — so the
+    rules-side host folding (ADVICE r12) is load-bearing, not
+    decorative. The 404 and image/jpeg records must die at the gate
+    BEFORE extraction; blocked paths (/private/ on docs, /tmp/* on
+    media via wildcard) must die at robots; the keeper window then
+    picks the higher-quality variant per canonical URL ((doc_id*37)
+    mod 101 — decorrelated from id order, never tied). 360 records in,
+    exactly 50 corpus rows out.
+
+    Spark shape: ONE pass — scan-time lineSep framing, every ladder
+    stage a pure projection (regexp header/envelope/extract rules,
+    canonicalization HOFs, the broadcast robots fold), and the keeper
+    window's canonical-key hash partition is the composition's ONLY
+    corpus shuffle (url_keeper_dedup re-canonicalizes the canonical
+    column — idempotence is the pinned invariant that makes canonical
+    URLs safe as stored keys, exercised here in anger). The oracle
+    reconstructs the surviving corpus closed-form from the planted
+    grid (extraction/title SQL generated from the SAME rule table —
+    the q183/q184 discipline), so a drift in ANY layer or handoff
+    hash-mismatches. Fixture write is a bounded 360-row collect (the
+    q184/q185 pattern); production reads existing WARC files."""
+    import os
+    import tempfile
+
+    from ..operators import html as H
+    from ..operators import robots as R
+    from ..operators import urls as U
+    from ..operators import warc as W
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 360)
+    ids = F.col("doc_id").cast("string")
+    u = F.expr("doc_id div 2")
+    us = u.cast("string")
+    h = u % 3
+    p = u % 4
+    s = F.expr("doc_id div 2 div 3") % 3
+    crlf = "\r\n"
+    host = (
+        F.when(h == 0, F.lit("docs.example.com"))
+        .when(h == 1, F.lit("media.example.com"))
+        .otherwise(F.lit("open.example.com"))
+    )
+    host_uc = F.upper(host)
+    pathpfx = (
+        F.when(p == 0, F.lit("/private/u"))
+        .when(p == 1, F.lit("/pub/u"))
+        .when(p == 2, F.lit("/tmp/u"))
+        .otherwise(F.lit("/page/u"))
+    )
+    # odd variant: first path letter percent-encoded (p->%70, t->%74)
+    pathenc = (
+        F.when(p == 0, F.lit("/%70rivate/u"))
+        .when(p == 1, F.lit("/%70ub/u"))
+        .when(p == 2, F.lit("/%74mp/u"))
+        .otherwise(F.lit("/%70age/u"))
+    )
+    raw_url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://"), host, pathpfx, us,
+                 F.lit("?b="), us, F.lit("&a=1")),
+    ).otherwise(
+        F.concat(F.lit("HTTPS://"), host_uc, F.lit(":443"), pathenc, us,
+                 F.lit("?a=1&utm_source=x&b="), us, F.lit("#frag")),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>U"), us, F.lit(" &amp; doc</title></head>"),
+        F.lit("<body><h1>D"), ids, F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    payload = (
+        F.when(s == 0, F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf
+                  + "Content-Type: text/html; charset=utf-8" + crlf + crlf),
+            html))
+        .when(s == 1, F.lit(
+            "HTTP/1.1 404 Not Found" + crlf + "Content-Type: text/html"
+            + crlf + crlf + "<html><body>gone</body></html>"))
+        .otherwise(F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: image/jpeg"
+                  + crlf + crlf + "JPEGBYTES"), ids))
+    )
+    date = F.concat(
+        F.lit("2026-02-01T00:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit(":00Z"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Record-ID: <urn:doc:"), ids, F.lit(">" + crlf),
+        F.lit("WARC-Target-URI: "), raw_url, F.lit(crlf),
+        F.lit("WARC-Date: "), date, F.lit(crlf),
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+        F.lit(crlf), F.lit(crlf), payload, F.lit(crlf + crlf),
+    )
+    rows = d.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
+    wdir = tempfile.mkdtemp(prefix="q189_warc_")
+    # newline="" so Python never translates the spec-mandated CRLFs.
+    with open(os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline="") as fh:
+        fh.write("".join(r["rec"] for r in rows))
+
+    # ---- the composed ladder: everything below derives from the file
+    raw = W.read_warc(spark, wdir)
+    rid = W.warc_header(F.col("record"), "WARC-Record-ID")
+    parsed = W.parse_warc(
+        raw.select(
+            F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long").alias("rec_id"),
+            "record",
+        )
+    )
+    pay = F.col("payload")
+    status = W.http_status(pay)
+    mime = F.trim(F.element_at(F.split(W.http_header(pay, "Content-Type"), ";"), 1))
+    body = W.http_body(pay)
+    gated = parsed.filter((status == 200) & mime.startswith("text/")).select(
+        "rec_id",
+        "target_uri",
+        ((F.col("rec_id") * 37) % 101).alias("qual"),
+        H.html_title(body).alias("title"),
+        H.extract_html_text(body).alias("clean_text"),
+    )
+    canon = gated.withColumn("canon_url", U.canonicalize_url(F.col("target_uri")))
+    robots = spark.createDataFrame(
+        [
+            ("docs.example.com",
+             "User-agent: examplebot\nDisallow: /private/\n\n"
+             "User-agent: *\nDisallow: /\n"),
+            ("Media.example.com:443",
+             "User-agent: *\nDisallow: /tmp/*\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = R.parse_robots(robots, user_agent="ExampleBot/1.2", ua_match="prefix")
+    allowed = (
+        R.robots_filter(canon, rules, url_col="canon_url")
+        .filter(F.col("crawl_allowed"))
+        .drop("crawl_allowed")
+    )
+    kept = U.url_keeper_dedup(allowed, "canon_url", "rec_id", "qual")
+    return kept.select(
+        "rec_id", "canon_url", "qual", "title", "clean_text"
+    ).orderBy("rec_id")

@@ -454,3 +454,25 @@ def test_q173_two_path_join_all_broadcast_no_sort_merge(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert plan.count("BroadcastExchange") == 2, plan
+
+
+def test_q189_composition_one_corpus_shuffle(spark):
+    """The r13 end-to-end crawl-ladder composition's plan contract
+    (docs/SCALE.md crawl ladder): every stage between the WARC scan
+    and the keeper window is a projection or a broadcast join, so the
+    CORPUS pays exactly ONE hash exchange — the canonical-URL keeper
+    window (with the partial/final WindowGroupLimit top-1 prune) —
+    plus the final presentation sort. All other exchanges belong to
+    the tiny robots rule-frame subtree and must never carry corpus
+    columns (payload/clean_text/target_uri/canon_url)."""
+    plan = _plan(spark, "q189_crawl_ladder_e2e")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan  # keeper top-1 prune
+    corpus_cols = ("payload#", "clean_text#", "target_uri#", "canon_url#")
+    hash_ex = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and any(c in l for c in corpus_cols)
+    ]
+    # exactly one corpus-bearing hash exchange: the keeper window's
+    assert len(hash_ex) == 1 and "canon_url#" in hash_ex[0], hash_ex
