@@ -339,9 +339,13 @@ def sitemap_frontier(
     ``fetched`` holds ``(fetched_url_col, xml_col)`` — the fetch step
     itself is outside the engine (no network in a Spark job); pair
     with :func:`read_sitemap_files` for on-disk ``.xml(.gz)`` corpora.
-    Seeds that were never fetched simply resolve to nothing, and a
-    child loc is visited at most ONCE (cycles and shared children are
-    dedup-guarded by an anti-join against the visited set).
+    ``fetched`` is expected UNIQUE on the url column (a fetch table is
+    keyed by what was fetched); duplicate url rows would parse each
+    copy and duplicate its page entries — ``dropDuplicates([url])``
+    a re-crawled corpus first. Seeds that were never fetched simply
+    resolve to nothing, and a child loc is visited at most ONCE
+    (cycles and shared children are dedup-guarded by an anti-join
+    against the visited set).
 
     Scale shape — the pagerank_int driver-loop pattern
     (operators/graph.py:40): the DRIVER iterates plans, never data.

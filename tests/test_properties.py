@@ -845,3 +845,148 @@ def test_registered_domain_psl_matches_reference(sess, hosts, rules):
     }
     want = {i: _psl_reference(h, rules) for i, h in enumerate(hosts)}
     assert got == want
+
+
+# --- robots.txt matcher vs pure-Python reference (r13) -----------------------
+# The q181-PSL discipline applied to the compliance layer: random robots
+# corpora (multi-UA groups, '*' groups, wildcard/$/metachar rule paths,
+# case-varied ported hosts) and random URLs, resolved by a pure-Python
+# reference implementing the DOCUMENTED semantics — group selection in
+# both ua_match modes, longest-match-wins with Allow tie-break, default
+# allow — and compared verdict-for-verdict with parse_robots+robots_filter.
+
+import re as _re
+
+
+def _ref_rule_regex(rule: str) -> str:
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    out = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    return "^" + out + ("$" if anchored else "")
+
+
+def _ref_parse(text: str, ua: str, mode: str):
+    lines = []
+    for line in text.split("\n"):
+        line = _re.sub(r"#.*", "", line.replace("\r", "")).strip()
+        m = _re.match(r"^([A-Za-z\-]+)\s*:(.*)$", line)
+        if not m:
+            continue
+        d, v = m.group(1).lower(), m.group(2).strip()
+        if d in ("user-agent", "allow", "disallow"):
+            lines.append((d, v))
+    groups, cur, prev_ua = [], None, False
+    for d, v in lines:
+        if d == "user-agent":
+            if not prev_ua:
+                cur = ([], [])
+                groups.append(cur)
+            cur[0].append(v)
+            prev_ua = True
+        else:
+            prev_ua = False
+            if cur is not None and v != "":
+                cur[1].append((v, d == "allow"))
+    if mode == "exact":
+        def mlen(v):
+            return len(v) if v.lower() == ua.lower() else -1
+    else:
+        tok = ua.split("/", 1)[0].strip().lower()
+
+        def mlen(v):
+            return (
+                len(v) if v and v != "*" and tok.startswith(v.lower()) else -1
+            )
+    best = max(
+        (max((mlen(v) for v in g[0]), default=-1) for g in groups), default=-1
+    )
+    rules = []
+    if best >= 0:
+        for g in groups:
+            if max((mlen(v) for v in g[0]), default=-1) == best:
+                rules += g[1]
+    else:
+        for g in groups:
+            if "*" in g[0]:
+                rules += g[1]
+    return rules
+
+
+def _ref_allowed(path: str, rules) -> bool:
+    best_len, best_allow = -1, True
+    for rp, allow in set(rules):
+        if _re.match(_ref_rule_regex(rp), path):
+            ln = len(rp)
+            if ln > best_len or (ln == best_len and allow and not best_allow):
+                best_len, best_allow = ln, allow
+    return best_allow
+
+
+def _fold_host(h: str) -> str:
+    return _re.sub(r":[0-9]+$", "", h.strip().lower())
+
+
+_RB_PATH_CHARS = "abx/.*$\\"
+_rb_path = st.text(alphabet=_RB_PATH_CHARS, min_size=1, max_size=6).map(
+    lambda s: "/" + s
+)
+_rb_group = st.tuples(
+    st.lists(
+        st.sampled_from(["bota", "BotA", "botb", "bot", "*"]),
+        min_size=1, max_size=2,
+    ),
+    st.lists(st.tuples(_rb_path, st.booleans()), min_size=0, max_size=3),
+)
+_rb_texts = st.dictionaries(
+    st.sampled_from(["a.com", "A.COM", "b.com:443", "C.com"]),
+    st.lists(_rb_group, min_size=1, max_size=3),
+    min_size=1, max_size=3,
+)
+_rb_urls = st.lists(
+    st.tuples(
+        st.sampled_from(["a.com", "A.com", "a.com:8080", "b.com", "c.COM", "d.com"]),
+        _rb_path,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(
+    texts=_rb_texts,
+    urls=_rb_urls,
+    ua=st.sampled_from(["bota/1.0", "BotA", "botb", "botx/2"]),
+    mode=st.sampled_from(["exact", "prefix"]),
+)
+@SETTINGS
+def test_robots_matcher_matches_reference(sess, texts, urls, ua, mode):
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import robots as R
+
+    def render(groups):
+        out = []
+        for uas, rules in groups:
+            out += [f"User-agent: {u}" for u in uas]
+            out += [("Allow: " if a else "Disallow: ") + p for p, a in rules]
+            out.append("")
+        return "\n".join(out)
+
+    corpus = {h: render(g) for h, g in texts.items()}
+    rules_df = R.parse_robots(
+        sess.createDataFrame(list(corpus.items()), "host string, robots_txt string"),
+        user_agent=ua,
+        ua_match=mode,
+    )
+    url_rows = [(f"https://{h}{p}",) for h, p in urls]
+    got = {
+        r["url"]: r["crawl_allowed"]
+        for r in R.robots_filter(
+            sess.createDataFrame(url_rows, "url string"), rules_df
+        ).collect()
+    }
+    # reference: fold rule hosts, merge rule lists across fold-equal keys
+    folded: dict[str, list] = {}
+    for h, text in corpus.items():
+        folded.setdefault(_fold_host(h), []).extend(_ref_parse(text, ua, mode))
+    want = {}
+    for h, p in urls:
+        want[f"https://{h}{p}"] = _ref_allowed(p, folded.get(_fold_host(h), []))
+    assert got == want

@@ -371,3 +371,53 @@ def test_rule_frame_joins_broadcast_and_corpus_never_shuffles(spark):
     ]
     assert not bad, bad
     assert out.filter(~F.col("crawl_allowed")).count() == 1000
+
+
+def test_discovery_to_compliance_ladder_composition(spark):
+    """r13 discovery->compliance composition (the q189 content-path
+    twin): robots_sitemaps finds the seed, sitemap_frontier walks a
+    2-level tree to page locs, canonicalize_url folds the crawled
+    variants, and robots_filter resolves the CANONICAL urls against
+    the SAME robots corpus the seeds came from — the full discovery
+    loop closed over one host, every handoff live."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import urls as U
+
+    robots_txt = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Sitemap: https://a.com/index.xml\n"
+    )
+    robots_df = spark.createDataFrame(
+        [("A.com:443", robots_txt)], "host string, robots_txt string"
+    )
+    seeds = R.robots_sitemaps(robots_df).withColumnRenamed(
+        "sitemap_url", "sitemap_url"
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("https://a.com/index.xml",
+             "<sitemapindex><sitemap><loc>https://a.com/c.xml</loc>"
+             "</sitemap></sitemapindex>"),
+            ("https://a.com/c.xml",
+             "<urlset>"
+             "<url><loc>HTTPS://A.COM:443/private/x?b=2&amp;a=1</loc></url>"
+             "<url><loc>https://a.com/pub/y/</loc></url>"
+             "</urlset>"),
+        ],
+        "url string, xml string",
+    )
+    pages = U.sitemap_frontier(fetched, seeds)
+    canon = pages.select(
+        U.canonicalize_url(F.col("loc")).alias("canon_url"), "depth"
+    )
+    rules = R.parse_robots(robots_df, user_agent="AnyBot/1", ua_match="prefix")
+    out = {
+        r["canon_url"]: (r["crawl_allowed"], r["depth"])
+        for r in R.robots_filter(canon, rules, url_col="canon_url").collect()
+    }
+    # entity-decoded loc canonicalized (host fold, :443 strip, param
+    # sort) and THEN matched against the folded 'A.com:443' rules key
+    assert out == {
+        "https://a.com/private/x?a=1&b=2": (False, 1),
+        "https://a.com/pub/y": (True, 1),
+    }
