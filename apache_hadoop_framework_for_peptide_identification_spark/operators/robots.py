@@ -204,17 +204,19 @@ def _rule_regex(rule_path):
     body = F.when(ends_anchored, F.expr("substring(rule_path, 1, length(rule_path) - 1)")).otherwise(
         rule_path
     )
-    # Swap every '*' (robots.txt has no escaping — every star IS a
-    # wildcard) for a \x00 placeholder FIRST, then regexp-escape the
-    # rest, then substitute '.*'. The r12 form escaped '*' alongside
-    # the other metacharacters and un-escaped it afterwards, which
-    # mis-compiled a literal backslash immediately before '*' (the
-    # un-escape consumed the escaped backslash's second character —
-    # ADVICE r12). \x00 cannot appear in a rule: the line parser
-    # extracts values from split text lines.
-    starred = F.regexp_replace(body, r"\*", "\x00")
-    escaped = F.regexp_replace(starred, r"([.\[\]{}()+?^$\\|])", r"\\$1")
-    wild = F.regexp_replace(escaped, "\x00", ".*")
+    # Escape every regex metacharacter EXCEPT '*' (robots.txt has no
+    # escaping — every star IS a wildcard), then rewrite the stars,
+    # all of which are still raw and unambiguous, to '.*'. The r12
+    # form escaped '*' alongside the others and un-escaped it
+    # afterwards, which mis-compiled a literal backslash immediately
+    # before '*' (the un-escape consumed the escaped backslash's
+    # second character — ADVICE r12); excluding '*' from the escape
+    # class removes the ambiguity without any placeholder, so no
+    # input byte (incl. a NUL from a corrupt line — r13 review
+    # finding against the placeholder draft) can collide with the
+    # rewrite.
+    escaped = F.regexp_replace(body, r"([.\[\]{}()+?^$\\|])", r"\\$1")
+    wild = F.regexp_replace(escaped, r"\*", ".*")
     return F.concat(
         F.lit("^"), wild, F.when(ends_anchored, F.lit("$")).otherwise(F.lit(""))
     )

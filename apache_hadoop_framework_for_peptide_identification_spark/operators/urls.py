@@ -389,6 +389,8 @@ def sitemap_frontier(
             F.lit(depth).alias("depth"),
         )
         pages = level_pages if pages is None else pages.unionByName(level_pages)
+        if depth + 1 >= max_depth:
+            break  # final level: the next frontier would never be walked
         children = (
             parsed.filter(F.col("kind") == "sitemap")
             .select(F.col("loc").alias(fetched_url_col))

@@ -239,6 +239,22 @@ def test_literal_backslash_before_star(spark):
     }
 
 
+def test_nul_byte_in_rule_is_literal_not_wildcard(spark):
+    """r13 review finding: a NUL byte in a corrupt rule line must
+    compile as a LITERAL (matching no real URL path), never collide
+    with the wildcard rewrite into a phantom '.*'."""
+    texts = {"a.com": "User-agent: *\nDisallow: /a\x00\n"}
+    got = _verdicts(
+        spark, _rules(spark, texts, "b"),
+        ["https://a.com/a", "https://a.com/a/deep", "https://a.com/a\x00b"],
+    )
+    assert got == {
+        "https://a.com/a": True,        # no NUL in the path -> no match
+        "https://a.com/a/deep": True,   # a phantom '.*' would flip this
+        "https://a.com/a\x00b": False,  # literal NUL prefix DOES match
+    }
+
+
 def test_passthrough_collision_raises(spark):
     """ADVICE r12 (low): internal/output names (__h/__path/__rules/
     crawl_allowed) on the URLS frame would be silently overwritten and
