@@ -990,3 +990,84 @@ def test_robots_matcher_matches_reference(sess, texts, urls, ua, mode):
     for h, p in urls:
         want[f"https://{h}{p}"] = _ref_allowed(p, folded.get(_fold_host(h), []))
     assert got == want
+
+
+# --- sitemap frontier walk vs pure-Python BFS reference (r13) ----------------
+# Random fetch graphs (indexes with arbitrary child edges incl. cycles,
+# self-references, unfetched children, and MIXED documents carrying both
+# page entries and child references) walked by a reference BFS with the
+# documented semantics: level-synchronous, visited-once, bounded depth,
+# pages tagged with the level they were found at.
+
+_fg_nodes = st.integers(min_value=1, max_value=6)
+
+
+@st.composite
+def _frontier_graphs(draw):
+    n = draw(_fg_nodes)
+    nodes = {}
+    for i in range(n):
+        children = draw(
+            st.lists(st.integers(min_value=0, max_value=n - 1), max_size=3)
+        )
+        n_pages = draw(st.integers(min_value=0, max_value=2))
+        fetched = draw(st.booleans())
+        nodes[i] = (children, n_pages, fetched)
+    seeds = draw(
+        st.lists(st.integers(min_value=0, max_value=n - 1), min_size=1, max_size=3)
+    )
+    depth = draw(st.integers(min_value=1, max_value=4))
+    return nodes, seeds, depth
+
+
+@given(graph=_frontier_graphs())
+@SETTINGS
+def test_sitemap_frontier_matches_bfs_reference(sess, graph):
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import urls as U
+
+    nodes, seeds, max_depth = graph
+    url = lambda i: f"s://n{i}"  # noqa: E731
+    rows = []
+    for i, (children, n_pages, fetched) in nodes.items():
+        if not fetched:
+            continue
+        xml = "".join(
+            f"<url><loc>s://p{i}-{j}</loc></url>" for j in range(n_pages)
+        ) + "".join(f"<sitemap><loc>{url(c)}</loc></sitemap>" for c in children)
+        rows.append((url(i), f"<x>{xml}</x>"))
+    if not rows:
+        rows = [("s://unused", "<x></x>")]
+    fetched_df = sess.createDataFrame(rows, "url string, xml string")
+    seeds_df = sess.createDataFrame(
+        [(url(i),) for i in seeds], "sitemap_url string"
+    )
+    got = {
+        (r["source_sitemap"], r["loc"], r["depth"])
+        for r in U.sitemap_frontier(
+            fetched_df, seeds_df, max_depth=max_depth
+        ).collect()
+    }
+    # reference BFS
+    want = set()
+    frontier = {url(i) for i in seeds}
+    visited = set(frontier)
+    fetched_map = {
+        url(i): (children, n_pages)
+        for i, (children, n_pages, fetched) in nodes.items()
+        if fetched
+    }
+    for depth in range(max_depth):
+        if not frontier:
+            break
+        level = [u for u in frontier if u in fetched_map]
+        for u in level:
+            children, n_pages = fetched_map[u]
+            i = int(u.split("n")[1])
+            for j in range(n_pages):
+                want.add((u, f"s://p{i}-{j}", depth))
+        if depth + 1 >= max_depth:
+            break
+        nxt = {url(c) for u in level for c in fetched_map[u][0]} - visited
+        visited |= nxt
+        frontier = nxt
+    assert got == want
