@@ -458,3 +458,126 @@ def test_header_names_are_literal(spark):
 
     got = df.select(W.warc_header(F.col("record"), "X.Custom").alias("v")).first()["v"]
     assert got == "right"
+
+
+def test_streaming_crawl_ladder_matches_batch(spark, tmp_path):
+    """r13 streaming twin of the q189 composition: crawl segments
+    ARRIVING AS FILES flow through the identical ladder projections
+    (parse -> status/MIME gate -> HTML extract -> canonicalize ->
+    robots with the prefix grammar) inside foreachBatch, with the
+    keeper dedup resolving across micro-batches — the two crawled
+    variants of each URL group land in DIFFERENT files/drains, so a
+    per-batch-only dedup would keep both. The accumulated streaming
+    corpus must equal the batch composition over the same bytes, and
+    the second drain must not reprocess the first file."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import html as H
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import robots as R
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import urls as U
+
+    crlf = "\r\n"
+
+    def rec(doc_id, url, status_line, ctype, body):
+        payload = f"{status_line}{crlf}Content-Type: {ctype}{crlf}{crlf}{body}"
+        return (
+            "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+            + f"WARC-Record-ID: <urn:doc:{doc_id}>" + crlf
+            + f"WARC-Target-URI: {url}" + crlf
+            + f"Content-Length: {len(payload.encode())}" + crlf + crlf
+            + payload + crlf + crlf
+        )
+
+    def build(u, w):
+        doc_id = 2 * u + w
+        seg = "private" if u % 2 == 0 else "pub"
+        if w == 0:
+            url = f"https://docs.example.com/{seg}/u{u}?b=1&a=2"
+        else:
+            url = f"HTTPS://DOCS.EXAMPLE.COM:443/{seg}/u{u}?a=2&utm_x=1&b=1#f"
+        s = u % 3
+        if s == 0:
+            return rec(doc_id, url, "HTTP/1.1 200 OK", "text/html",
+                       f"<html><body><h1>D{doc_id}</h1><p>t{doc_id}</p></body></html>")
+        if s == 1:
+            return rec(doc_id, url, "HTTP/1.1 404 Not Found", "text/html", "gone")
+        return rec(doc_id, url, "HTTP/1.1 200 OK", "image/jpeg", f"JPEG{doc_id}")
+
+    src = tmp_path / "segments"
+    src.mkdir()
+    robots_df = spark.createDataFrame(
+        [("Docs.example.com:443",
+          "User-agent: examplebot\nDisallow: /private/\n\nUser-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    rules = R.parse_robots(robots_df, user_agent="ExampleBot/1.2", ua_match="prefix")
+
+    def ladder(parsed_df):
+        rid = W.warc_header(F.col("record"), "WARC-Record-ID")
+        parsed = W.parse_warc(
+            parsed_df.select(
+                F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long").alias("rec_id"),
+                "record",
+            )
+        )
+        pay = F.col("payload")
+        status = W.http_status(pay)
+        mime = F.trim(F.element_at(F.split(W.http_header(pay, "Content-Type"), ";"), 1))
+        gated = parsed.filter((status == 200) & mime.startswith("text/")).select(
+            "rec_id",
+            ((F.col("rec_id") * 37) % 101).alias("qual"),
+            H.extract_html_text(W.http_body(pay)).alias("clean_text"),
+            U.canonicalize_url(F.col("target_uri")).alias("canon_url"),
+        )
+        return (
+            R.robots_filter(gated, rules, url_col="canon_url")
+            .filter(F.col("crawl_allowed"))
+            .drop("crawl_allowed")
+        )
+
+    acc = []
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        stream = W.read_warc_stream(spark, str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: acc.extend(
+                    (r["rec_id"], r["canon_url"], r["qual"], r["clean_text"])
+                    for r in ladder(bdf).collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # variant 0 of every group arrives first; variant 1 a drain later
+    (src / "seg-a.warc").write_text(
+        "".join(build(u, 0) for u in range(12)), newline="")
+    drain()
+    n_first = len(acc)
+    (src / "seg-b.warc").write_text(
+        "".join(build(u, 1) for u in range(12)), newline="")
+    drain()
+    assert len(acc) == 2 * n_first  # exactly-once: file A not reprocessed
+
+    # cross-batch keeper: best (qual desc, rec_id) per canonical URL
+    best = {}
+    for rec_id, canon, qual, text in acc:
+        cur = best.get(canon)
+        if cur is None or (qual, -rec_id) > (cur[2], -cur[0]):
+            best[canon] = (rec_id, canon, qual, text)
+    got = sorted(best.values())
+
+    batch = ladder(W.read_warc(spark, str(src)))
+    kept = U.url_keeper_dedup(batch, "canon_url", "rec_id", "qual")
+    want = sorted(
+        (r["rec_id"], r["canon_url"], r["qual"], r["clean_text"])
+        for r in kept.collect()
+    )
+    assert got == want
+    # sanity: only 200+text/html, robots-allowed groups survive (u=3,9)
+    assert {r[1] for r in got} == {
+        "https://docs.example.com/pub/u3?a=2&b=1",
+        "https://docs.example.com/pub/u9?a=2&b=1",
+    }
