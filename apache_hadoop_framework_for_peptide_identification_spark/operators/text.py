@@ -1,7 +1,10 @@
 """Text-analysis operators: language ID, quality scoring, token
-counting, document fingerprinting. All built-in-function expressions —
+counting, document fingerprinting. Built-in-function expressions —
 zero Python in the hot path, so they ride whole-stage codegen at any
-scale."""
+scale — with ONE documented exception: :func:`unicode_normalize`
+(r13), because Spark exposes no Unicode normalizer at the SQL/Column
+layer at all; it is an Arrow-batched pandas UDF over the stdlib
+normalizer, the same deliberate boundary as the repetition filter."""
 
 from __future__ import annotations
 
@@ -79,3 +82,41 @@ def fingerprint(text_col: Column) -> Column:
     multiset. Shuffle-friendly 128-bit key for clustering reorderings
     of the same content."""
     return F.md5(F.concat_ws(" ", F.sort_array(tokens(text_col))))
+
+
+def unicode_normalize(text_col: Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a text column (r13): NFC/NFD/NFKC/NFKD per
+    the standard stdlib normalizer. The tier BELOW q144's
+    casefold/punctuation normalization in the dedup ladder — web
+    scrapes mix precomposed and combining-sequence encodings of the
+    SAME visible text (``é`` as U+00E9 vs ``e``+U+0301, canonical
+    reorderings of stacked diacritics), which byte-exact hashing
+    treats as distinct documents; normalize FIRST and the downstream
+    hash tiers see one form.
+
+    Implementation note (the module's one deliberate Python): Spark
+    exposes NO Unicode normalizer as a SQL function or Column
+    expression, so this is an Arrow-batched ``pandas_udf`` over
+    ``unicodedata.normalize`` — batch-vectorized transfer, scan-local
+    (a projection: no shuffle, and only the normalized output —
+    typically hashed immediately — crosses any downstream exchange).
+    Cost is O(bytes) per row with no quadratic terms; ASCII-only
+    batches pass through at memcpy speed (`unicodedata.is_normalized`
+    short-circuit via the quick-check property inside CPython). The
+    DuckDB oracle side is ``nfc_normalize`` (NFC only — the form the
+    driver query pins; both implement the same Unicode standard,
+    agreement asserted in tests)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be one of NFC/NFD/NFKC/NFKD, got {form!r}")
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm(text_col)

@@ -1091,6 +1091,92 @@ def q144_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q191_unicode_nfc_dedup",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 50 AS g, doc_id // 50 AS v,
+                  (doc_id * 37) % 101 AS qual
+           FROM documents WHERE doc_id < 150),
+j AS (SELECT d.doc_id, d.v, d.qual, b.text AS base
+      FROM d JOIN documents b ON d.g = b.doc_id),
+r AS (SELECT doc_id, qual,
+  base || CASE v
+    WHEN 0 THEN ' caf' || chr(233) || ' ' || chr(7785)
+    WHEN 1 THEN ' cafe' || chr(769) || ' s' || chr(803) || chr(775)
+    ELSE ' cafe' || chr(769) || ' s' || chr(775) || chr(803) END AS raw
+ FROM j),
+n AS (SELECT doc_id, qual, nfc_normalize(raw) AS norm FROM r),
+k AS (SELECT doc_id, row_number() OVER (
+        PARTITION BY norm ORDER BY qual DESC, doc_id) AS rn FROM n)
+SELECT n.doc_id, md5(n.norm) AS norm_hash, n.qual, (k.rn = 1) AS kept
+FROM n JOIN k USING (doc_id) ORDER BY n.doc_id
+""",
+)
+def q191_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization-tier dedup (added r13): the tier BELOW
+    q144 in the dedup ladder — web scrapes encode the SAME visible
+    text as precomposed codepoints, combining sequences, and
+    non-canonically ORDERED combining stacks, which every byte-exact
+    and hash tier treats as distinct documents. 150 planted docs form
+    50 groups of 3 encoding variants sharing one base text: v0
+    appends precomposed ``café ṩ`` (U+00E9, U+1E69), v1 the fully
+    decomposed canonical-order form (``e``+U+0301, ``s``+U+0323+
+    U+0307), v2 the NON-canonical diacritic order (U+0307 before
+    U+0323 — NFC must reorder by combining class before composing).
+    All three are byte-distinct raw; operators/text.py
+    unicode_normalize (the engine's one documented pandas-UDF
+    exception — Spark has NO SQL-layer Unicode normalizer) folds them
+    to one NFC form, and the (quality desc, id) keeper window over
+    the normalized key picks one doc per group.
+
+    The oracle recomputes the normalization with DuckDB's
+    ``nfc_normalize`` — an INDEPENDENT implementation of the same
+    Unicode standard (stdlib vs utf8proc), so the md5(norm) hash
+    column pins the normalized BYTES, not just the grouping: a wrong
+    composition, a missed reorder, or a stray compatibility mapping
+    (NFKC where NFC was asked) all hash-mismatch. Scale shape: the
+    UDF is a scan-local Arrow-batched projection; the keeper shuffle
+    carries the normalized-key hash partition — one exchange, same as
+    q144/q179."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    g = F.col("doc_id") % 50
+    v = F.expr("doc_id div 50")
+    qual = (F.col("doc_id") * 37) % 101
+    base = d.join(
+        F.broadcast(
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select(F.col("doc_id").alias("b_id"), F.col("text").alias("base"))
+        ),
+        g == F.col("b_id"),
+    )
+    # explicit escapes — an editor/VCS layer must never be able to
+    # NFC-fold the three byte-distinct plantings into one
+    suffix = (
+        F.when(v == 0, F.lit(" caf\u00e9 \u1e69"))
+        .when(v == 1, F.lit(" cafe\u0301 s\u0323\u0307"))
+        .otherwise(F.lit(" cafe\u0301 s\u0307\u0323"))
+    )
+    rows = base.select(
+        "doc_id",
+        qual.alias("qual"),
+        T.unicode_normalize(F.concat(F.col("base"), suffix)).alias("norm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("norm").orderBy(F.col("qual").desc(), F.col("doc_id"))
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.md5("norm").alias("norm_hash"),
+            "qual",
+            (F.col("rn") == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q145_passage_chunking",
     oracle="""
 WITH docs AS (

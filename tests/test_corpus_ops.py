@@ -122,3 +122,48 @@ def test_equiwidth_histogram_buckets(spark):
     assert rows[0]["n"] == 2 and rows[0]["min_v"] == 1 and rows[0]["max_v"] == 9
     assert rows[10]["n"] == 2 and rows[10]["mean_v"] == 14.5
     assert rows[20]["n"] == 1
+
+
+def test_unicode_normalize_forms_and_agreement(spark, duck):
+    """r13 unicode_normalize: NFC composes precomposed/decomposed/
+    reordered encodings to one form, NFD inverts it, NFKC folds
+    compatibility chars NFC must NOT touch, nulls pass through, bad
+    forms are rejected — and NFC agrees byte-for-byte with DuckDB's
+    independent utf8proc implementation on every case."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import text as T
+
+    cases = [
+        "caf\u00e9",          # precomposed
+        "cafe\u0301",         # combining acute
+        "s\u0307\u0323x",    # non-canonical diacritic order
+        "\u212bngstrom",      # ANGSTROM SIGN -> A-ring under NFC
+        "\ufb01sh",           # fi ligature: NFC keeps, NFKC folds
+        "ascii only",
+        None,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, s string")
+    out = {
+        r["i"]: (r["nfc"], r["nfkc"])
+        for r in df.select(
+            "i",
+            T.unicode_normalize(F.col("s")).alias("nfc"),
+            T.unicode_normalize(F.col("s"), "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    import unicodedata as U
+
+    for i, c in enumerate(cases):
+        if c is None:
+            assert out[i] == (None, None)
+            continue
+        assert out[i][0] == U.normalize("NFC", c), c
+        assert out[i][1] == U.normalize("NFKC", c), c
+        duck_nfc = duck.execute("SELECT nfc_normalize(?)", [c]).fetchone()[0]
+        assert out[i][0] == duck_nfc, c
+    # the ligature distinguishes NFC from NFKC
+    assert out[4][0] == "\ufb01sh" and out[4][1] == "fish"
+    with pytest.raises(ValueError, match="NFC/NFD"):
+        T.unicode_normalize(F.col("s"), "NFX")
