@@ -47,7 +47,17 @@ Documented trades (same class as html.py's regex-not-parser note):
   records framed elsewhere (tests, pre-split frames), not as a
   framing fallback;
 - header parsing takes the FIRST occurrence of a header name,
-  case-insensitively, per the spec's uniqueness rule.
+  case-insensitively, per the spec's uniqueness rule;
+- the text source decodes bytes as UTF-8 (r13, made explicit): WET
+  payloads are UTF-8 by construction and headers are ASCII, so the
+  ladder is exact there; a raw-WARC ``response`` payload in another
+  charset (the ``charset=`` parameter q187's gate splits off) decodes
+  with replacement characters — detectable downstream (the \\uFFFD
+  count is a standard quality-filter signal), never a crash. A
+  charset-faithful decode (iconv per record) belongs in the same
+  custom-data-source tier as length-walking binary framing: read
+  bytes per record, decode per ``Content-Type`` in an Arrow-batched
+  pass — deliberately out of the hot tier for the same reason.
 
 r12 adds the WRITE side — :func:`write_warc` — completing the
 container layer's read/write symmetry (the csv/json/xml roundtrip
