@@ -86,11 +86,39 @@ def parse_robots(
     winning group(s). In exact mode every match has the same token
     length, so longest-wins degenerates to the r12 any-match rule —
     the r12 behavior is preserved bit-for-bit."""
-    if ua_match not in ("exact", "prefix"):
-        raise ValueError(f"ua_match must be 'exact' or 'prefix', got {ua_match!r}")
-    ua = user_agent.lower()
-    # crawler product token: user_agent up to the first '/', trimmed.
-    tok = user_agent.split("/", 1)[0].strip().lower()
+    starts = _grouped_directives(df, host_col, robots_col)
+    chosen = _chosen_groups(starts, user_agent, ua_match)
+    rules = (
+        starts.filter(F.col("directive").isin("allow", "disallow"))
+        .join(chosen, ["host", "group_id"])
+        .filter(F.col("value") != "")  # empty Disallow: == allow all (no rule)
+        .select(
+            "host",
+            F.col("value").alias("rule_path"),
+            (F.col("directive") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+    return rules
+
+
+# Directives that participate in GROUP structure (RFC 9309 §2.2.1: a
+# run of consecutive User-agent lines opens a group; any group-member
+# line — rule or crawl-delay — ends the run, so a later User-agent
+# line starts a NEW group). Sitemap is deliberately absent: it is
+# UA-independent (§2.3, robots_sitemaps).
+_GROUP_DIRECTIVES = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def _grouped_directives(df: DataFrame, host_col: str, robots_col: str) -> DataFrame:
+    """Shared group assembly (r13 refactor for parse_crawl_delay):
+    explode lines, strip comments/CRLF, parse ``Name: value``, keep
+    the group directives, and label gaps-and-islands group ids — a
+    group is one-or-more CONSECUTIVE User-agent lines plus everything
+    until the next such run. Including crawl-delay in the stream also
+    refines a grammar corner to the RFC rule: a crawl-delay line
+    between two User-agent lines now ENDS the first group's UA run
+    (previously the two UA lines merged into one group)."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "line"),
@@ -109,16 +137,26 @@ def parse_robots(
             "directive"
         ),
         F.trim(F.regexp_extract("line", r"^[A-Za-z\-]+\s*:(.*)$", 1)).alias("value"),
-    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("directive").isin(*_GROUP_DIRECTIVES))
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("directive") == "user-agent"
     prev_ua = F.lag(is_ua, 1, False).over(w)
-    starts = parsed.withColumn(
+    return parsed.withColumn(
         "group_id", F.sum((is_ua & ~prev_ua).cast("int")).over(w)
     )
-    # Which groups does the UA select? Token groups win over '*'; among
-    # token matches the LONGEST token wins (exact mode: all matches
-    # share one length, so this is the r12 any-match rule).
+
+
+def _chosen_groups(starts: DataFrame, user_agent: str, ua_match: str) -> DataFrame:
+    """The (host, group_id) set ``user_agent`` selects — token groups
+    win over '*'; among token matches the LONGEST token wins (exact
+    mode: all matches share one length, so this is the r12 any-match
+    rule)."""
+    if ua_match not in ("exact", "prefix"):
+        raise ValueError(f"ua_match must be 'exact' or 'prefix', got {ua_match!r}")
+    ua = user_agent.lower()
+    # crawler product token: user_agent up to the first '/', trimmed.
+    tok = user_agent.split("/", 1)[0].strip().lower()
+    is_ua = F.col("directive") == "user-agent"
     if ua_match == "exact":
         m = F.lower(F.col("value")) == ua
     else:  # prefix: group token is a case-insensitive prefix of tok
@@ -138,7 +176,7 @@ def parse_robots(
     host_pref = group_uas.groupBy("host").agg(
         F.max("ua_len").alias("best_len")
     )
-    chosen = (
+    return (
         group_uas.join(host_pref, "host")
         .filter(
             ((F.col("best_len") >= 0) & (F.col("ua_len") == F.col("best_len")))
@@ -146,18 +184,87 @@ def parse_robots(
         )
         .select("host", "group_id")
     )
-    rules = (
-        starts.filter(~is_ua)
+
+
+def parse_crawl_delay(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+    ua_match: str = "exact",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds) for the group(s)
+    ``user_agent`` selects (r13 — the POLITENESS directive of the
+    compliance layer; de-facto standard honored by most non-Google
+    crawlers, group-scoped exactly like Allow/Disallow). Returns
+    ``(host, crawl_delay double)`` — one row per host that declares a
+    valid delay in a selected group; hosts without one are simply
+    absent (callers supply their own default, see
+    :func:`crawl_schedule`). Non-numeric or negative values drop
+    (``try_cast`` — one malformed line cannot fail a scan); when
+    several selected groups declare delays the MAXIMUM wins (the
+    conservative politeness reading). Same plan shape and group
+    grammar as :func:`parse_robots` (shared assembly)."""
+    starts = _grouped_directives(df, host_col, robots_col)
+    chosen = _chosen_groups(starts, user_agent, ua_match)
+    d = F.col("value").try_cast("double")
+    return (
+        starts.filter(F.col("directive") == "crawl-delay")
         .join(chosen, ["host", "group_id"])
-        .filter(F.col("value") != "")  # empty Disallow: == allow all (no rule)
-        .select(
-            "host",
-            F.col("value").alias("rule_path"),
-            (F.col("directive") == "allow").alias("allow"),
-        )
-        .distinct()
+        .withColumn("__d", d)
+        .filter(F.col("__d").isNotNull() & (F.col("__d") >= 0))
+        .groupBy("host")
+        .agg(F.max("__d").alias("crawl_delay"))
     )
-    return rules
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    default_delay: float = 1.0,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Politeness fetch schedule (r13): assign every URL a per-host
+    fetch SLOT and earliest fetch offset — ``slot`` = the URL's rank
+    within its (folded) host, ``fetch_offset_s`` = slot × the host's
+    crawl delay (:func:`parse_crawl_delay` output; ``default_delay``
+    where a host declares none). The planning step between the
+    compliance/discovery layers and the fetcher: a polite crawler
+    fetches a host's slot-k URL no earlier than k·delay seconds into
+    the crawl epoch.
+
+    Ordering within a host is ``order_col`` (e.g. a sitemap priority,
+    descending handled by the caller passing a derived column) with
+    the url string as the deterministic tie-break; plain url order
+    when ``order_col`` is None. Scale shape: the delay table is
+    host-sized and broadcasts; the corpus pays ONE shuffle — the
+    per-host window's hash partition (the domain_cap note applies: a
+    pathological single-host frontier concentrates one window key;
+    cap the frontier per host first — :func:`domain_cap`'s job)."""
+    clash = {"__h", "slot", "fetch_offset_s", "crawl_delay"} & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"crawl_schedule output columns collide with input columns {sorted(clash)}"
+        )
+    folded = F.regexp_replace(F.lower(F.trim(F.col("host"))), ":[0-9]+$", "")
+    d = delays.select(folded.alias("__h"), "crawl_delay")
+    base = urls.withColumn("__h", url_host(F.col(url_col)))
+    j = base.join(F.broadcast(d), "__h", "left")
+    order = [F.col(order_col), F.col(url_col)] if order_col else [F.col(url_col)]
+    w = Window.partitionBy("__h").orderBy(*order)
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return (
+        j.withColumn("slot", slot)
+        .withColumn(
+            "fetch_offset_s",
+            (
+                F.col("slot")
+                * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+            ).cast("double"),
+        )
+        .drop("__h", "crawl_delay")
+    )
 
 
 def robots_sitemaps(

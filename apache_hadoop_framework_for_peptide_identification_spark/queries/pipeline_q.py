@@ -2004,3 +2004,85 @@ def q190_sitemap_frontier_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.withColumn(
         "canon_url", U.canonicalize_url(F.col("loc"))
     ).orderBy("loc")
+
+
+# --- q192: crawl-delay politeness schedule, r13 ------------------------------
+
+_Q192_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS h FROM documents WHERE doc_id < 160),
+u AS (SELECT doc_id,
+  CASE h WHEN 0 THEN 'docs.example.com' WHEN 1 THEN 'media.example.com'
+         WHEN 2 THEN 'open.example.com' ELSE 'none.example.com' END AS host
+ FROM d),
+v AS (SELECT doc_id, host, 'https://' || host || '/p' || doc_id AS url,
+  CASE WHEN host = 'docs.example.com' THEN 0.5
+       WHEN host = 'media.example.com' THEN 2.0 ELSE 1.0 END AS delay
+ FROM u),
+s AS (SELECT doc_id, url, delay,
+  row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS slot FROM v)
+SELECT doc_id, url, CAST(slot AS BIGINT) AS slot,
+  slot * delay AS fetch_offset_s
+FROM s ORDER BY url
+"""
+
+
+@query("q192_crawl_politeness_schedule", oracle=_Q192_ORACLE)
+def q192_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness scheduling (added r13 — the PLANNING
+    step that completes the fetch side of the ladder: q186 says WHAT
+    may be fetched, q190 says what EXISTS, this says WHEN): 160
+    planted URLs over 4 hosts resolve per-host ``Crawl-delay`` from
+    the robots corpus through operators/robots.py parse_crawl_delay
+    (group-scoped exactly like the rules, via the r13 SHARED group
+    assembly: the docs host's 0.5 s sits in its ``examplebot`` group
+    and must beat the catch-all group's decoy 9 s through product-
+    token prefix selection; the media host's star group carries a
+    non-numeric ``Crawl-delay: fast`` line that must DROP via
+    try_cast plus the valid 2 s; the open host declares no delay and
+    the fourth host has no robots at all — both fall to the 1.0 s
+    default), then crawl_schedule assigns per-host slots in url order
+    and ``fetch_offset_s = slot x delay``. The media rules row is
+    keyed ``Media.example.com`` — the delay-table host folding is
+    load-bearing (the r13 robots_filter discipline).
+
+    The oracle replays the grid closed-form: a wrong group selection
+    surfaces as a 9 s ladder on the docs host, a kept malformed line
+    as a NULL/NaN offset, a missed default as nulls on half the
+    corpus, and any slot drift as a different per-host ladder. Scale
+    shape: the delay table is host-sized and broadcasts; the corpus
+    pays ONE shuffle — the per-host window (cap pathological single-
+    host frontiers with domain_cap first, the documented note)."""
+    from ..operators import robots as R
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    h = F.col("doc_id") % 4
+    host = (
+        F.when(h == 0, F.lit("docs.example.com"))
+        .when(h == 1, F.lit("media.example.com"))
+        .when(h == 2, F.lit("open.example.com"))
+        .otherwise(F.lit("none.example.com"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("docs.example.com",
+             "User-agent: examplebot\nCrawl-delay: 0.5\nDisallow: /private/\n\n"
+             "User-agent: *\nCrawl-delay: 9\n"),
+            ("Media.example.com",
+             "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2\n"),
+            ("open.example.com", "User-agent: *\nDisallow: /tmp/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    delays = R.parse_crawl_delay(
+        robots, user_agent="ExampleBot/1.2", ua_match="prefix"
+    )
+    return (
+        R.crawl_schedule(urls, delays, default_delay=1.0)
+        .select("doc_id", "url", "slot", "fetch_offset_s")
+        .orderBy("url")
+    )

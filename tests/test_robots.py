@@ -437,3 +437,93 @@ def test_discovery_to_compliance_ladder_composition(spark):
         "https://a.com/private/x?a=1&b=2": (False, 1),
         "https://a.com/pub/y": (True, 1),
     }
+
+
+def test_parse_crawl_delay_group_scoped(spark):
+    """r13 politeness: Crawl-delay is group-scoped like the rules —
+    the selected group's delay wins, non-numeric/negative values drop
+    (one malformed line cannot fail a scan), multiple selected delays
+    take the conservative MAX, hosts without a valid delay are
+    absent."""
+    texts = {
+        "a.com": (
+            "User-agent: examplebot\nCrawl-delay: 0.5\nDisallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 9\n"
+        ),
+        "b.com": "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2\n",
+        "c.com": "User-agent: *\nDisallow: /x\n",          # no delay
+        "d.com": "User-agent: otherbot\nCrawl-delay: 3\n",  # unselected
+        "e.com": "User-agent: *\nCrawl-delay: -1\n",        # negative drops
+    }
+    df = spark.createDataFrame(list(texts.items()), "host string, robots_txt string")
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in R.parse_crawl_delay(
+            df, user_agent="ExampleBot/1.2", ua_match="prefix"
+        ).collect()
+    }
+    assert got == {"a.com": 0.5, "b.com": 2.0}
+
+
+def test_crawl_delay_line_splits_ua_run(spark):
+    """RFC grammar corner refined by the r13 shared assembly: a
+    crawl-delay line between two User-agent lines ENDS the first
+    group's UA run, so the second UA line opens a NEW group."""
+    texts = {"a.com": (
+        "User-agent: alpha\nCrawl-delay: 1\n"
+        "User-agent: beta\nDisallow: /x\n"
+    )}
+    # beta's group holds the rule; alpha's does not
+    got_beta = _verdicts(spark, _rules(spark, texts, "beta"), ["https://a.com/x/1"])
+    got_alpha = _verdicts(spark, _rules(spark, texts, "alpha"), ["https://a.com/x/1"])
+    assert got_beta == {"https://a.com/x/1": False}
+    assert got_alpha == {"https://a.com/x/1": True}
+    # and the delay belongs to alpha's group only
+    df = spark.createDataFrame(list(texts.items()), "host string, robots_txt string")
+    assert {r["host"]: r["crawl_delay"]
+            for r in R.parse_crawl_delay(df, user_agent="alpha").collect()} == {"a.com": 1.0}
+    assert R.parse_crawl_delay(df, user_agent="beta").count() == 0
+
+
+def test_crawl_schedule_slots_and_offsets(spark):
+    """Per-host slots in url order, offset = slot x delay, default
+    where a host declares none, delay-table host folded, collision
+    guard, order_col override."""
+    import pytest
+
+    delays = spark.createDataFrame(
+        [("A.com:443", 0.5), ("b.com", 2.0)], "host string, crawl_delay double"
+    )
+    urls = spark.createDataFrame(
+        [("https://a.com/p2",), ("https://a.com/p1",), ("https://A.COM/p3",),
+         ("https://b.com/q1",), ("https://nodelay.com/r1",), ("https://nodelay.com/r2",)],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["slot"], r["fetch_offset_s"])
+        for r in R.crawl_schedule(urls, delays).collect()
+    }
+    assert got == {
+        # folded host groups the case variants into ONE slot sequence;
+        # raw-url ASCII order puts the uppercase spelling first
+        "https://A.COM/p3": (0, 0.0),
+        "https://a.com/p1": (1, 0.5),
+        "https://a.com/p2": (2, 1.0),
+        "https://b.com/q1": (0, 0.0),
+        "https://nodelay.com/r1": (0, 0.0),
+        "https://nodelay.com/r2": (1, 1.0),  # default_delay = 1.0
+    }
+    # order_col overrides url order within the host (tie-break by url)
+    prio = spark.createDataFrame(
+        [("https://a.com/p1", 2), ("https://a.com/p2", 1)],
+        "url string, rank int",
+    )
+    got2 = {
+        r["url"]: r["slot"]
+        for r in R.crawl_schedule(prio, delays, order_col="rank").collect()
+    }
+    assert got2 == {"https://a.com/p2": 0, "https://a.com/p1": 1}
+    with pytest.raises(ValueError, match="slot"):
+        R.crawl_schedule(
+            spark.createDataFrame([("u", 1)], "url string, slot int"), delays
+        )
