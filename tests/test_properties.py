@@ -873,7 +873,7 @@ def _ref_parse(text: str, ua: str, mode: str):
         if not m:
             continue
         d, v = m.group(1).lower(), m.group(2).strip()
-        if d in ("user-agent", "allow", "disallow"):
+        if d in ("user-agent", "allow", "disallow", "crawl-delay"):
             lines.append((d, v))
     groups, cur, prev_ua = [], None, False
     for d, v in lines:
@@ -884,8 +884,9 @@ def _ref_parse(text: str, ua: str, mode: str):
             cur[0].append(v)
             prev_ua = True
         else:
+            # any group-member line (rule OR crawl-delay) ends a UA run
             prev_ua = False
-            if cur is not None and v != "":
+            if cur is not None and v != "" and d != "crawl-delay":
                 cur[1].append((v, d == "allow"))
     if mode == "exact":
         def mlen(v):
@@ -963,8 +964,10 @@ def test_robots_matcher_matches_reference(sess, texts, urls, ua, mode):
 
     def render(groups):
         out = []
-        for uas, rules in groups:
+        for gi, (uas, rules) in enumerate(groups):
             out += [f"User-agent: {u}" for u in uas]
+            if gi % 2:  # group-body directive that is NOT a rule: must
+                out.append("Crawl-delay: 5")  # end UA runs, add no rule
             out += [("Allow: " if a else "Disallow: ") + p for p, a in rules]
             out.append("")
         return "\n".join(out)
