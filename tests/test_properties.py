@@ -879,14 +879,18 @@ def _ref_parse(text: str, ua: str, mode: str):
     for d, v in lines:
         if d == "user-agent":
             if not prev_ua:
-                cur = ([], [])
+                cur = ([], [], [])
                 groups.append(cur)
             cur[0].append(v)
             prev_ua = True
         else:
             # any group-member line (rule OR crawl-delay) ends a UA run
             prev_ua = False
-            if cur is not None and v != "" and d != "crawl-delay":
+            if cur is None or v == "":
+                continue
+            if d == "crawl-delay":
+                cur[2].append(v)
+            else:
                 cur[1].append((v, d == "allow"))
     if mode == "exact":
         def mlen(v):
@@ -901,16 +905,20 @@ def _ref_parse(text: str, ua: str, mode: str):
     best = max(
         (max((mlen(v) for v in g[0]), default=-1) for g in groups), default=-1
     )
-    rules = []
+    rules, delays = [], []
     if best >= 0:
         for g in groups:
             if max((mlen(v) for v in g[0]), default=-1) == best:
                 rules += g[1]
+                delays += g[2]
     else:
         for g in groups:
             if "*" in g[0]:
                 rules += g[1]
-    return rules
+                delays += g[2]
+    valid = [float(x) for x in delays
+             if _re.fullmatch(r"[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?", x)]
+    return rules, (max(valid) if valid else None)
 
 
 def _ref_allowed(path: str, rules) -> bool:
@@ -967,7 +975,8 @@ def test_robots_matcher_matches_reference(sess, texts, urls, ua, mode):
         for gi, (uas, rules) in enumerate(groups):
             out += [f"User-agent: {u}" for u in uas]
             if gi % 2:  # group-body directive that is NOT a rule: must
-                out.append("Crawl-delay: 5")  # end UA runs, add no rule
+                # end UA runs, add no rule; value varies incl. malformed
+                out.append(f"Crawl-delay: {['5', '0.5', 'fast', '-3'][gi % 4]}")
             out += [("Allow: " if a else "Disallow: ") + p for p, a in rules]
             out.append("")
         return "\n".join(out)
@@ -988,11 +997,29 @@ def test_robots_matcher_matches_reference(sess, texts, urls, ua, mode):
     # reference: fold rule hosts, merge rule lists across fold-equal keys
     folded: dict[str, list] = {}
     for h, text in corpus.items():
-        folded.setdefault(_fold_host(h), []).extend(_ref_parse(text, ua, mode))
+        folded.setdefault(_fold_host(h), []).extend(_ref_parse(text, ua, mode)[0])
     want = {}
     for h, p in urls:
         want[f"https://{h}{p}"] = _ref_allowed(p, folded.get(_fold_host(h), []))
     assert got == want
+    # parse_crawl_delay against the same reference (group-scoped,
+    # malformed/negative drop, MAX across selected groups)
+    got_d = {
+        r["host"]: r["crawl_delay"]
+        for r in R.parse_crawl_delay(
+            sess.createDataFrame(
+                list(corpus.items()), "host string, robots_txt string"
+            ),
+            user_agent=ua,
+            ua_match=mode,
+        ).collect()
+    }
+    want_d = {}
+    for h, text in corpus.items():
+        d = _ref_parse(text, ua, mode)[1]
+        if d is not None and d >= 0:
+            want_d[h] = max(want_d.get(h, d), d)
+    assert got_d == want_d
 
 
 # --- sitemap frontier walk vs pure-Python BFS reference (r13) ----------------
