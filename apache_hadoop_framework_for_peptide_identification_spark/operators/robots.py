@@ -36,11 +36,17 @@ user-agent may fetch it. Spark-first like the rest of the layer
 
 Documented trades: matching uses the URL's PATH (query string
 excluded — Google's reference matcher includes it; planted oracles
-pin the path-only rule), ``Crawl-delay``/``Sitemap`` and other
-non-rule directives are ignored, and an empty ``Disallow:`` (allow
+pin the path-only rule), and an empty ``Disallow:`` (allow
 everything — the historical idiom) is honored by dropping the empty
-rule. Everything is engine-portable expressions; the q186 oracle
-replays parse + resolution rule-for-rule in DuckDB.
+rule. ``Crawl-delay`` is parsed group-scoped since r13
+(:func:`parse_crawl_delay`, feeding :func:`crawl_schedule`) and —
+because it joins the group-directive stream — also participates in
+group BOUNDARIES: a crawl-delay line between two ``User-agent``
+lines ends the first group's UA run, per the RFC rule.
+``Sitemap`` stays UA-independent (:func:`robots_sitemaps`) and
+unknown directives stay inert. Everything is engine-portable
+expressions; the q186 oracle replays parse + resolution
+rule-for-rule in DuckDB.
 """
 
 from __future__ import annotations
@@ -212,7 +218,16 @@ def parse_crawl_delay(
         starts.filter(F.col("directive") == "crawl-delay")
         .join(chosen, ["host", "group_id"])
         .withColumn("__d", d)
-        .filter(F.col("__d").isNotNull() & (F.col("__d") >= 0))
+        # finite non-negatives only: try_cast also accepts 'NaN' and
+        # 'Infinity' (and NaN >= 0 is TRUE in Spark, with max()
+        # preferring NaN over any real value — r13 review finding), so
+        # either would poison the whole host's schedule
+        .filter(
+            F.col("__d").isNotNull()
+            & ~F.isnan("__d")
+            & (F.col("__d") >= 0)
+            & (F.col("__d") < float("inf"))
+        )
         .groupBy("host")
         .agg(F.max("__d").alias("crawl_delay"))
     )
@@ -248,7 +263,17 @@ def crawl_schedule(
             f"crawl_schedule output columns collide with input columns {sorted(clash)}"
         )
     folded = F.regexp_replace(F.lower(F.trim(F.col("host"))), ":[0-9]+$", "")
-    d = delays.select(folded.alias("__h"), "crawl_delay")
+    # collapse fold-equal delay rows (mixed-case/ported host keys in a
+    # real robots corpus — parse_crawl_delay groups by the RAW host, so
+    # 'A.com:443' and 'a.com' arrive as separate rows): without the
+    # aggregate the left join would FAN OUT every matching URL and
+    # scramble the slot sequence (r13 review finding; the robots_filter
+    # groupBy-after-fold discipline). Conservative MAX, as in parsing.
+    d = (
+        delays.select(folded.alias("__h"), "crawl_delay")
+        .groupBy("__h")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
     base = urls.withColumn("__h", url_host(F.col(url_col)))
     j = base.join(F.broadcast(d), "__h", "left")
     order = [F.col(order_col), F.col(url_col)] if order_col else [F.col(url_col)]

@@ -108,7 +108,6 @@ def unicode_normalize(text_col: Column, form: str = "NFC") -> Column:
     agreement asserted in tests)."""
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"form must be one of NFC/NFD/NFKC/NFKD, got {form!r}")
-    import pandas as pd  # noqa: F401  (pandas_udf signature)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

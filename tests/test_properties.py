@@ -916,6 +916,9 @@ def _ref_parse(text: str, ua: str, mode: str):
             if "*" in g[0]:
                 rules += g[1]
                 delays += g[2]
+    # narrower than Spark's try_cast by design ('.5', '1d', 'NaN',
+    # 'Infinity' rejected) — the engine's finite/non-negative filter
+    # makes the two agree on every value the generator above renders
     valid = [float(x) for x in delays
              if _re.fullmatch(r"[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?", x)]
     return rules, (max(valid) if valid else None)
@@ -976,7 +979,10 @@ def test_robots_matcher_matches_reference(sess, texts, urls, ua, mode):
             out += [f"User-agent: {u}" for u in uas]
             if gi % 2:  # group-body directive that is NOT a rule: must
                 # end UA runs, add no rule; value varies incl. malformed
-                out.append(f"Crawl-delay: {['5', '0.5', 'fast', '-3'][gi % 4]}")
+                # and NaN (gi is odd here, so index by gi // 2 — a gi %
+                # 4 index could only ever reach two of the cells)
+                vals = ["5", "0.5", "fast", "-3", "NaN"]
+                out.append(f"Crawl-delay: {vals[(gi // 2) % len(vals)]}")
             out += [("Allow: " if a else "Disallow: ") + p for p, a in rules]
             out.append("")
         return "\n".join(out)

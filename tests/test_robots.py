@@ -527,3 +527,38 @@ def test_crawl_schedule_slots_and_offsets(spark):
         R.crawl_schedule(
             spark.createDataFrame([("u", 1)], "url string, slot int"), delays
         )
+
+
+def test_parse_crawl_delay_rejects_nan_and_infinity(spark):
+    """r13 review finding: try_cast accepts 'NaN' and 'Infinity', NaN
+    compares >= 0 TRUE in Spark, and max() prefers NaN — either would
+    poison the whole host's schedule. Both must drop like any other
+    malformed value."""
+    texts = {
+        "a.com": "User-agent: *\nCrawl-delay: NaN\nCrawl-delay: 2\n",
+        "b.com": "User-agent: *\nCrawl-delay: Infinity\n",
+    }
+    df = spark.createDataFrame(list(texts.items()), "host string, robots_txt string")
+    got = {r["host"]: r["crawl_delay"]
+           for r in R.parse_crawl_delay(df).collect()}
+    assert got == {"a.com": 2.0}
+
+
+def test_crawl_schedule_collapses_fold_equal_delay_rows(spark):
+    """r13 review finding: parse_crawl_delay keys by the RAW host, so
+    a real corpus can emit 'A.com:443' and 'a.com' as separate delay
+    rows that fold to one key — the join must collapse them (max),
+    never fan the corpus out and scramble slots."""
+    delays = spark.createDataFrame(
+        [("A.com:443", 0.5), ("a.com", 2.0)], "host string, crawl_delay double"
+    )
+    urls = spark.createDataFrame(
+        [("https://a.com/p1",), ("https://a.com/p2",)], "url string"
+    )
+    rows = R.crawl_schedule(urls, delays).collect()
+    assert len(rows) == 2  # no fan-out
+    got = {r["url"]: (r["slot"], r["fetch_offset_s"]) for r in rows}
+    assert got == {
+        "https://a.com/p1": (0, 0.0),
+        "https://a.com/p2": (1, 2.0),  # conservative max of the two
+    }
