@@ -1008,3 +1008,70 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(topk)
     )
+
+
+def retrieval_eval(
+    truth: DataFrame,
+    cand: DataFrame,
+    query_col: str = "q_id",
+    id_col: str = "n_id",
+    rank_col: str = "rn",
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality metrics of an APPROXIMATE ranking against an
+    exact truth ranking (r13 — the evaluation step every retrieval /
+    ANN / near-dup pipeline runs before trusting its fast tier): per
+    truth query, the top-k overlap count, ``recall_at_k`` =
+    overlap / per-query truth size (= k when the truth holds a full
+    top-k; the min(k, |truth|) convention otherwise), and the
+    ``reciprocal_rank`` of the truth's TOP-1 item in the candidate
+    list (0.0 when absent — the per-query MRR term). Both inputs are
+    (query, id, rank) frames truncated to ``rank <= k`` here, so any
+    top-k shape drops in — :func:`cosine_topk` as truth and an
+    LSH/IVF/PQ/quantized ranking as candidates. The truth rank is
+    assumed unique per (query, rank) — every top-k operator here
+    emits row_number ranks.
+
+    Scale shape: both frames are (n_queries × k) — metrics-sized,
+    never corpus-sized; the overlap equi-join and the per-query
+    aggregate shuffle only those. Queries with zero candidate overlap
+    still emit a row (left joins from the truth's query set), so a
+    silently-empty candidate tier reads 0.0, not missing."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = truth.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__i"),
+        F.col(rank_col).alias("__tr"),
+    )
+    c = cand.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__i"),
+        F.col(rank_col).alias("__cr"),
+    )
+    n_truth = t.groupBy("__q").agg(F.count(F.lit(1)).alias("__nt"))
+    overlap = (
+        t.join(c, ["__q", "__i"])
+        .groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("__no"))
+    )
+    top1 = (
+        t.filter(F.col("__tr") == 1)
+        .join(c, ["__q", "__i"], "left")
+        .select(
+            "__q",
+            F.coalesce(F.lit(1.0) / F.col("__cr"), F.lit(0.0)).alias("__rr"),
+        )
+    )
+    return (
+        n_truth.join(overlap, "__q", "left")
+        .join(top1, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.coalesce("__no", F.lit(0)).cast("long").alias("n_overlap"),
+            (
+                F.coalesce("__no", F.lit(0)) / F.col("__nt").cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce("__rr", F.lit(0.0)).alias("reciprocal_rank"),
+        )
+    )

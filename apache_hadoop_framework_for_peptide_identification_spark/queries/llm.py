@@ -344,6 +344,95 @@ def q44_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+@query(
+    "q193_retrieval_recall_eval",
+    oracle="""
+WITH t0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 20),
+allv AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+ts AS (SELECT t0.q_id, a.n_id,
+         list_cosine_similarity(t0.v, a.v) AS cos_sim
+       FROM allv a, t0 WHERE a.n_id <> t0.q_id),
+truth AS (SELECT q_id, n_id, rn FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, n_id) AS rn
+    FROM ts) WHERE rn <= 5),
+ss AS (SELECT t0.q_id, a.n_id,
+         CAST(list_dot_product(list_transform(t0.v, x -> sign(x)),
+                               list_transform(a.v, x -> sign(x)))
+              AS BIGINT) AS score
+       FROM allv a, t0 WHERE a.n_id <> t0.q_id),
+cand AS (SELECT q_id, n_id, rn FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, n_id) AS rn
+    FROM ss) WHERE rn <= 5),
+o AS (SELECT t.q_id, count(*) AS n_overlap
+      FROM truth t JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+      GROUP BY t.q_id),
+r AS (SELECT t.q_id, COALESCE(1.0 / c.rn, 0.0) AS reciprocal_rank
+      FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+      WHERE t.rn = 1)
+SELECT qs.q_id,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(o.n_overlap, 0) / 5.0 AS recall_at_k,
+       COALESCE(r.reciprocal_rank, 0.0) AS reciprocal_rank
+FROM (SELECT DISTINCT q_id FROM truth) qs
+LEFT JOIN o USING (q_id) LEFT JOIN r USING (q_id)
+ORDER BY q_id
+""",
+)
+def q193_retrieval_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (added r13 — the step every
+    retrieval/ANN/near-dup pipeline runs before trusting its fast
+    tier): 20 query vectors score the corpus two ways — the exact
+    float-cosine top-5 (q44's machinery) as TRUTH, and a 1-bit
+    SIGN-quantized dot-product top-5 as the approximate candidate
+    tier (binary embeddings: ±1 per component, the coarsest and most
+    shuffle-friendly quantization — deterministic, integer-exact, and
+    genuinely rank-divergent from the float truth, unlike the int8
+    tier whose error vanishes at this scale) — and
+    operators/similarity.py retrieval_eval reduces them to per-query
+    (n_overlap, recall_at_k, reciprocal_rank of the truth top-1).
+
+    The oracle recomputes BOTH rankings independently
+    (list_cosine_similarity for the truth — the q44-proven
+    formulation — and sign-transformed list_dot_product for the
+    candidates) and replays the metric arithmetic closed-form, so a
+    drift in either ranking, the overlap join, the recall
+    denominator, or the MRR term hash-mismatches. Scale shape: both
+    rankings broadcast the queries and never shuffle the corpus (the
+    q44/q92 contract); the metric joins touch only (queries × k)
+    rows."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    sgn = lambda v: F.transform(v, lambda x: F.signum(x.cast("double")))  # noqa: E731
+    qs = queries.select(
+        F.col("vec_id").alias("q_id"), sgn(F.col("embedding")).alias("q_s")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("n_id"), sgn(F.col("embedding")).alias("n_s")
+    )
+    sdot = F.aggregate(
+        F.zip_with("q_s", "n_s", lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = corpus.join(F.broadcast(qs), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", sdot.alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("n_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+    return similarity.retrieval_eval(truth, cand, k=5).orderBy("q_id")
+
+
 @bench_query("q45_ann_lsh")
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (bucketed candidates + exact

@@ -499,3 +499,42 @@ def test_pq_encode_ragged_vector_fails_with_offending_id(spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="PQ encode"):
         similarity.pq_append(ragged, cb, "vec_id", "embedding").count()
+
+
+def test_retrieval_eval_hand_case(spark):
+    """r13 retrieval_eval: known overlap/MRR arithmetic — full overlap,
+    partial overlap with the top-1 at candidate rank 3, zero overlap
+    (still a row), a truth smaller than k (recall denominator =
+    |truth|), and the k guard."""
+    import pytest
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+
+    truth = spark.createDataFrame(
+        # q1: truth 1,2,3 ; q2: truth 4,5,6 ; q3: truth 7,8 (short) ; q4: 9,10,11
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3),
+         (2, 4, 1), (2, 5, 2), (2, 6, 3),
+         (3, 7, 1), (3, 8, 2),
+         (4, 9, 1), (4, 10, 2), (4, 11, 3)],
+        "q_id long, n_id long, rn long",
+    )
+    cand = spark.createDataFrame(
+        # q1: exact same set; q2: only the top-1, at rank 3;
+        # q3: disjoint; q4: rank beyond k must be ignored
+        [(1, 3, 1), (1, 1, 2), (1, 2, 3),
+         (2, 99, 1), (2, 98, 2), (2, 4, 3),
+         (3, 97, 1), (3, 96, 2), (3, 95, 3),
+         (4, 9, 4)],
+        "q_id long, n_id long, rn long",
+    )
+    got = {
+        r["q_id"]: (r["n_overlap"], r["recall_at_k"], r["reciprocal_rank"])
+        for r in S.retrieval_eval(truth, cand, k=3).collect()
+    }
+    assert got == {
+        1: (3, 1.0, 1.0 / 2.0),       # top-1 item sits at cand rank 2
+        2: (1, 1.0 / 3.0, 1.0 / 3.0),
+        3: (0, 0.0, 0.0),             # zero-overlap query still emits
+        4: (0, 0.0, 0.0),             # cand rank 4 > k ignored
+    }
+    with pytest.raises(ValueError, match="k must be"):
+        S.retrieval_eval(truth, cand, k=0)
