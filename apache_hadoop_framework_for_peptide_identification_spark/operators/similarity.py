@@ -1033,10 +1033,14 @@ def retrieval_eval(
     emits row_number ranks.
 
     Scale shape: both frames are (n_queries × k) — metrics-sized,
-    never corpus-sized; the overlap equi-join and the per-query
-    aggregate shuffle only those. Queries with zero candidate overlap
-    still emit a row (left joins from the truth's query set), so a
-    silently-empty candidate tier reads 0.0, not missing."""
+    never corpus-sized — and each input's LINEAGE EXECUTES ONCE: all
+    three metrics come out of one left join plus one per-query
+    aggregate (the first draft fanned the truth into three branches
+    and re-ran its corpus-wide upstream ranking three times — r13
+    review finding, confirmed in the physical plan). Queries with
+    zero candidate overlap still emit a row (every truth row survives
+    the left join), so a silently-empty candidate tier reads 0.0, not
+    missing."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     t = truth.filter(F.col(rank_col) <= k).select(
@@ -1049,29 +1053,21 @@ def retrieval_eval(
         F.col(id_col).alias("__i"),
         F.col(rank_col).alias("__cr"),
     )
-    n_truth = t.groupBy("__q").agg(F.count(F.lit(1)).alias("__nt"))
-    overlap = (
-        t.join(c, ["__q", "__i"])
-        .groupBy("__q")
-        .agg(F.count(F.lit(1)).alias("__no"))
-    )
-    top1 = (
-        t.filter(F.col("__tr") == 1)
-        .join(c, ["__q", "__i"], "left")
-        .select(
-            "__q",
-            F.coalesce(F.lit(1.0) / F.col("__cr"), F.lit(0.0)).alias("__rr"),
-        )
-    )
     return (
-        n_truth.join(overlap, "__q", "left")
-        .join(top1, "__q", "left")
+        t.join(c, ["__q", "__i"], "left")
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("__nt"),
+            F.count("__cr").alias("__no"),  # non-null = overlap
+            F.coalesce(
+                F.max(F.when(F.col("__tr") == 1, F.lit(1.0) / F.col("__cr"))),
+                F.lit(0.0),
+            ).alias("__rr"),
+        )
         .select(
             F.col("__q").alias(query_col),
-            F.coalesce("__no", F.lit(0)).cast("long").alias("n_overlap"),
-            (
-                F.coalesce("__no", F.lit(0)) / F.col("__nt").cast("double")
-            ).alias("recall_at_k"),
-            F.coalesce("__rr", F.lit(0.0)).alias("reciprocal_rank"),
+            F.col("__no").cast("long").alias("n_overlap"),
+            (F.col("__no") / F.col("__nt").cast("double")).alias("recall_at_k"),
+            F.col("__rr").alias("reciprocal_rank"),
         )
     )

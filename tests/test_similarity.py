@@ -506,9 +506,6 @@ def test_retrieval_eval_hand_case(spark):
     partial overlap with the top-1 at candidate rank 3, zero overlap
     (still a row), a truth smaller than k (recall denominator =
     |truth|), and the k guard."""
-    import pytest
-    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
-
     truth = spark.createDataFrame(
         # q1: truth 1,2,3 ; q2: truth 4,5,6 ; q3: truth 7,8 (short) ; q4: 9,10,11
         [(1, 1, 1), (1, 2, 2), (1, 3, 3),
@@ -528,7 +525,7 @@ def test_retrieval_eval_hand_case(spark):
     )
     got = {
         r["q_id"]: (r["n_overlap"], r["recall_at_k"], r["reciprocal_rank"])
-        for r in S.retrieval_eval(truth, cand, k=3).collect()
+        for r in similarity.retrieval_eval(truth, cand, k=3).collect()
     }
     assert got == {
         1: (3, 1.0, 1.0 / 2.0),       # top-1 item sits at cand rank 2
@@ -537,4 +534,4 @@ def test_retrieval_eval_hand_case(spark):
         4: (0, 0.0, 0.0),             # cand rank 4 > k ignored
     }
     with pytest.raises(ValueError, match="k must be"):
-        S.retrieval_eval(truth, cand, k=0)
+        similarity.retrieval_eval(truth, cand, k=0)
