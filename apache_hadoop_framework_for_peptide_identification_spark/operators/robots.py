@@ -12,13 +12,16 @@ user-agent may fetch it. Spark-first like the rest of the layer
   lines: a group is one-or-more consecutive ``User-agent`` lines plus
   the rules that follow; the UA-specific groups win over the ``*``
   groups when both exist for a host (RFC 9309 §2.2.1). Two group-
-  match modes (r13): ``ua_match="exact"`` (token equality, the r12
-  behavior and the default) and ``ua_match="prefix"`` — the RFC 9309
-  / Google-matcher rule where a group applies when its token is a
-  case-insensitive PREFIX of the crawler's product token (the part
-  of ``user_agent`` before ``/``), and among matching groups the
-  LONGEST token wins (``User-agent: examplebot`` selects for a
-  crawler identifying as ``ExampleBot/1.2``). All per-host windows —
+  match modes (r13): ``ua_match="exact"`` (token equality — RFC 9309's
+  literal case-insensitive exact-match wording, the r12 behavior and
+  the default) and ``ua_match="prefix"`` — the GOOGLE REFERENCE
+  MATCHER's de-facto rule (google/robotstxt), which deliberately
+  diverges from the RFC's exact-match wording: a group applies when
+  its token is a case-insensitive PREFIX of the crawler's product
+  token (the part of ``user_agent`` before ``/``), and among matching
+  groups the LONGEST token wins (``User-agent: examplebot`` selects
+  for a crawler identifying as ``ExampleBot/1.2``). All per-host
+  windows —
   a robots corpus is one small text per host, so the shuffle is keyed
   by host and carries rule-sized rows, never the URL corpus.
 - :func:`robots_filter` joins the rule frame to a URL corpus by host
@@ -42,7 +45,11 @@ rule. ``Crawl-delay`` is parsed group-scoped since r13
 (:func:`parse_crawl_delay`, feeding :func:`crawl_schedule`) and —
 because it joins the group-directive stream — also participates in
 group BOUNDARIES: a crawl-delay line between two ``User-agent``
-lines ends the first group's UA run, per the RFC rule.
+lines ends the first group's UA run. That boundary behavior is the
+Google reference matcher's (RFC 9309 says non-group lines "MUST NOT
+interfere with parsing" and scopes groups by rule lines only; the
+divergence is deliberate and pinned by the planted oracles, like the
+path-only/query-string trade above).
 ``Sitemap`` stays UA-independent (:func:`robots_sitemaps`) and
 unknown directives stay inert. Everything is engine-portable
 expressions; the q186 oracle replays parse + resolution
@@ -78,9 +85,13 @@ def parse_robots(
     item 5):
 
     - ``"exact"`` (default): groups whose token case-insensitively
-      EQUALS ``user_agent`` beat the ``*`` groups per host.
-    - ``"prefix"``: the RFC 9309 §2.2.1 / Google-matcher rule — the
-      crawler's PRODUCT TOKEN is ``user_agent`` up to the first ``/``
+      EQUALS ``user_agent`` beat the ``*`` groups per host — RFC 9309
+      §2.2.1's literal exact product-token matching.
+    - ``"prefix"``: the Google reference matcher's de-facto rule
+      (google/robotstxt — NOT an RFC 9309 requirement; the RFC
+      specifies exact matching and this mode deliberately follows the
+      dominant deployed behavior instead) — the crawler's PRODUCT
+      TOKEN is ``user_agent`` up to the first ``/``
       (version stripped); a group applies when its token is a
       case-insensitive prefix of that product token, and among
       matching groups the LONGEST token wins (``examplebot`` beats
@@ -108,11 +119,14 @@ def parse_robots(
     return rules
 
 
-# Directives that participate in GROUP structure (RFC 9309 §2.2.1: a
-# run of consecutive User-agent lines opens a group; any group-member
-# line — rule or crawl-delay — ends the run, so a later User-agent
-# line starts a NEW group). Sitemap is deliberately absent: it is
-# UA-independent (§2.3, robots_sitemaps).
+# Directives that participate in GROUP structure. RFC 9309 §2.2.1
+# says a run of consecutive User-agent lines opens a group; letting
+# any group-member line — rule OR crawl-delay — end the run (so a
+# later User-agent line starts a NEW group) is the Google reference
+# matcher's behavior, adopted deliberately (the RFC scopes groups by
+# rule lines and says other records must not interfere with parsing).
+# Sitemap is deliberately absent: it is UA-independent (§2.3,
+# robots_sitemaps).
 _GROUP_DIRECTIVES = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
@@ -122,9 +136,10 @@ def _grouped_directives(df: DataFrame, host_col: str, robots_col: str) -> DataFr
     the group directives, and label gaps-and-islands group ids — a
     group is one-or-more CONSECUTIVE User-agent lines plus everything
     until the next such run. Including crawl-delay in the stream also
-    refines a grammar corner to the RFC rule: a crawl-delay line
-    between two User-agent lines now ENDS the first group's UA run
-    (previously the two UA lines merged into one group)."""
+    refines a grammar corner to the Google-reference-matcher rule
+    (see _GROUP_DIRECTIVES): a crawl-delay line between two
+    User-agent lines now ENDS the first group's UA run (previously
+    the two UA lines merged into one group)."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "line"),
@@ -239,6 +254,7 @@ def crawl_schedule(
     url_col: str = "url",
     default_delay: float = 1.0,
     order_col: str | None = None,
+    max_urls_per_host: int | None = None,
 ) -> DataFrame:
     """Politeness fetch schedule (r13): assign every URL a per-host
     fetch SLOT and earliest fetch offset — ``slot`` = the URL's rank
@@ -252,11 +268,29 @@ def crawl_schedule(
     Ordering within a host is ``order_col`` (e.g. a sitemap priority,
     descending handled by the caller passing a derived column) with
     the url string as the deterministic tie-break; plain url order
-    when ``order_col`` is None. Scale shape: the delay table is
-    host-sized and broadcasts; the corpus pays ONE shuffle — the
-    per-host window's hash partition (the domain_cap note applies: a
-    pathological single-host frontier concentrates one window key;
-    cap the frontier per host first — :func:`domain_cap`'s job)."""
+    when ``order_col`` is None.
+
+    ``max_urls_per_host`` (r14 — VERDICT r13 obs. 1): keep only the
+    first N slots per host (``slot < N``), bounding the schedule —
+    and every fetch stage downstream — against a crawler-trap host.
+    SKEW WARNING either way: the slot window is this operator's one
+    corpus shuffle, hash-partitioned by folded host, so a
+    pathological single-host frontier concentrates one window key
+    while its rows are RANKED (the cap truncates the output, not the
+    sort — it cannot, since "first N by order" needs the order).
+    When host skew is possible, cap the frontier BEFORE scheduling
+    with :func:`~..operators.urls.domain_cap` (quality-ranked, and by
+    registered domain rather than host); this parameter is the
+    belt-and-braces output bound, not the skew fix. The concentration
+    is demonstrated by a partition-histogram pytest in the q168 style
+    (tests/test_robots.py).
+
+    Scale shape: the delay table is host-sized and broadcasts; the
+    corpus pays ONE shuffle — the per-host window's hash partition."""
+    if max_urls_per_host is not None and max_urls_per_host < 1:
+        raise ValueError(
+            f"max_urls_per_host must be >= 1 when set, got {max_urls_per_host}"
+        )
     clash = {"__h", "slot", "fetch_offset_s", "crawl_delay"} & set(urls.columns)
     if clash:
         raise ValueError(
@@ -279,8 +313,11 @@ def crawl_schedule(
     order = [F.col(order_col), F.col(url_col)] if order_col else [F.col(url_col)]
     w = Window.partitionBy("__h").orderBy(*order)
     slot = (F.row_number().over(w) - 1).cast("long")
+    capped = j.withColumn("slot", slot)
+    if max_urls_per_host is not None:
+        capped = capped.filter(F.col("slot") < max_urls_per_host)
     return (
-        j.withColumn("slot", slot)
+        capped
         .withColumn(
             "fetch_offset_s",
             (

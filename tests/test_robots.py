@@ -562,3 +562,49 @@ def test_crawl_schedule_collapses_fold_equal_delay_rows(spark):
         "https://a.com/p1": (0, 0.0),
         "https://a.com/p2": (1, 2.0),  # conservative max of the two
     }
+
+
+def test_crawl_schedule_max_urls_per_host_guard(spark):
+    """r14 (VERDICT r13 obs. 1): the max_urls_per_host guard bounds
+    the schedule per host; the partition histogram demonstrates WHY
+    the docstring still points skewed frontiers at domain_cap — the
+    slot window's one shuffle concentrates a pathological single-host
+    frontier on one key whether or not the output is capped."""
+    import pytest
+
+    delays = spark.createDataFrame([("hot.com", 0.5)], "host string, crawl_delay double")
+    hot = [(f"https://hot.com/p{i:05d}",) for i in range(2000)]
+    cold = [(f"https://site{i}.com/x",) for i in range(50)]
+    urls = spark.createDataFrame(hot + cold, "url string")
+
+    out = R.crawl_schedule(urls, delays, max_urls_per_host=3)
+    rows = out.collect()
+    per_host = {}
+    for r in rows:
+        h = r["url"].split("/")[2]
+        per_host.setdefault(h, []).append(r["slot"])
+    # every host bounded at 3 slots, numbered 0..min(n,3)-1, and the
+    # hot host keeps its FIRST urls by the schedule order
+    assert sorted(per_host["hot.com"]) == [0, 1, 2]
+    assert all(sorted(v) == list(range(len(v))) and len(v) <= 3
+               for v in per_host.values())
+    kept_hot = sorted(r["url"] for r in rows if "hot.com" in r["url"])
+    assert kept_hot == [f"https://hot.com/p{i:05d}" for i in range(3)]
+
+    # q168-style partition histogram over the window's shuffle key:
+    # the hot host's 2000 rows land in ONE hash partition — the cap
+    # truncates output AFTER ranking, it does not spread the key.
+    import pyspark.sql.functions as F
+
+    hist = (
+        urls.withColumn("__h", F.regexp_extract("url", "https://([^/]+)/", 1))
+        .repartition(8, "__h")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in hist) >= 2000
+
+    with pytest.raises(ValueError, match="max_urls_per_host"):
+        R.crawl_schedule(urls, delays, max_urls_per_host=0)
