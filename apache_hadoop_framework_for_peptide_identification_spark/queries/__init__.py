@@ -172,21 +172,17 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 13
+_CHANGED_IN_ROUND = 14
 _CHANGED_THIS_ROUND = [
-    # r13: the robots layer changed implementation AND oracle together
-    # (VERDICT r12 items 3+5, ADVICE r12 all three): parse_robots
-    # gained RFC 9309 product-token PREFIX group matching (q186 now
-    # runs ua_match="prefix" as crawler "ExampleBot/1.2" with a
-    # longest-token-wins cell planted on other.example.com),
-    # robots_filter folds the host on BOTH join sides (lowercase +
-    # port strip — the r12 form failed open on mixed-case rule
-    # hosts), _rule_regex compiles '*' via a placeholder (the
-    # escape-then-unescape order mis-compiled a literal backslash
-    # before '*'), and the broadcast=False host-keyed shuffle
-    # fallback landed. Fixture texts + truth-table oracle rewritten;
-    # fresh verdict.
-    "q186_robots_compliance",
+    # r14: crawl_schedule gained the max_urls_per_host output cap
+    # (VERDICT r13 obs. 1 — default None leaves the plan unchanged,
+    # but the function body changed, so q192 takes a fresh verdict
+    # on the changed implementation). For the r13 ledger record,
+    # restated per ADVICE r13: _rule_regex excludes '*' from the
+    # regex-escape class and rewrites raw stars to '.*' (no
+    # placeholder mechanism exists), fixing the r12
+    # literal-backslash-before-star miscompile.
+    "q192_crawl_politeness_schedule",
 ]
 
 

@@ -433,6 +433,98 @@ def q193_retrieval_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.retrieval_eval(truth, cand, k=5).orderBy("q_id")
 
 
+@query(
+    "q194_ann_ivf_recall",
+    oracle="""
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 61 = 7
+            ORDER BY vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+          FROM c0),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+asg AS (SELECT vec_id, v, cell FROM (
+    SELECT corpus.vec_id, corpus.v, cents.cell,
+           row_number() OVER (PARTITION BY corpus.vec_id
+             ORDER BY list_cosine_similarity(corpus.v, cents.c) DESC,
+                      cents.cell) AS arn
+    FROM corpus, cents) WHERE arn = 1),
+q AS (SELECT vec_id AS q_id, v AS q_v, cell FROM asg WHERE vec_id < 20),
+cand AS (SELECT q_id, n_id, rn FROM (
+    SELECT q.q_id, a.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY list_cosine_similarity(q.q_v, a.v) DESC,
+                      a.vec_id) AS rn
+    FROM q JOIN asg a USING (cell) WHERE a.vec_id <> q.q_id)
+  WHERE rn <= 10),
+truth AS (SELECT q_id, n_id, rn FROM (
+    SELECT q.q_id, c2.vec_id AS n_id,
+           row_number() OVER (PARTITION BY q.q_id
+             ORDER BY list_cosine_similarity(q.q_v, c2.v) DESC,
+                      c2.vec_id) AS rn
+    FROM corpus c2, q WHERE c2.vec_id <> q.q_id) WHERE rn <= 10),
+m AS (SELECT t.q_id, count(c.n_id) AS n_overlap, count(*) AS n_truth,
+             coalesce(max(CASE WHEN t.rn = 1 THEN 1.0 / c.rn END), 0.0) AS rr
+      FROM truth t LEFT JOIN cand c ON t.q_id = c.q_id AND t.n_id = c.n_id
+      GROUP BY t.q_id)
+SELECT q_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / CAST(n_truth AS DOUBLE) AS recall_at_k,
+       rr AS reciprocal_rank
+FROM m ORDER BY q_id
+""",
+)
+def q194_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF in its genuinely APPROXIMATE configuration, measured with
+    the engine's own instrument (added r14 — VERDICT r13 item 1:
+    q193 proved retrieval_eval against a synthetic sign-quantized
+    ranking; this pins the eval arithmetic over a REAL tier): 20
+    query vectors run operators/similarity.py ivf_query with
+    ``n_probe=1`` — each query scans ONLY its own coarse cell, the
+    deployment shape whose recall a 100 TB ANN user tunes — against
+    the exact cosine_topk truth, reduced per query to (n_overlap,
+    recall@10, reciprocal_rank). Unlike q68 (n_probe = n_cells, the
+    exactness proof where IVF degenerates to brute force), the
+    candidate tier here is rank-DIVERGENT and the hash verdict pins
+    real recall numbers.
+
+    The coarse quantizer is a CLOSED-FORM seeded-sample stand-in the
+    oracle can replay (``vec_id % 61 == 7``, first 8 by id,
+    L2-normalized — build_ivf_index's _hash_pick uses xxhash64, which
+    DuckDB cannot recompute; the sample rule is the only substitution,
+    and the assignment/probe/re-rank path under test is the REAL
+    ivf_append + ivf_query machinery, Arrow-batched numpy kernel
+    included). The oracle independently recomputes the nearest-cell
+    assignment of every vector, both rankings, and the metric
+    arithmetic — a drifted assignment kernel, a cell relabel, a probe
+    of the wrong cell, or a metric slip all hash-mismatch. Recall
+    curves vs n_probe/code budget/bands for the engine's tiers are
+    recorded in docs/SCALE.md (r14); this query is the driver-graded
+    anchor of that measurement loop. Scale shape: the centroid frame
+    is 8 rows (collected by contract), the index join is cell-pruned,
+    metrics joins are queries × k."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (
+        emb.filter(F.col("vec_id") % 61 == 7)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    norm = similarity.l2_norm(F.col("v"))
+    cent = cand.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+        F.transform("v", lambda x: x / norm).alias("centroid"),
+    )
+    index = similarity.ivf_append(emb, cent, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = similarity.ivf_query(
+        queries, index, cent, "vec_id", "embedding", k=10, n_probe=1
+    )
+    truth = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    return similarity.retrieval_eval(truth, approx, k=10).orderBy("q_id")
+
+
 @bench_query("q45_ann_lsh")
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (bucketed candidates + exact
@@ -1260,6 +1352,172 @@ def q191_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("norm").alias("norm_hash"),
             "qual",
             (F.col("rn") == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q195_dedup_ladder_e2e",
+    oracle="""
+WITH bases AS (SELECT doc_id AS b_id, text AS base FROM documents WHERE doc_id < 40),
+grid AS (SELECT doc_id, doc_id % 40 AS g, doc_id // 40 AS v
+         FROM documents WHERE doc_id < 200),
+raws AS (SELECT grid.doc_id,
+    (CASE WHEN v = 4 THEN regexp_replace(base, ' \\S+$', '') ELSE base END) ||
+    (CASE WHEN v = 1 THEN ' cafe' || chr(769) || ' Z.'
+          WHEN v = 2 THEN ' caf' || chr(233) || ' z'
+          ELSE ' caf' || chr(233) || ' Z.' END) AS raw
+  FROM grid JOIN bases ON grid.g = bases.b_id),
+n1 AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM raws),
+n2 AS (SELECT doc_id, md5(raw) AS k_r, md5(nfc) AS k_u,
+              trim(regexp_replace(regexp_replace(lower(nfc),
+                   '[^\\p{L}\\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS norm
+       FROM n1),
+n3 AS (SELECT doc_id, k_r, k_u, norm, md5(norm) AS k_n FROM n2),
+kp AS (SELECT doc_id, k_r, k_u, k_n, norm,
+              first_value(doc_id) OVER w AS keeper_id,
+              first_value(k_r) OVER w AS keeper_kr,
+              first_value(k_u) OVER w AS keeper_ku
+       FROM n3 WINDOW w AS (PARTITION BY k_n ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+keep AS (SELECT doc_id AS kid, norm FROM kp WHERE doc_id = keeper_id),
+toks AS (SELECT kid, string_split(norm, ' ') AS t FROM keep),
+sh AS (SELECT DISTINCT kid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+       FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+       UNION
+       SELECT kid, array_to_string(t, ' ') FROM toks WHERE len(t) < 3),
+sizes AS (SELECT kid, count(*) AS n_sh FROM sh GROUP BY kid),
+inter AS (SELECT a.kid AS id_a, b.kid AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.kid < b.kid GROUP BY 1, 2),
+nd AS (SELECT DISTINCT id_b FROM inter
+       JOIN sizes sa ON sa.kid = id_a JOIN sizes sb ON sb.kid = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)
+SELECT kp.doc_id,
+  CASE WHEN kp.doc_id <> kp.keeper_id THEN
+         CASE WHEN kp.k_r = kp.keeper_kr THEN 'exact'
+              WHEN kp.k_u = kp.keeper_ku THEN 'unicode'
+              ELSE 'casefold' END
+       WHEN nd.id_b IS NOT NULL THEN 'neardup' ELSE 'kept' END AS tier,
+  kp.k_n AS norm_hash
+FROM kp LEFT JOIN nd ON kp.doc_id = nd.id_b
+ORDER BY kp.doc_id
+""",
+)
+def q195_dedup_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-LADDER end-to-end composition (added r14 — VERDICT r13
+    item 7, the q189 treatment for the OTHER product pipeline a user
+    runs whole): 200 planted docs (40 bases × 5 variants) through ONE
+    plan — Unicode NFC (operators/text.py unicode_normalize, the
+    documented pandas-UDF exception) → casefold + punctuation-strip +
+    whitespace-collapse → exact-hash keeper window → MinHash-LSH +
+    exact-Jaccard near-dup verify among the KEEPERS (q113's recall-
+    proof machinery) — each doc labeled with the TIER that folded it.
+
+    Every handoff is load-bearing: v1 (decomposed ``cafe`` +
+    U+0301) must NFC-compose BEFORE the casefold tier, because the
+    punct-strip regex keeps ``\\p{L}`` but drops combining marks
+    (\\p{M}) — skipping NFC would strip the accent and split the
+    group; v2 (lowercase, no period) folds only AT the casefold tier
+    (its NFC form stays distinct — the tier attribution proves order);
+    v3 is a byte-exact copy (caught before either normalization
+    matters); v4 (drop-last-word twin) survives every hash tier and
+    falls only to the near-dup verify. Tier labels are decided by
+    hash comparison against the keeper (raw md5 → 'exact', NFC md5 →
+    'unicode', else 'casefold'; keepers: 'neardup' when a
+    smaller-id keeper holds a ≥0.5-Jaccard pair, else 'kept').
+
+    The oracle replays the whole ladder independently: DuckDB's
+    utf8proc nfc_normalize vs the stdlib (the q191 independence),
+    the same RE2-compatible regexes, and plain all-pairs Jaccard vs
+    the banded pipeline — so the hash verdict is simultaneously a
+    normalization proof, a tier-ordering proof, and an LSH recall
+    proof on the composed corpus. Scale shape: the keeper window's
+    exchange carries (k_n, doc_id, k_r, k_u) — three 16-byte hashes
+    + id, never text (the q177 packed-key discipline); keeper TEXT
+    re-derives scan-side and reaches the near-dup stage through a
+    broadcast semi-join of keeper ids, so document bytes never enter
+    a corpus exchange; the near-dup stage is keeper-sized and
+    band-bounded."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    grid = docs.filter(F.col("doc_id") < 200).select("doc_id")
+    bases = docs.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("base")
+    )
+    g = F.col("doc_id") % 40
+    v = F.expr("doc_id div 40")
+    j = grid.join(F.broadcast(bases), g == F.col("b_id"))
+    # \z not $ — the _plant_text_twins Java-vs-RE2 line-terminator rule
+    body = F.when(v == 4, F.regexp_replace(F.col("base"), " \\S+\\z", "")).otherwise(
+        F.col("base")
+    )
+    # explicit escapes — an editor/VCS layer must never be able to
+    # NFC-fold the planted byte-distinct variants into one (q191 rule)
+    suffix = (
+        F.when(v == 1, F.lit(" cafe\u0301 Z."))  # decomposed e + U+0301
+        .when(v == 2, F.lit(" caf\u00e9 z"))  # precomposed; case/punct variant
+        .otherwise(F.lit(" caf\u00e9 Z."))  # precomposed (v0 / v3 / v4)
+    )
+    raws = j.select("doc_id", F.concat(body, suffix).alias("raw"))
+    nfc = raws.withColumn("nfc", T.unicode_normalize(F.col("raw")))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("nfc")), "[^\\p{L}\\p{N} ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = nfc.select(
+        "doc_id",
+        F.md5("raw").alias("k_r"),
+        F.md5("nfc").alias("k_u"),
+        norm.alias("norm"),
+        F.md5(norm).alias("k_n"),
+    )
+    # keeper window over HASHES only — text stays out of the exchange
+    wfull = (
+        W.partitionBy("k_n")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ann = keyed.select(
+        "doc_id",
+        "k_r",
+        "k_u",
+        "k_n",
+        F.first("doc_id").over(wfull).alias("keeper_id"),
+        F.first("k_r").over(wfull).alias("keeper_kr"),
+        F.first("k_u").over(wfull).alias("keeper_ku"),
+    )
+    keeper_ids = ann.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id")
+    ktext = keyed.select(
+        F.col("doc_id").alias("kid"), F.col("norm").alias("ntext")
+    ).join(F.broadcast(keeper_ids), F.col("kid") == F.col("doc_id"), "left_semi")
+    pairs = dedup.minhash_jaccard_pairs(
+        ktext, "kid", "ntext", threshold=0.5, num_hashes=64, bands=16, shingle_n=3
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(True))
+    )
+    return (
+        ann.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") != F.col("keeper_id"),
+                F.when(F.col("k_r") == F.col("keeper_kr"), F.lit("exact"))
+                .when(F.col("k_u") == F.col("keeper_ku"), F.lit("unicode"))
+                .otherwise(F.lit("casefold")),
+            )
+            .otherwise(
+                F.when(F.col("__nd"), F.lit("neardup")).otherwise(F.lit("kept"))
+            )
+            .alias("tier"),
+            F.col("k_n").alias("norm_hash"),
         )
         .orderBy("doc_id")
     )
