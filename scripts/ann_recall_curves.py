@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Measured recall-vs-knob curves for the engine's OWN ANN tiers
+(r14 — VERDICT r13 item 1: q193/q194 prove the retrieval_eval
+instrument; this runs it against every approximate tier the engine
+ships, producing the table a 100 TB ANN user tunes from).
+
+For each tier the knob sweeps against the SAME exact cosine_topk
+truth (k=10, 100 query vectors) on the sf0.1 embeddings fixture
+(2000 × 64-dim float32):
+
+- IVF (build_ivf_index + ivf_query): recall@10 vs n_probe at
+  n_cells=16 — the cells-scanned budget.
+- PQ (build_pq_index + pq_query): recall@10 vs m (code budget:
+  m bytes/vector at n_codes=16) at fixed n_candidates=50, plus an
+  n_candidates sweep at m=8 — the re-rank budget.
+- Hyperplane LSH (lsh_ann_topk): recall@10 vs (bits, bands) —
+  bits/bands = bucket granularity, bands = OR-amplification.
+
+Wall seconds are end-to-end per evaluated setting (query + eval
+collect; index build time reported separately — build once, query
+forever is the deployment shape). Prints a markdown table (pasted
+into docs/SCALE.md) and one JSON line for the record.
+
+Usage: python scripts/ann_recall_curves.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table  # noqa: E402
+from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S  # noqa: E402
+from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = 100
+
+
+def _eval(spark, truth_df, cand_df):
+    pdf = S.retrieval_eval(truth_df, cand_df, k=K).toPandas()
+    return float(pdf["recall_at_k"].mean()), float(pdf["reciprocal_rank"].mean())
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("ann-recall-curves")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # Exact truth, materialized once: every tier evaluates against the
+    # same tiny (queries x k) frame, so per-setting wall time measures
+    # the TIER, not a re-executed truth lineage.
+    truth_pdf = S.cosine_topk(emb, queries, "vec_id", "embedding", k=K).toPandas()
+    truth_df = spark.createDataFrame(truth_pdf)
+
+    rows = []  # (tier, knob, recall, mrr, sec)
+    builds = []  # (tier, build config, sec)
+
+    # ---------------------------------------------------------- IVF
+    t0 = time.monotonic()
+    assigned, cents = S.build_ivf_index(emb, "vec_id", "embedding", n_cells=16)
+    index = assigned.localCheckpoint()  # build once; probes reuse
+    builds.append(("IVF", "n_cells=16", time.monotonic() - t0))
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.monotonic()
+        cand = S.ivf_query(
+            queries, index, cents, "vec_id", "embedding", k=K, n_probe=n_probe
+        )
+        recall, mrr = _eval(spark, truth_df, cand)
+        rows.append(("IVF", f"n_probe={n_probe}", recall, mrr, time.monotonic() - t0))
+
+    # ----------------------------------------------------------- PQ
+    for m in (2, 4, 8, 16):
+        t0 = time.monotonic()
+        encoded, cb = S.build_pq_index(emb, "vec_id", "embedding", m=m, n_codes=16)
+        enc = encoded.localCheckpoint()
+        builds.append(("PQ", f"m={m},n_codes=16", time.monotonic() - t0))
+        t0 = time.monotonic()
+        cand = S.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding", k=K, n_candidates=50
+        )
+        recall, mrr = _eval(spark, truth_df, cand)
+        rows.append(
+            ("PQ", f"m={m} (ncand=50)", recall, mrr, time.monotonic() - t0)
+        )
+        if m == 8:
+            for ncand in (20, 100, 200):
+                t0 = time.monotonic()
+                cand = S.pq_query(
+                    queries, enc, cb, emb, "vec_id", "embedding",
+                    k=K, n_candidates=ncand,
+                )
+                recall, mrr = _eval(spark, truth_df, cand)
+                rows.append(
+                    ("PQ", f"ncand={ncand} (m=8)", recall, mrr,
+                     time.monotonic() - t0)
+                )
+
+    # ---------------------------------------------------------- LSH
+    for bits, bands in ((16, 4), (32, 4), (32, 8), (64, 8), (64, 16), (16, 16)):
+        t0 = time.monotonic()
+        cand = S.lsh_ann_topk(
+            emb, queries, "vec_id", "embedding", k=K, bits=bits, bands=bands
+        )
+        recall, mrr = _eval(spark, truth_df, cand)
+        rows.append(
+            ("LSH", f"bits={bits},bands={bands}", recall, mrr,
+             time.monotonic() - t0)
+        )
+
+    print("\n| tier | knob | recall@10 | MRR | sec |")
+    print("|---|---|---|---|---|")
+    for tier, knob, recall, mrr, sec in rows:
+        print(f"| {tier} | {knob} | {recall:.3f} | {mrr:.3f} | {sec:.2f} |")
+    print("\nindex builds:")
+    for tier, cfg, sec in builds:
+        print(f"  {tier} {cfg}: {sec:.2f} s")
+    print(
+        json.dumps(
+            {
+                "metric": "ann_recall_curves",
+                "sf_dir": sf_dir,
+                "k": K,
+                "n_queries": N_QUERIES,
+                "rows": [
+                    {"tier": t, "knob": kn, "recall_at_10": r, "mrr": mr, "sec": sc}
+                    for t, kn, r, mr, sc in rows
+                ],
+                "builds": [
+                    {"tier": t, "config": c, "sec": sc} for t, c, sc in builds
+                ],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
