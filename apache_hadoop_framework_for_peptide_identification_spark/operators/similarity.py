@@ -547,8 +547,23 @@ def semantic_dedup(
 
 def _hyperplane_signature_udf(dim: int, bits: int, seed: int):
     """mapInPandas fn adding a packed LSH signature column: sign bits of
-    dot(v, plane_j) for ``bits`` seeded random hyperplanes."""
+    dot(v, plane_j) for ``bits`` seeded random hyperplanes.
+
+    ``bits`` must fit the packed int64 signature (1..64). Found by the
+    r14 scale sweep, not inspection: bits=96 SILENTLY degraded — the
+    uint64 weight shift wraps past 64 and the band extraction shifts
+    past the word, collapsing upper bands into one giant bucket-0
+    (x10 wall 72 s vs 3.3 s at a valid setting). Callers wanting more
+    granularity raise bits-per-band within 64 total (the measured knob
+    rule in docs/SCALE.md: +1 bit/band per corpus doubling keeps the
+    candidate volume — and the wall — flat), not the word size."""
     import numpy as np
+
+    if not 1 <= bits <= 64:
+        raise ValueError(
+            f"bits must be in 1..64 (packed int64 signature), got {bits} — "
+            "raise bits-per-band within 64 total bits instead"
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = np.random.RandomState(seed).standard_normal((dim, bits))

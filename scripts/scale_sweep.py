@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Scaling-exponent sweep for the five heaviest operators (r14 —
+VERDICT r13 item 2: turn "no quadratic term by construction" into a
+measured exponent). Runs the ENGINE forms (registry q121 / q177 /
+q182 / q164 + bench q67) and their STOCK-Spark twins
+(scripts/measure_baseline.py, engine-import-free) over the
+self-similar .scaledata fixtures (gen_scale_fixtures.py: x1 = the
+sf0.1 shape, x3, x10) and reports per-query wall time at every scope
+plus the fitted exponent a in T ~ N^a between the two largest scopes
+measured.
+
+Scope policy (wall-clock honesty, not a silent cap — each skip is
+printed): engine forms run x1 -> x3 -> x10; stock forms run x1 -> x3
+and then x10 ONLY if the x3 reading projects under
+--stock-budget seconds (default 180) at the x3->x10 exponent; the
+known-quadratic stock q164 starts at x03 so its exponent comes from
+x03 -> x1 -> (x3 if it fits). Exponents from different spans are
+labeled with their span.
+
+Method: one warm-up collect at the smallest scope per (form, query),
+then a single measured collect per scope (best-of is wasted here —
+the exponent divides two readings taken seconds apart in one
+session; +-10% noise moves a 10x exponent by ~0.04). Engine and
+stock run in SEPARATE sessions with their own contracts (engine:
+session.get_spark with the runtime confs; stock: the plain builder
+measure_baseline.py uses), sequentially in one process.
+
+Usage: python scripts/scale_sweep.py [--stock-budget 180]
+Prints a markdown table + one JSON line (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, ".scaledata")
+
+QUERIES = [
+    "q121_prefix_jaccard_corpus",
+    "q177_exact_substring_dedup",
+    "q182_sliding_substring_dedup",
+    "q164_shared_span_pairs",
+    "q67_embedding_neardup_lsh",
+]
+STOCK_NAMES = {  # measure_baseline fn name per query
+    "q67_embedding_neardup_lsh": "q67_embedding_neardup",
+}
+SCALE_N = {"x03": 0.3, "x1": 1.0, "x3": 3.0, "x10": 10.0}
+
+
+def _expo(times: dict[str, float]) -> tuple[str, float] | None:
+    """Exponent over the two LARGEST measured scopes: a = log(T2/T1)/log(N2/N1)."""
+    scopes = sorted(times, key=lambda s: SCALE_N[s])
+    if len(scopes) < 2:
+        return None
+    s1, s2 = scopes[-2], scopes[-1]
+    a = math.log(times[s2] / times[s1]) / math.log(SCALE_N[s2] / SCALE_N[s1])
+    return f"{s1}->{s2}", a
+
+
+def _run(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stock-budget", type=float, default=180.0)
+    args = ap.parse_args()
+
+    results: dict[str, dict[str, dict[str, float]]] = {q: {"engine": {}, "stock": {}} for q in QUERIES}
+    notes: list[str] = []
+
+    # ------------------------------------------------ engine session
+    from apache_hadoop_framework_for_peptide_identification_spark.queries import (
+        BENCH_REGISTRY,
+        REGISTRY,
+    )
+    from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
+
+    spark = get_spark("scale-sweep-engine")
+    for q in QUERIES:
+        qd = REGISTRY.get(q) or BENCH_REGISTRY[q]
+        qd.fn(spark, os.path.join(DATA, "x1")).collect()  # warm-up
+        for scope in ("x1", "x3", "x10"):
+            sec = _run(qd.fn, spark, os.path.join(DATA, scope))
+            results[q]["engine"][scope] = round(sec, 3)
+            print(f"engine {q} {scope}: {sec:.2f} s", flush=True)
+    spark.stop()
+
+    # ------------------------------------------------- stock session
+    import measure_baseline as mb
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-sweep-stock")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for q in QUERIES:
+        fn = getattr(mb, STOCK_NAMES.get(q, q))
+        scopes = ["x03", "x1"] if q == "q164_shared_span_pairs" else ["x1", "x3"]
+        fn(mb.tables(spark, os.path.join(DATA, scopes[0]))).collect()  # warm-up
+        for scope in scopes:
+            sec = _run(lambda d: fn(mb.tables(spark, d)), os.path.join(DATA, scope))
+            results[q]["stock"][scope] = round(sec, 3)
+            print(f"stock  {q} {scope}: {sec:.2f} s", flush=True)
+        # one more scope if the projection fits the budget
+        nxt = {"x1": "x3", "x3": "x10"}[scopes[-1]]
+        span_a = _expo(results[q]["stock"])
+        if span_a is not None:
+            proj = results[q]["stock"][scopes[-1]] * (
+                SCALE_N[nxt] / SCALE_N[scopes[-1]]
+            ) ** max(span_a[1], 1.0)
+            if proj <= args.stock_budget:
+                sec = _run(lambda d: fn(mb.tables(spark, d)), os.path.join(DATA, nxt))
+                results[q]["stock"][nxt] = round(sec, 3)
+                print(f"stock  {q} {nxt}: {sec:.2f} s", flush=True)
+            else:
+                notes.append(
+                    f"stock {q} skipped {nxt}: projected {proj:.0f}s "
+                    f"> budget {args.stock_budget:.0f}s at measured exponent "
+                    f"{span_a[1]:.2f}"
+                )
+    spark.stop()
+
+    print("\n| query | engine x1/x3/x10 (s) | engine exp | stock scopes (s) | stock exp |")
+    print("|---|---|---|---|---|")
+    summary = {}
+    for q in QUERIES:
+        e, s = results[q]["engine"], results[q]["stock"]
+        ee, se = _expo(e), _expo(s)
+        etimes = "/".join(f"{e[k]:.1f}" for k in ("x1", "x3", "x10") if k in e)
+        stimes = ", ".join(f"{k}={v:.1f}" for k, v in sorted(s.items(), key=lambda kv: SCALE_N[kv[0]]))
+        print(
+            f"| {q} | {etimes} | {ee[1]:.2f} ({ee[0]}) | {stimes} | "
+            f"{se[1]:.2f} ({se[0]}) |"
+        )
+        summary[q] = {
+            "engine": e,
+            "stock": s,
+            "engine_exp": round(ee[1], 3),
+            "engine_span": ee[0],
+            "stock_exp": round(se[1], 3),
+            "stock_span": se[0],
+        }
+    for n in notes:
+        print("NOTE:", n)
+    print(json.dumps({"metric": "scale_sweep", "results": summary, "notes": notes}))
+
+
+if __name__ == "__main__":
+    main()

@@ -535,3 +535,23 @@ def test_retrieval_eval_hand_case(spark):
     }
     with pytest.raises(ValueError, match="k must be"):
         similarity.retrieval_eval(truth, cand, k=0)
+
+
+def test_lsh_bits_beyond_word_raise(spark):
+    """r14 scale-sweep finding: bits > 64 silently wrapped the packed
+    int64 signature (upper bands all bucket-0 — one giant bucket, 22x
+    the wall at x10) instead of adding granularity. Both LSH surfaces
+    must refuse; the knob rule is bits-per-band within 64 total."""
+    import pytest
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="1..64"):
+        S.embedding_neardup_lsh(emb, "vec_id", "embedding", bits=96, bands=8, dim=2).collect()
+    with pytest.raises(ValueError, match="1..64"):
+        S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=96, bands=8, dim=2).collect()
+    with pytest.raises(ValueError, match="1..64"):
+        S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=0, bands=1, dim=2).collect()
