@@ -1438,7 +1438,11 @@ def q195_dedup_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives scan-side and reaches the near-dup stage through a
     broadcast semi-join of keeper ids, so document bytes never enter
     a corpus exchange; the near-dup stage is keeper-sized and
-    band-bounded."""
+    band-bounded; and the normalized frame localCheckpoints once (the
+    q190 discipline — at corpus scale, the persisted-tier handoff) so
+    the pandas UDF executes ONCE across all consumer branches: the
+    executed plan went from 29 ArrowEvalPython nodes to 1, the same
+    re-execution class q193's r13 review caught."""
     from pyspark.sql import Window as W
 
     docs = _t(spark, sf_dir, "documents")
@@ -1469,13 +1473,21 @@ def q195_dedup_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
+    # Materialize the normalized frame ONCE (the q190 localCheckpoint
+    # discipline, and q193's single-execution-lineage rule): the exact
+    # tier, the keeper join-back, and the near-dup stage's four posting
+    # consumers all branch from here — without the checkpoint each
+    # branch re-runs the planting grid AND the pandas UDF (measured:
+    # 29 ArrowEvalPython nodes in the executed plan; 1 after). At
+    # corpus scale this is the persisted-tier handoff — each ladder
+    # tier's output is written before the next tier reads it.
     keyed = nfc.select(
         "doc_id",
         F.md5("raw").alias("k_r"),
         F.md5("nfc").alias("k_u"),
         norm.alias("norm"),
         F.md5(norm).alias("k_n"),
-    )
+    ).localCheckpoint()
     # keeper window over HASHES only — text stays out of the exchange
     wfull = (
         W.partitionBy("k_n")
@@ -1490,11 +1502,13 @@ def q195_dedup_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("doc_id").over(wfull).alias("keeper_id"),
         F.first("k_r").over(wfull).alias("keeper_kr"),
         F.first("k_u").over(wfull).alias("keeper_ku"),
-    )
+    ).localCheckpoint()
     keeper_ids = ann.filter(F.col("doc_id") == F.col("keeper_id")).select("doc_id")
-    ktext = keyed.select(
-        F.col("doc_id").alias("kid"), F.col("norm").alias("ntext")
-    ).join(F.broadcast(keeper_ids), F.col("kid") == F.col("doc_id"), "left_semi")
+    ktext = (
+        keyed.select(F.col("doc_id").alias("kid"), F.col("norm").alias("ntext"))
+        .join(F.broadcast(keeper_ids), F.col("kid") == F.col("doc_id"), "left_semi")
+        .localCheckpoint()  # 4 posting consumers inside the verify
+    )
     pairs = dedup.minhash_jaccard_pairs(
         ktext, "kid", "ntext", threshold=0.5, num_hashes=64, bands=16, shingle_n=3
     )
