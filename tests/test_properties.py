@@ -1107,3 +1107,61 @@ def test_sitemap_frontier_matches_bfs_reference(sess, graph):
         visited |= nxt
         frontier = nxt
     assert got == want
+
+
+@given(
+    per_query=st.lists(
+        st.tuples(
+            st.permutations(list(range(10))),  # truth order
+            st.integers(min_value=1, max_value=8),  # truth length
+            st.permutations(list(range(10))),  # candidate order
+            st.integers(min_value=0, max_value=8),  # candidate length
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_retrieval_eval_matches_reference(sess, per_query, k):
+    """retrieval_eval (r13/r14 — the instrument behind q193/q194 and
+    the docs/SCALE.md recall curves) vs a pure-Python reference on
+    random rankings: per query, overlap of the two rank<=k prefixes,
+    recall = overlap / |truth prefix| (the min(k, |truth|)
+    denominator), and the reciprocal candidate rank of the truth
+    top-1 (0.0 when absent). Every truth query must emit a row even
+    with an empty candidate list."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+
+    t_rows, c_rows = [], []
+    for q, (t_perm, t_len, c_perm, c_len) in enumerate(per_query):
+        for rn, nid in enumerate(t_perm[:t_len], start=1):
+            t_rows.append((q, nid, rn))
+        for rn, nid in enumerate(c_perm[:c_len], start=1):
+            c_rows.append((q, nid, rn))
+    schema = "q_id long, n_id long, rn long"
+    truth = sess.createDataFrame(t_rows, schema)
+    cand = (
+        sess.createDataFrame(c_rows, schema)
+        if c_rows
+        else sess.createDataFrame([], schema)
+    )
+    got = {
+        r["q_id"]: (r["n_overlap"], r["recall_at_k"], r["reciprocal_rank"])
+        for r in S.retrieval_eval(truth, cand, k=k).collect()
+    }
+    expected = {}
+    for q, (t_perm, t_len, c_perm, c_len) in enumerate(per_query):
+        t_pref = t_perm[: min(t_len, k)]
+        c_pref = c_perm[: min(c_len, k)]
+        c_rank = {nid: rn for rn, nid in enumerate(c_pref, start=1)}
+        overlap = sum(1 for nid in t_pref if nid in c_rank)
+        rr = 1.0 / c_rank[t_pref[0]] if t_pref[0] in c_rank else 0.0
+        expected[q] = (overlap, overlap / len(t_pref), rr)
+    assert set(got) == set(expected)
+    for q in expected:
+        eo, er, err_ = expected[q]
+        go, gr, grr = got[q]
+        assert go == eo and math.isclose(gr, er) and math.isclose(grr, err_), (
+            q, got[q], expected[q]
+        )
