@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -24,3 +24,16 @@ bench:
 # bench: local[$$SPARK_GRAFT_CPUS], shuffle.partitions=$$SPARK_GRAFT_CPUS).
 baseline:
 	$(PY) scripts/measure_baseline.py
+
+# The docs/SCALE.md ANN recall-vs-knob table (r14): IVF/PQ/LSH tiers
+# vs exact cosine truth through retrieval_eval at sf0.1.
+ann-curves:
+	$(PY) scripts/ann_recall_curves.py
+
+# Self-similar x03/x1/x3/x10 fixtures + the BASELINE.md scaling-exponent
+# sweep (r14). scale-data is a prerequisite; ~25 MB under .scaledata/.
+scale-data:
+	$(PY) scripts/gen_scale_fixtures.py
+
+scale-sweep:
+	$(PY) scripts/scale_sweep.py
