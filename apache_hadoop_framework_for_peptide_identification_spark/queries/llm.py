@@ -525,6 +525,123 @@ def q194_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.retrieval_eval(truth, approx, k=10).orderBy("q_id")
 
 
+@query(
+    "q196_ann_pq_recall",
+    oracle="""
+WITH src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                    row_number() OVER (ORDER BY vec_id) - 1 AS code
+             FROM embeddings WHERE vec_id % 31 = 2 ORDER BY vec_id LIMIT 16),
+cw AS (SELECT j, code, src.v[(j*8+1):(j*8+8)] AS w
+       FROM src, unnest(range(0, 8)) t(j)),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT corpus.vec_id, cw.j, cw.code,
+             list_dot_product(
+               list_transform(range(1, 9), i -> corpus.v[cw.j*8+i] - cw.w[i]),
+               list_transform(range(1, 9), i -> corpus.v[cw.j*8+i] - cw.w[i])) AS dist
+      FROM corpus, cw),
+asg AS (SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS arn
+    FROM d) WHERE arn = 1),
+qv AS (SELECT vec_id AS q_id, v AS qv FROM corpus WHERE vec_id < 20),
+sc AS (SELECT qv.q_id, asg.vec_id AS n_id,
+              sum(list_dot_product(
+                    list_transform(range(1, 9), i -> qv.qv[asg.j*8+i]), cw.w)) AS s
+       FROM qv, asg JOIN cw ON asg.j = cw.j AND asg.code = cw.code
+       GROUP BY qv.q_id, asg.vec_id),
+cand AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS crn
+    FROM sc) WHERE crn <= 25 AND q_id <> n_id),
+rer AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qv.qv, corpus.v) AS cos_sim
+        FROM cand c JOIN qv ON c.q_id = qv.q_id
+        JOIN corpus ON c.n_id = corpus.vec_id),
+capp AS (SELECT q_id, n_id, rn FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+    FROM rer) WHERE rn <= 10),
+truth AS (SELECT q_id, n_id, rn FROM (
+    SELECT qv.q_id, c2.vec_id AS n_id,
+           row_number() OVER (PARTITION BY qv.q_id
+             ORDER BY list_cosine_similarity(qv.qv, c2.v) DESC, c2.vec_id) AS rn
+    FROM corpus c2, qv WHERE c2.vec_id <> qv.q_id) WHERE rn <= 10),
+m AS (SELECT t.q_id, count(c.n_id) AS n_overlap, count(*) AS n_truth,
+             coalesce(max(CASE WHEN t.rn = 1 THEN 1.0 / c.rn END), 0.0) AS rr
+      FROM truth t LEFT JOIN capp c ON t.q_id = c.q_id AND t.n_id = c.n_id
+      GROUP BY t.q_id)
+SELECT q_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / CAST(n_truth AS DOUBLE) AS recall_at_k,
+       rr AS reciprocal_rank
+FROM m ORDER BY q_id
+""",
+)
+def q196_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC in its genuinely APPROXIMATE configuration, measured with
+    the engine's own instrument (added r14 — q194's treatment for the
+    OTHER quantized tier): 20 query vectors run
+    operators/similarity.py pq_append + pq_query with a tight
+    candidate budget (n_candidates=25 over the whole corpus — the ADC
+    pre-cut is the tier whose recall a PQ user tunes), against the
+    exact cosine_topk truth, reduced through retrieval_eval to
+    per-query (n_overlap, recall@10, MRR term).
+
+    The codebook is CLOSED-FORM so the oracle can replay it —
+    codeword[j][c] = subspace-j slice of the c-th source vector
+    (``vec_id % 31 == 2``, first 16 by id; build_pq_index's Lloyd
+    refinement is driver-side numpy on an xxhash64-picked sample,
+    which DuckDB cannot recompute, so as in q194 the training rule is
+    the one substitution) — while everything under test is the
+    production path: _pq_encode's argmin kernel via pq_append, the
+    per-partition ADC gather + argpartition pre-cut, the global
+    (score, id) candidate window, the exact re-rank join, and the
+    metric reduction. DETERMINISM of the pre-cut was verified before
+    registration: with all ADC scores distinct per query (checked at
+    sf0.001/0.01/0.1 — no two corpus vectors share all 8 codes), the
+    per-partition top-N is an exact superset of the global top-N for
+    ANY partition layout, so argpartition's tie-arbitrariness never
+    reaches the output. The oracle independently recomputes every
+    subspace assignment (argmin distance, tie -> min code), the ADC
+    scores, both rankings, and the metrics — a drifted encode kernel,
+    a wrong gather, a candidate-cut slip, or a metric slip all
+    hash-mismatch. Scale shape: codebook is m x n_codes rows
+    (collected by contract), the ADC scan emits <= queries x
+    n_candidates rows per partition, candidates re-join true vectors
+    once, metrics joins are queries x k."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = (
+        emb.filter(F.col("vec_id") % 31 == 2)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    coded = src.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"), "v"
+    )
+    cb = coded.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("v", j * 8 + 1, 8).alias("centroid"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col("s.subspace").alias("subspace"), "code", F.col("s.centroid").alias("centroid"))
+    encoded = similarity.pq_append(emb, cb, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 20)
+    cand = similarity.pq_query(
+        queries, encoded, cb, emb, "vec_id", "embedding", k=10, n_candidates=25
+    )
+    truth = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    return similarity.retrieval_eval(truth, cand, k=10).orderBy("q_id")
+
+
 @bench_query("q45_ann_lsh")
 def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (bucketed candidates + exact
