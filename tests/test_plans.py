@@ -476,3 +476,25 @@ def test_q189_composition_one_corpus_shuffle(spark):
     ]
     # exactly one corpus-bearing hash exchange: the keeper window's
     assert len(hash_ex) == 1 and "canon_url#" in hash_ex[0], hash_ex
+
+
+def test_q194_q196_recall_eval_plan_contracts(spark):
+    """The r14 ANN recall-eval anchors' plan contracts: no cartesian
+    products; the ONLY nested-loop joins are the documented
+    broadcast-theta self-exclusions (cosine_topk's `q_id != n_id` with
+    the tiny query side broadcast — one corpus scan, zero corpus
+    shuffle); the cell/candidate joins are hash or broadcast-hash
+    equi-joins; and the metric reduction is ONE LeftOuter join (the
+    q193 single-execution-lineage rule — truth lineage is never fanned
+    into parallel branches)."""
+    for name in ("q194_ann_ivf_recall", "q196_ann_pq_recall"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "NOT (q_id" in ln, (name, ln)
+        left_outer = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "LeftOuter" in ln
+        ]
+        assert len(left_outer) == 1, (name, left_outer)
