@@ -172,17 +172,24 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 14
+_CHANGED_IN_ROUND = 15
 _CHANGED_THIS_ROUND = [
-    # r14: crawl_schedule gained the max_urls_per_host output cap
-    # (VERDICT r13 obs. 1 — default None leaves the plan unchanged,
-    # but the function body changed, so q192 takes a fresh verdict
-    # on the changed implementation). For the r13 ledger record,
-    # restated per ADVICE r13: _rule_regex excludes '*' from the
-    # regex-escape class and rewrites raw stars to '.*' (no
-    # placeholder mechanism exists), fixing the r12
-    # literal-backslash-before-star miscompile.
-    "q192_crawl_politeness_schedule",
+    # r15: similarity.py _cell_assign now tie-breaks equal centroid
+    # cosines to the LOWEST cell id (kind='stable' argsort — ADVICE
+    # r14: the oracle's ORDER BY sim DESC, cell convention), touching
+    # every IVF surface; pq_query gained candidate_frac/corpus_rows
+    # (VERDICT r14 item 1 — default path identical, but the function
+    # body changed). Each carrier query takes a fresh verdict on the
+    # changed implementation (the r14 q192 precedent).
+    "q194_ann_ivf_recall",  # ivf_append + ivf_query
+    "q68_ann_ivf",          # ivf_topk
+    "q196_ann_pq_recall",   # pq_query
+    "q98_ann_pq",           # pq_ann_topk -> pq_query
+    # r15: stream_neardup_ingest's per-batch block factored into the
+    # shared _neardup_ingest_batch helper (reused by the new
+    # stream_dedup_ladder) — behavior-preserving refactor, fresh
+    # verdict on the changed body.
+    "q180_stream_neardup_ingest",
 ]
 
 

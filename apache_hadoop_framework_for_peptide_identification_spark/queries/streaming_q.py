@@ -17,6 +17,7 @@ from ..streaming.windows import (
     sliding_agg,
     stateful_user_totals,
     stream_dedup,
+    stream_dedup_ladder,
     stream_enrich_refreshed,
     stream_neardup_ingest,
     stream_scd2_enrich,
@@ -1087,4 +1088,131 @@ def q180_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{store}/pairs")
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q197_stream_dedup_ladder",
+    oracle="""
+WITH bases AS (SELECT doc_id AS b_id, text AS base FROM documents WHERE doc_id < 40),
+grid AS (SELECT doc_id, doc_id % 40 AS g, doc_id // 40 AS v
+         FROM documents WHERE doc_id < 200),
+raws AS (SELECT grid.doc_id,
+    (CASE WHEN v = 4 THEN regexp_replace(base, ' \\S+$', '') ELSE base END) ||
+    (CASE WHEN v = 1 THEN ' cafe' || chr(769) || ' Z.'
+          WHEN v = 2 THEN ' caf' || chr(233) || ' z'
+          ELSE ' caf' || chr(233) || ' Z.' END) AS raw
+  FROM grid JOIN bases ON grid.g = bases.b_id),
+n1 AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM raws),
+n2 AS (SELECT doc_id, md5(raw) AS k_r, md5(nfc) AS k_u,
+              trim(regexp_replace(regexp_replace(lower(nfc),
+                   '[^\\p{L}\\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS norm
+       FROM n1),
+n3 AS (SELECT doc_id, k_r, k_u, norm, md5(norm) AS k_n FROM n2),
+kp AS (SELECT doc_id, k_r, k_u, k_n, norm,
+              first_value(doc_id) OVER w AS keeper_id,
+              first_value(k_r) OVER w AS keeper_kr,
+              first_value(k_u) OVER w AS keeper_ku
+       FROM n3 WINDOW w AS (PARTITION BY k_n ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+keep AS (SELECT doc_id AS kid, norm FROM kp WHERE doc_id = keeper_id),
+toks AS (SELECT kid, string_split(norm, ' ') AS t FROM keep),
+sh AS (SELECT DISTINCT kid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+       FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+       UNION
+       SELECT kid, array_to_string(t, ' ') FROM toks WHERE len(t) < 3),
+sizes AS (SELECT kid, count(*) AS n_sh FROM sh GROUP BY kid),
+inter AS (SELECT a.kid AS id_a, b.kid AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.kid < b.kid GROUP BY 1, 2),
+nd AS (SELECT DISTINCT id_b FROM inter
+       JOIN sizes sa ON sa.kid = id_a JOIN sizes sb ON sb.kid = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5)
+SELECT kp.doc_id,
+  CASE WHEN kp.doc_id <> kp.keeper_id THEN
+         CASE WHEN kp.k_r = kp.keeper_kr THEN 'exact'
+              WHEN kp.k_u = kp.keeper_ku THEN 'unicode'
+              ELSE 'casefold' END
+       WHEN nd.id_b IS NOT NULL THEN 'neardup' ELSE 'kept' END AS tier,
+  kp.k_n AS norm_hash
+FROM kp LEFT JOIN nd ON kp.doc_id = nd.id_b
+ORDER BY kp.doc_id
+""",
+)
+def q197_stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup-ladder end-to-end (added r15 — VERDICT r14
+    item 7, the last composition-shaped gap: q195's batch ladder
+    through stream_dedup_ladder's foreachBatch machinery, two-phase
+    replay in the q180 mold; both product ladders now hold batch AND
+    streaming end-to-end proofs). The SAME 200 planted docs as q195
+    (40 bases × 5 variants: v0 anchor, v1 decomposed-NFC twin, v2
+    case/punct twin, v3 byte-exact copy, v4 drop-last-word near-dup)
+    — but arriving across TWO staged stream phases through one
+    checkpoint: phase 1 = ids < 100 (all anchors + all v1 + half of
+    v2), phase 2 = ids 100–199 (the other v2 half, v3, v4). Each
+    micro-batch runs the full ladder against the persisted stores:
+    phase-2 v2 docs must fold 'casefold' against keepers READ BACK
+    from phase 1's keeper store (the same tier phase-1 v2 docs earn
+    within-batch — both resolution paths exercised for one tier),
+    phase-2 v3 copies must hash 'exact' against stored keeper_kr, and
+    phase-2 v4 twins become keepers whose near-dup pairs fire against
+    phase 1's posting store.
+
+    The oracle is q195's VERBATIM one-shot ladder replay (DuckDB
+    utf8proc NFC + all-pairs Jaccard): the stream's tier union across
+    batches must equal running the whole ladder once over everything
+    — the incremental-view contract, holding here because phases
+    partition ids monotonically so first-arrival keepers coincide
+    with the one-shot min-id keepers (the operator docstring's
+    planted-replay contract). Each phase writes one parquet file
+    (repartition(1)) so a phase is one micro-batch and keeper
+    first-arrival is deterministic. Scale shape per batch: one NFC
+    pass, one k_n hash join against the keeper store, q180's
+    incremental near-dup over new keepers only; document bytes never
+    enter a store exchange (keepers store hashes, postings 16-byte
+    keys, texts only keeper norms)."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    grid = d.filter(F.col("doc_id") < 200).select("doc_id")
+    bases = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("b_id"), F.col("text").alias("base")
+    )
+    g = F.col("doc_id") % 40
+    v = F.expr("doc_id div 40")
+    j = grid.join(F.broadcast(bases), g == F.col("b_id"))
+    # \z not $ — the _plant_text_twins Java-vs-RE2 line-terminator rule
+    body = F.when(v == 4, F.regexp_replace(F.col("base"), " \\S+\\z", "")).otherwise(
+        F.col("base")
+    )
+    # explicit escapes — an editor/VCS layer must never be able to
+    # NFC-fold the planted byte-distinct variants into one (q191 rule)
+    suffix = (
+        F.when(v == 1, F.lit(" cafe\u0301 Z."))  # decomposed e + U+0301
+        .when(v == 2, F.lit(" caf\u00e9 z"))  # precomposed; case/punct variant
+        .otherwise(F.lit(" caf\u00e9 Z."))  # precomposed (v0 / v3 / v4)
+    )
+    raws = j.select("doc_id", F.concat(body, suffix).alias("text"))
+
+    src = tempfile.mkdtemp(prefix="q197_src_")
+    ckpt = tempfile.mkdtemp(prefix="q197_ckpt_")
+    store = tempfile.mkdtemp(prefix="q197_store_")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_dedup_ladder(
+            stream, store, ckpt, "doc_id", "text",
+            threshold=0.5, num_hashes=64, bands=16, shingle_n=3,
+        )
+
+    # one file per phase => one micro-batch per phase (deterministic
+    # first-arrival keepers; ids partition monotonically across phases)
+    raws.filter(F.col("doc_id") < 100).repartition(1).write.mode("append").parquet(src)
+    run_once()
+    raws.filter(F.col("doc_id") >= 100).repartition(1).write.mode("append").parquet(src)
+    run_once()
+
+    return (
+        spark.read.parquet(f"{store}/tiers")
+        .select("doc_id", "tier", "norm_hash")
+        .orderBy("doc_id")
     )

@@ -205,6 +205,53 @@ def stream_enrich_refreshed(
     q.awaitTermination()
 
 
+def _max_batch_id(spark: SparkSession, path: str) -> int:
+    """Highest batch_id=N partition under ``path`` (-1 when none/absent)
+    — Hadoop FS listing so the probe works on any scheme, shared by
+    the store-backed streaming operators' fresh-checkpoint guards."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return -1
+    best = -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                best = max(best, int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return best
+
+
+def _guard_fresh_checkpoint(
+    spark: SparkSession, store_path: str, checkpoint_dir: str, caller: str
+) -> None:
+    """Refuse a FRESH checkpoint over an EXISTING store (ADVICE r11):
+    foreachBatch batch ids are numbered by the checkpoint, so a new
+    checkpoint restarts ids at 0 and the first batches silently
+    OVERWRITE the batch_id=0.. partitions holding older, unrelated
+    batches — losing store data and breaking the disjoint-id premise
+    the exactly-once argument rests on."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    max_batch = _max_batch_id(spark, store_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/offsets")
+    fs = p.getFileSystem(hconf)
+    has_commits = fs.exists(p) and len(fs.listStatus(p)) > 0
+    if max_batch >= 0 and not has_commits:
+        raise ValueError(
+            f"{caller}: store {store_path!r} already holds partitions up to "
+            f"batch_id={max_batch} but checkpoint {checkpoint_dir!r} has no "
+            "committed offsets — a fresh checkpoint restarts batch ids at 0 "
+            "and would overwrite those partitions, corrupting the store. "
+            "Resume with the original checkpoint, or seed a fresh store_dir "
+            "for a new stream."
+        )
+
+
 def seed_neardup_store(
     corpus: DataFrame,
     store_dir: str,
@@ -292,78 +339,232 @@ def stream_neardup_ingest(
     ``batch_id >= 0`` posting partitions but ``checkpoint_dir`` holds
     no committed offsets: resume with the ORIGINAL checkpoint, or
     re-seed a fresh store for a genuinely new stream."""
-    from ..operators.dedup import build_lsh_index, ingest_neardup
-
     spark = stream.sparkSession
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _max_store_batch_id() -> int:
-        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/postings")
-        fs = p.getFileSystem(hconf)
-        if not fs.exists(p):
-            return -1
-        best = -1
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("batch_id="):
-                try:
-                    best = max(best, int(name.split("=", 1)[1]))
-                except ValueError:
-                    continue
-        return best
-
-    def _checkpoint_has_commits() -> bool:
-        p = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/offsets")
-        fs = p.getFileSystem(hconf)
-        return fs.exists(p) and len(fs.listStatus(p)) > 0
-
-    max_batch = _max_store_batch_id()
-    if max_batch >= 0 and not _checkpoint_has_commits():
-        raise ValueError(
-            f"stream_neardup_ingest: store {store_dir!r} already holds posting "
-            f"partitions up to batch_id={max_batch} but checkpoint "
-            f"{checkpoint_dir!r} has no committed offsets — a fresh checkpoint "
-            "restarts batch ids at 0 and would overwrite those partitions, "
-            "corrupting the store. Resume with the original checkpoint, or "
-            "seed a fresh store_dir for a new stream."
-        )
+    _guard_fresh_checkpoint(
+        spark, f"{store_dir}/postings", checkpoint_dir, "stream_neardup_ingest"
+    )
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
-        # Store appends FIRST: the batch's signatures are computed by
-        # exactly one job (the postings write) and the detection below
-        # reuses the persisted frame instead of re-signaturing. Safe
-        # before detection because the history reads prune batch_id=N
-        # — this batch's files are invisible to them — and replay-safe
-        # because a redone batch overwrites its own partition with
-        # deterministic content before recomputing pairs against the
-        # pruned (pre-batch) store.
-        build_lsh_index(bdf, id_col, text_col, num_hashes, bands, shingle_n).write.mode(
+        _neardup_ingest_batch(
+            spark, bdf, store_dir, batch_id, id_col, text_col,
+            threshold, num_hashes, bands, shingle_n,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _neardup_ingest_batch(
+    spark: SparkSession,
+    bdf: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """One micro-batch of persisted-store near-dup ingest, shared by
+    stream_neardup_ingest and stream_dedup_ladder. Store appends
+    FIRST: the batch's signatures are computed by exactly one job (the
+    postings write) and the detection reuses the persisted frame
+    instead of re-signaturing. Safe before detection because the
+    history reads prune batch_id=N — this batch's files are invisible
+    to them — and replay-safe because a redone batch overwrites its
+    own partition with deterministic content before recomputing pairs
+    against the pruned (pre-batch) store. Returns the batch's pair
+    frame read back from its just-written partition."""
+    from ..operators.dedup import build_lsh_index, ingest_neardup
+
+    build_lsh_index(bdf, id_col, text_col, num_hashes, bands, shingle_n).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/postings/batch_id={batch_id}")
+    bdf.select(F.col(id_col), F.col(text_col)).write.mode("overwrite").parquet(
+        f"{store_dir}/texts/batch_id={batch_id}"
+    )
+    not_self = F.col("batch_id") != F.lit(batch_id)
+    index = (
+        spark.read.parquet(f"{store_dir}/postings")
+        .filter(not_self)
+        .select("id", "band", "bucket")
+    )
+    texts = (
+        spark.read.parquet(f"{store_dir}/texts")
+        .filter(not_self)
+        .select(F.col(id_col), F.col(text_col))
+    )
+    pairs = ingest_neardup(
+        bdf, index, texts, id_col, text_col,
+        threshold=threshold, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n,
+        batch_postings=spark.read.parquet(
+            f"{store_dir}/postings/batch_id={batch_id}"
+        ),
+    )
+    pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+    return spark.read.parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+
+
+def stream_dedup_ladder(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """STREAMING dedup-ladder ingest (r15 — VERDICT r14 item 7: the
+    q195 batch composition through the q180 foreachBatch machinery;
+    both product-pipeline ladders now hold batch AND streaming
+    end-to-end forms). Every micro-batch runs the FULL ladder against
+    persisted stores: Unicode NFC (operators/text.unicode_normalize,
+    the documented pandas-UDF exception) → casefold + punct-strip +
+    whitespace-collapse → exact-hash keeper resolution against the
+    on-disk keeper store → MinHash-LSH + exact-Jaccard near-dup of
+    the batch's NEW keepers against the keeper posting store — and
+    labels each arriving doc with the TIER that folded it (q195's
+    labels: 'exact' / 'unicode' / 'casefold' vs its keeper's hashes,
+    'neardup' / 'kept' for new keepers), appending (id, tier,
+    norm_hash) rows to ``store_dir/tiers/batch_id=N``.
+
+    Store layout: ``keepers/batch_id=N`` holds (k_n, keeper_id,
+    keeper_kr, keeper_ku) for keepers FIRST SEEN in batch N;
+    ``postings`` / ``texts`` / ``pairs`` are the
+    stream_neardup_ingest store over keeper NORMALIZED text (postings
+    carry 16-byte keys, texts only keeper norms — arriving document
+    bytes never enter a store exchange). Exactly-once is the q180
+    discipline verbatim: every sink overwrites its own batch_id=N
+    partition, every store read prunes batch_id=N, so a replayed
+    batch redoes deterministic work against the pre-batch store; the
+    fresh-checkpoint-over-existing-store guard fails fast.
+
+    Keeper identity is FIRST-ARRIVAL (ties within a batch by lowest
+    id). The stream's tier output equals the one-shot q195 form
+    exactly when arrival order respects id order across batches —
+    the planted-replay contract q197 pins; under arbitrary arrival
+    the labels remain internally consistent (every dup's tier names
+    its actual stored keeper), the keeper CHOICE is just
+    arrival-determined, same as any incremental-view dedup. A new
+    keeper's neardup flag is final at its own batch (pairs emit with
+    id_b = the newer arrival), so tier rows are written once and
+    never revised.
+
+    Per-batch cost: one Arrow-batched NFC pass over the batch (the
+    normalized frame localCheckpoints ONCE — the q195/q193
+    single-execution rule), one hash equi-join against the keeper
+    store (k_n is a 32-hex key; at 100 TB bucket the keeper store by
+    k_n so this join co-locates), one keeper window over batch
+    misses, and q180's incremental near-dup over new keepers only.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.text import unicode_normalize
+
+    spark = stream.sparkSession
+    _guard_fresh_checkpoint(
+        spark, f"{store_dir}/keepers", checkpoint_dir, "stream_dedup_ladder"
+    )
+    keeper_schema = "k_n string, keeper_id long, keeper_kr string, keeper_ku string"
+
+    def fb(bdf: DataFrame, batch_id: int) -> None:
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("__nfc")), "[^\\p{L}\\p{N} ]", ""),
+                " +",
+                " ",
+            )
+        )
+        # one pandas-UDF execution per batch, whatever the fan-out below
+        keyed = (
+            bdf.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("raw"))
+            .withColumn("__nfc", unicode_normalize(F.col("raw")))
+            .select(
+                "doc_id",
+                F.md5("raw").alias("k_r"),
+                F.md5("__nfc").alias("k_u"),
+                norm.alias("norm"),
+                F.md5(norm).alias("k_n"),
+            )
+            .localCheckpoint()
+        )
+        if _max_batch_id(spark, f"{store_dir}/keepers") >= 0:
+            kst = (
+                spark.read.parquet(f"{store_dir}/keepers")
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("k_n", "keeper_id", "keeper_kr", "keeper_ku")
+            )
+        else:
+            kst = spark.createDataFrame([], keeper_schema)
+        j = keyed.join(kst, "k_n", "left").localCheckpoint()
+        hits = j.filter(F.col("keeper_id").isNotNull())
+        miss = j.filter(F.col("keeper_id").isNull()).select(
+            "doc_id", "k_r", "k_u", "k_n", "norm"
+        )
+        wfull = (
+            W.partitionBy("k_n")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        ann = miss.select(
+            "doc_id",
+            "k_r",
+            "k_u",
+            "k_n",
+            "norm",
+            F.first("doc_id").over(wfull).alias("keeper_id"),
+            F.first("k_r").over(wfull).alias("keeper_kr"),
+            F.first("k_u").over(wfull).alias("keeper_ku"),
+        ).localCheckpoint()
+        newk = ann.filter(F.col("doc_id") == F.col("keeper_id"))
+        newk.select("k_n", "keeper_id", "keeper_kr", "keeper_ku").write.mode(
             "overwrite"
-        ).parquet(f"{store_dir}/postings/batch_id={batch_id}")
-        bdf.select(F.col(id_col), F.col(text_col)).write.mode("overwrite").parquet(
-            f"{store_dir}/texts/batch_id={batch_id}"
+        ).parquet(f"{store_dir}/keepers/batch_id={batch_id}")
+        pairs = _neardup_ingest_batch(
+            spark,
+            newk.select(F.col("doc_id").alias(id_col), F.col("norm").alias(text_col)),
+            store_dir, batch_id, id_col, text_col,
+            threshold, num_hashes, bands, shingle_n,
         )
-        not_self = F.col("batch_id") != F.lit(batch_id)
-        index = (
-            spark.read.parquet(f"{store_dir}/postings")
-            .filter(not_self)
-            .select("id", "band", "bucket")
+        nd = (
+            pairs.select(F.col("id_b").alias("doc_id"))
+            .distinct()
+            .withColumn("__nd", F.lit(True))
         )
-        texts = (
-            spark.read.parquet(f"{store_dir}/texts")
-            .filter(not_self)
-            .select(F.col(id_col), F.col(text_col))
+        by_hash = (
+            F.when(F.col("k_r") == F.col("keeper_kr"), F.lit("exact"))
+            .when(F.col("k_u") == F.col("keeper_ku"), F.lit("unicode"))
+            .otherwise(F.lit("casefold"))
         )
-        pairs = ingest_neardup(
-            bdf, index, texts, id_col, text_col,
-            threshold=threshold, num_hashes=num_hashes,
-            bands=bands, shingle_n=shingle_n,
-            batch_postings=spark.read.parquet(
-                f"{store_dir}/postings/batch_id={batch_id}"
-            ),
+        tiers = (
+            hits.select("doc_id", by_hash.alias("tier"), "k_n")
+            .unionByName(
+                ann.filter(F.col("doc_id") != F.col("keeper_id")).select(
+                    "doc_id", by_hash.alias("tier"), "k_n"
+                )
+            )
+            .unionByName(
+                newk.join(nd, "doc_id", "left").select(
+                    "doc_id",
+                    F.when(F.col("__nd"), F.lit("neardup"))
+                    .otherwise(F.lit("kept"))
+                    .alias("tier"),
+                    "k_n",
+                )
+            )
         )
-        pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+        tiers.select(
+            F.col("doc_id").alias(id_col), "tier", F.col("k_n").alias("norm_hash")
+        ).write.mode("overwrite").parquet(f"{store_dir}/tiers/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(fb)

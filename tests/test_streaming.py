@@ -771,3 +771,116 @@ def test_stream_neardup_ingest_fresh_checkpoint_over_existing_store_raises(
         stream_neardup_ingest(
             stream2, store, str(tmp_path / "ckB"), "doc_id", "text"
         )
+
+
+def test_stream_dedup_ladder_replay_and_tier_resolution(spark, tmp_path):
+    """r15 streaming dedup ladder: (a) hash-tier dups resolve against
+    keepers READ BACK from an earlier batch's store (the cross-batch
+    path) and within their own batch (the window path); (b) a batch
+    replayed after a crash between the store writes and the checkpoint
+    commit leaves keepers/tiers/pairs exactly as a clean run (the q180
+    self-exclusion discipline on ALL FOUR store tables)."""
+    import os
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+
+    # batch 0: anchor (1) + exact copy (2, within-batch 'exact') +
+    # an unrelated keeper (3)
+    b0 = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma delta epsilon zeta."),
+            (2, "Alpha beta gamma delta epsilon zeta."),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    # batch 1: casefold twin of 1 (cross-batch store hit), NFC twin of
+    # 3's... none — keep it a casefold vs stored keeper + a near-dup
+    # twin of 3 (drop last word -> new keeper caught by LSH) + novel
+    b1 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "one two three four five six"),
+            (12, "completely different novel words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    b0.repartition(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_dedup_ladder(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+    b1.repartition(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_dedup_ladder(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    tiers = {
+        r["doc_id"]: r["tier"]
+        for r in spark.read.parquet(f"{store}/tiers").collect()
+    }
+    assert tiers == {
+        1: "kept",
+        2: "exact",      # within-batch hash dup
+        3: "kept",
+        10: "casefold",  # cross-batch: folds against batch-0 keeper 1
+        11: "neardup",   # new keeper, LSH-caught against stored keeper 3
+        12: "kept",
+    }
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{store}/pairs").collect()
+    }
+    assert pairs == {(3, 11)}
+
+    # crash injection on the LAST batch: drop the commit marker AND its
+    # hidden .crc twin (a leftover crc fails the replay's commit rename
+    # — the q180 test's documented pitfall); restart — Spark re-runs
+    # batch 1 over its own leftovers
+    markers = [
+        n for n in os.listdir(f"{ckpt}/commits") if not n.startswith(".")
+    ]
+    newest = max(markers, key=int)
+    os.remove(os.path.join(f"{ckpt}/commits", newest))
+    crc = os.path.join(f"{ckpt}/commits", f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_dedup_ladder(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    tiers2 = {
+        r["doc_id"]: r["tier"]
+        for r in spark.read.parquet(f"{store}/tiers").collect()
+    }
+    assert tiers2 == tiers
+    assert {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(f"{store}/pairs").collect()
+    } == pairs
+    # one keeper row per keeper, no replay duplicates
+    keepers = spark.read.parquet(f"{store}/keepers")
+    assert keepers.count() == keepers.select("k_n").distinct().count() == 4
+
+
+def test_stream_dedup_ladder_fresh_checkpoint_over_existing_store_raises(
+    spark, tmp_path
+):
+    """The ladder inherits the fresh-checkpoint guard: a new checkpoint
+    over a store holding keeper partitions must refuse to start (batch
+    ids restart at 0 and would overwrite batch_id=0's keepers)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    b0.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_dedup_ladder(stream, store, str(tmp_path / "ckA"), "doc_id", "text")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="no committed offsets"):
+        stream_dedup_ladder(stream, store, str(tmp_path / "ckB"), "doc_id", "text")
