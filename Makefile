@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -37,3 +37,11 @@ scale-data:
 
 scale-sweep:
 	$(PY) scripts/scale_sweep.py
+
+# The BASELINE.md r15 Heaps'-law follow-up: q121's exponent on
+# vocabulary-grows-with-corpus fixtures (df-bounded regime; expected
+# ≈1 at the default shingle n). Needs `gen_scale_fixtures.py hx1 hx3
+# hx10` first (scale-data generates all tags including hx*).
+heaps-sweep:
+	$(PY) scripts/scale_sweep.py --queries q121_prefix_jaccard_corpus \
+	  --scales hx1,hx3,hx10 --engine-only
