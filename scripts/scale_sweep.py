@@ -26,6 +26,12 @@ session.get_spark with the runtime confs; stock: the plain builder
 measure_baseline.py uses), sequentially in one process.
 
 Usage: python scripts/scale_sweep.py [--stock-budget 180]
+         [--queries q121_prefix_jaccard_corpus,...] [--scales x1,x3,x10]
+         [--engine-only]
+(r15: --queries/--scales/--engine-only run fixture-regime probes —
+e.g. `make heaps-sweep` measures q121 over the Heaps'-law hx*
+fixtures; the budgeted extra stock scope runs under a hard
+wall-clock kill at 2x budget, ADVICE r14.)
 Prints a markdown table + one JSON line (recorded in BASELINE.md).
 """
 
@@ -126,7 +132,7 @@ def main() -> None:
     spark.stop()
 
     if args.engine_only:
-        _report(queries, results, notes, stock=False)
+        _report(queries, results, notes)
         return
 
     # ------------------------------------------------- stock session
@@ -188,7 +194,7 @@ def main() -> None:
                     f"{span_a[1]:.2f}"
                 )
     spark.stop()
-    _report(queries, results, notes, stock=True)
+    _report(queries, results, notes)
 
 
 def _run_budgeted(spark, fn, d, wall: float) -> tuple[float, bool]:
@@ -219,7 +225,7 @@ def _run_budgeted(spark, fn, d, wall: float) -> tuple[float, bool]:
         sc.setJobGroup("scale-sweep-default", "")
 
 
-def _report(queries, results, notes, stock: bool) -> None:
+def _report(queries, results, notes) -> None:
     print("\n| query | engine scopes (s) | engine exp | stock scopes (s) | stock exp |")
     print("|---|---|---|---|---|")
     summary = {}
