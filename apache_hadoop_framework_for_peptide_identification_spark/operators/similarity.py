@@ -916,7 +916,7 @@ def pq_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_candidates: int = 100,
+    n_candidates: int | None = None,
     candidate_frac: float | None = None,
     corpus_rows: int | None = None,
 ) -> DataFrame:
@@ -942,26 +942,28 @@ def pq_query(
     knows the stored row count (an index manifest at 100 TB); left
     None, one count over the encoded frame (metadata-cheap on
     parquet) resolves it. The two forms are equivalent at fixed N by
-    construction (tests/test_similarity.py pins it); passing both
-    ``candidate_frac`` and a non-default ``n_candidates`` raises —
-    one budget, never a silent winner.
+    construction (tests/test_similarity.py pins it); passing BOTH
+    budgets raises — one budget, never a silent winner — and passing
+    neither takes the historical absolute default (100).
     """
     import math
 
     import numpy as np
 
+    if candidate_frac is not None and n_candidates is not None:
+        raise ValueError(
+            "pq_query: pass either candidate_frac or n_candidates, not both "
+            f"(got candidate_frac={candidate_frac}, n_candidates={n_candidates})"
+        )
     if candidate_frac is not None:
         if not 0.0 < candidate_frac <= 1.0:
             raise ValueError(
                 f"pq_query: candidate_frac must be in (0, 1], got {candidate_frac}"
             )
-        if n_candidates != 100:
-            raise ValueError(
-                "pq_query: pass either candidate_frac or n_candidates, not both "
-                f"(got candidate_frac={candidate_frac}, n_candidates={n_candidates})"
-            )
         n = corpus_rows if corpus_rows is not None else encoded.count()
         n_candidates = max(k, math.ceil(candidate_frac * n))
+    elif n_candidates is None:
+        n_candidates = 100
 
     cb = _codebook_array(codebook)
     m, n_codes, d_sub = cb.shape

@@ -884,3 +884,57 @@ def test_stream_dedup_ladder_fresh_checkpoint_over_existing_store_raises(
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     with pytest.raises(ValueError, match="no committed offsets"):
         stream_dedup_ladder(stream, store, str(tmp_path / "ckB"), "doc_id", "text")
+
+
+def test_stream_dedup_ladder_all_dup_batch_then_recovery(spark, tmp_path):
+    """A mid-stream batch where EVERY doc folds to stored keepers (zero
+    new keepers) must write empty keeper/posting/text/pair partitions
+    that later batches read straight through — Spark writes an empty
+    part file WITH schema for an empty frame, so the store never hits
+    schema inference on an all-empty leaf (pinned here because a
+    boilerplate-heavy production stream hits this shape routinely)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+
+    def run(batch) -> None:
+        batch.repartition(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_dedup_ladder(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    run(spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu")], "doc_id long, text string"
+    ))
+    # batch 1: ONLY dups of the stored keeper — zero new keepers
+    run(spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"),
+         (11, "ALPHA beta GAMMA delta epsilon zeta eta theta iota kappa lam mu.")],
+        "doc_id long, text string",
+    ))
+    # batch 2 reads the store past batch 1's empty partitions
+    # (doc 20 drops the last word: Jaccard 10/11 — far above the 0.5
+    # threshold AND the banded-minhash recall floor, unlike a
+    # short-text twin whose 2-3 shingle sets make collisions lumpy)
+    run(spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam"),  # drop-last-word near-dup of 1
+         (21, "totally unrelated novel words here with more padding tokens")],
+        "doc_id long, text string",
+    ))
+
+    tiers = {
+        r["doc_id"]: r["tier"]
+        for r in spark.read.parquet(f"{store}/tiers").collect()
+    }
+    assert tiers == {
+        1: "kept",
+        10: "exact",
+        11: "casefold",
+        20: "neardup",
+        21: "kept",
+    }
+    keepers = spark.read.parquet(f"{store}/keepers")
+    assert keepers.count() == 3  # batch 1 contributed none
