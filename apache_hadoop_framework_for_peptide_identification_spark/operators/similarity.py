@@ -955,12 +955,25 @@ def pq_query(
             "pq_query: pass either candidate_frac or n_candidates, not both "
             f"(got candidate_frac={candidate_frac}, n_candidates={n_candidates})"
         )
+    if corpus_rows is not None and candidate_frac is None:
+        raise ValueError(
+            "pq_query: corpus_rows only participates in candidate_frac sizing "
+            "— passing it with an absolute n_candidates would silently do "
+            "nothing (one budget, never a silent winner)"
+        )
     if candidate_frac is not None:
         if not 0.0 < candidate_frac <= 1.0:
             raise ValueError(
                 f"pq_query: candidate_frac must be in (0, 1], got {candidate_frac}"
             )
         n = corpus_rows if corpus_rows is not None else encoded.count()
+        if n < 1:
+            raise ValueError(
+                f"pq_query: corpus row count must be >= 1 for candidate_frac "
+                f"sizing, got {n} — a zero/negative manifest value would "
+                "silently degrade the budget to k (the collapse class "
+                "candidate_frac exists to eliminate)"
+            )
         n_candidates = max(k, math.ceil(candidate_frac * n))
     elif n_candidates is None:
         n_candidates = 100

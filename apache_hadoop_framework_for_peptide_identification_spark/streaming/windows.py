@@ -370,7 +370,7 @@ def _neardup_ingest_batch(
     num_hashes: int,
     bands: int,
     shingle_n: int,
-) -> DataFrame:
+) -> None:
     """One micro-batch of persisted-store near-dup ingest, shared by
     stream_neardup_ingest and stream_dedup_ladder. Store appends
     FIRST: the batch's signatures are computed by exactly one job (the
@@ -379,8 +379,10 @@ def _neardup_ingest_batch(
     history reads prune batch_id=N — this batch's files are invisible
     to them — and replay-safe because a redone batch overwrites its
     own partition with deterministic content before recomputing pairs
-    against the pruned (pre-batch) store. Returns the batch's pair
-    frame read back from its just-written partition."""
+    against the pruned (pre-batch) store. Returns nothing — a caller
+    that consumes the batch's pairs reads
+    ``{store_dir}/pairs/batch_id={batch_id}`` itself, so the ingest
+    path never pays a read-back it doesn't use."""
     from ..operators.dedup import build_lsh_index, ingest_neardup
 
     build_lsh_index(bdf, id_col, text_col, num_hashes, bands, shingle_n).write.mode(
@@ -409,7 +411,6 @@ def _neardup_ingest_batch(
         ),
     )
     pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
-    return spark.read.parquet(f"{store_dir}/pairs/batch_id={batch_id}")
 
 
 def stream_dedup_ladder(
@@ -454,10 +455,16 @@ def stream_dedup_ladder(
     the planted-replay contract q197 pins; under arbitrary arrival
     the labels remain internally consistent (every dup's tier names
     its actual stored keeper), the keeper CHOICE is just
-    arrival-determined, same as any incremental-view dedup. A new
-    keeper's neardup flag is final at its own batch (pairs emit with
-    id_b = the newer arrival), so tier rows are written once and
-    never revised.
+    arrival-determined, same as any incremental-view dedup. Tier rows
+    are written once and never revised, so the near-dup flag lands on
+    the ARRIVING side of every pair: for a batch×history pair the
+    batch keeper is 'neardup' whichever id is larger (the stored
+    partner's already-written row stays), and for a within-batch pair
+    the larger id takes it (the one-shot id_b convention). Under
+    id-ordered arrival the two rules coincide with the one-shot
+    labeling; under arbitrary arrival a lower-id late arrival is
+    labeled the duplicate of its higher-id stored partner — the
+    arrival-consistent reading, pinned by pytest.
 
     Per-batch cost: one Arrow-batched NFC pass over the batch (the
     normalized frame localCheckpoints ONCE — the q195/q193
@@ -471,9 +478,15 @@ def stream_dedup_ladder(
     from ..operators.text import unicode_normalize
 
     spark = stream.sparkSession
-    _guard_fresh_checkpoint(
-        spark, f"{store_dir}/keepers", checkpoint_dir, "stream_dedup_ladder"
-    )
+    # Guard EVERY substore the ladder writes, not just keepers: a
+    # store_dir previously populated by stream_neardup_ingest has
+    # postings/texts/pairs partitions but no keepers/ — batch 0 of a
+    # fresh checkpoint would clobber postings/batch_id=0 (code-review
+    # r15 finding).
+    for sub in ("keepers", "postings"):
+        _guard_fresh_checkpoint(
+            spark, f"{store_dir}/{sub}", checkpoint_dir, "stream_dedup_ladder"
+        )
     keeper_schema = "k_n string, keeper_id long, keeper_kr string, keeper_ku string"
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
@@ -529,14 +542,31 @@ def stream_dedup_ladder(
         newk.select("k_n", "keeper_id", "keeper_kr", "keeper_ku").write.mode(
             "overwrite"
         ).parquet(f"{store_dir}/keepers/batch_id={batch_id}")
-        pairs = _neardup_ingest_batch(
+        _neardup_ingest_batch(
             spark,
             newk.select(F.col("doc_id").alias(id_col), F.col("norm").alias(text_col)),
             store_dir, batch_id, id_col, text_col,
             threshold, num_hashes, bands, shingle_n,
         )
+        pairs = spark.read.parquet(f"{store_dir}/pairs/batch_id={batch_id}")
+        # The neardup flag lands on the ARRIVING side (docstring rule):
+        # ingest_neardup orders pairs by id VALUE (id_a < id_b), so for
+        # a batch×history pair where the new keeper drew the LOWER id,
+        # id_b names the stored partner — whose tier row is already
+        # final. Flag id_b when it is this batch's (covers within-batch
+        # pairs and the id-ordered case), else the pair's batch member
+        # is id_a (code-review r15 finding; lower-id-late-arrival
+        # pytest).
+        nk_b = newk.select(F.col("doc_id").alias("id_b")).withColumn(
+            "__b_in", F.lit(True)
+        )
         nd = (
-            pairs.select(F.col("id_b").alias("doc_id"))
+            pairs.join(nk_b, "id_b", "left")
+            .select(
+                F.when(F.col("__b_in"), F.col("id_b"))
+                .otherwise(F.col("id_a"))
+                .alias("doc_id")
+            )
             .distinct()
             .withColumn("__nd", F.lit(True))
         )

@@ -147,7 +147,16 @@ def main() -> None:
                   "orders", "lineitem", "events"):
             link = os.path.join(d, f"{t}.parquet")
             target = os.path.join(base_dir, f"{t}.parquet")
-            if not os.path.exists(link):
+            # lexists, not exists: exists() follows the link, so a
+            # DANGLING symlink from a previous run (the pre-r15
+            # hardcoded-path scenario) reads as absent and os.symlink
+            # then dies on the existing entry. Repair stale/dangling
+            # links in place; leave real files alone.
+            if os.path.islink(link):
+                if os.readlink(link) != target:
+                    os.remove(link)
+                    os.symlink(target, link)
+            elif not os.path.lexists(link):
                 os.symlink(target, link)
         print(
             f"{tag}: {n_docs} docs, {n_emb} embeddings, vocab {len(vocab_words)} -> {d}"

@@ -69,11 +69,15 @@ SCALE_N = {
 
 
 def _expo(times: dict[str, float]) -> tuple[str, float] | None:
-    """Exponent over the two LARGEST measured scopes: a = log(T2/T1)/log(N2/N1)."""
+    """Exponent over the two LARGEST measured scopes: a = log(T2/T1)/log(N2/N1).
+    None when fewer than two scopes were measured or the two largest
+    share a row multiplier (e.g. x1 vs hx1 — no N ratio to fit)."""
     scopes = sorted(times, key=lambda s: SCALE_N[s])
     if len(scopes) < 2:
         return None
     s1, s2 = scopes[-2], scopes[-1]
+    if SCALE_N[s2] == SCALE_N[s1]:
+        return None
     a = math.log(times[s2] / times[s1]) / math.log(SCALE_N[s2] / SCALE_N[s1])
     return f"{s1}->{s2}", a
 
@@ -201,14 +205,19 @@ def _run_budgeted(spark, fn, d, wall: float) -> tuple[float, bool]:
     """Run one collect under a hard wall-clock kill: a watchdog thread
     cancels the job group at ``wall`` seconds (interrupt-on-cancel), so
     a mis-projected scope costs at most the wall, not an unbounded
-    quadratic run. Returns (elapsed, aborted)."""
+    quadratic run. Returns (elapsed, aborted). Only a failure AFTER the
+    watchdog actually fired counts as an abort — any other exception
+    (missing fixture dir, analysis error, OOM) re-raises, so a genuine
+    failure is never misreported as a wall-clock kill."""
     import threading
 
     sc = spark.sparkContext
     ev = threading.Event()
+    fired = threading.Event()
 
     def killer() -> None:
         if not ev.wait(wall):
+            fired.set()
             sc.cancelJobGroup("scale-sweep-wall")
 
     th = threading.Thread(target=killer, daemon=True)
@@ -219,7 +228,9 @@ def _run_budgeted(spark, fn, d, wall: float) -> tuple[float, bool]:
         fn(d).collect()
         return time.perf_counter() - t0, False
     except Exception:
-        return time.perf_counter() - t0, True
+        if fired.is_set():
+            return time.perf_counter() - t0, True
+        raise
     finally:
         ev.set()
         sc.setJobGroup("scale-sweep-default", "")
@@ -238,13 +249,14 @@ def _report(queries, results, notes) -> None:
         stimes = ", ".join(
             f"{k}={v:.1f}" for k, v in sorted(s.items(), key=lambda kv: SCALE_N[kv[0]])
         )
+        erow = f"{ee[1]:.2f} ({ee[0]})" if ee else "—"
         srow = f"{se[1]:.2f} ({se[0]})" if se else "—"
-        print(f"| {q} | {etimes} | {ee[1]:.2f} ({ee[0]}) | {stimes or '—'} | {srow} |")
+        print(f"| {q} | {etimes} | {erow} | {stimes or '—'} | {srow} |")
         summary[q] = {
             "engine": e,
             "stock": s,
-            "engine_exp": round(ee[1], 3),
-            "engine_span": ee[0],
+            "engine_exp": round(ee[1], 3) if ee else None,
+            "engine_span": ee[0] if ee else None,
             "stock_exp": round(se[1], 3) if se else None,
             "stock_span": se[0] if se else None,
         }

@@ -620,6 +620,14 @@ def test_lsh_knobs_encodes_measured_curve():
     # near-dup workloads pass their measured (higher) bit agreement
     nd = lsh_knobs(20000, recall_target=0.9, bit_agreement=0.9)
     assert nd["bits"] <= 64 and nd["expected_recall"] >= 0.9
+    # the returned pair always passes the operators' banding guards
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import (
+        _validate_banding,
+    )
+
+    for n in (50, 2000, 4000, 20000):
+        kk = lsh_knobs(n, recall_target=0.5, bit_agreement=0.9)
+        assert _validate_banding(kk["bits"], kk["bands"], "t") == kk["bits_per_band"]
     for bad in (0.0, 1.0, -0.2):
         with pytest.raises(ValueError, match="recall_target"):
             lsh_knobs(2000, recall_target=bad)
@@ -679,3 +687,16 @@ def test_pq_query_candidate_frac_equals_absolute(spark):
             similarity.pq_query(
                 queries, enc, cb, emb, "vec_id", "embedding", k=5, candidate_frac=bad
             )
+    # corpus_rows without a fraction is a dead parameter — refuse it
+    # rather than let the caller believe the manifest count is used
+    with pytest.raises(ValueError, match="corpus_rows only participates"):
+        similarity.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding",
+            k=5, n_candidates=ncand, corpus_rows=n,
+        )
+    # a zero/negative manifest count must raise, not degrade to k
+    with pytest.raises(ValueError, match="row count must be >= 1"):
+        similarity.pq_query(
+            queries, enc, cb, emb, "vec_id", "embedding",
+            k=5, candidate_frac=0.1, corpus_rows=0,
+        )

@@ -938,3 +938,63 @@ def test_stream_dedup_ladder_all_dup_batch_then_recovery(spark, tmp_path):
     }
     keepers = spark.read.parquet(f"{store}/keepers")
     assert keepers.count() == 3  # batch 1 contributed none
+
+
+def test_stream_dedup_ladder_lower_id_late_arrival_gets_neardup(spark, tmp_path):
+    """code-review r15 finding: ingest_neardup orders pairs by id VALUE
+    (id_a < id_b), so a late-arriving near-dup keeper with a LOWER id
+    than its stored partner appears as id_a — the old id_b-only flag
+    lost the pair from the tier output entirely (the stored partner's
+    'kept' row is final; the new arrival read 'kept' too). The rule is
+    arrival-consistent: the ARRIVING keeper takes 'neardup'."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+
+    def run(batch) -> None:
+        batch.repartition(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_dedup_ladder(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    run(spark.createDataFrame([(100, base)], "doc_id long, text string"))
+    # doc 5 arrives later, is a drop-last-word near-dup of stored 100,
+    # and has the SMALLER id — the pair emits as (id_a=5, id_b=100)
+    run(spark.createDataFrame(
+        [(5, base.rsplit(" ", 1)[0])], "doc_id long, text string"
+    ))
+
+    tiers = {
+        r["doc_id"]: r["tier"]
+        for r in spark.read.parquet(f"{store}/tiers").collect()
+    }
+    assert tiers == {100: "kept", 5: "neardup"}
+
+
+def test_stream_dedup_ladder_guards_neardup_store_reuse(spark, tmp_path):
+    """code-review r15 finding: a store_dir previously populated by
+    stream_neardup_ingest has postings/texts/pairs partitions but no
+    keepers/ — the ladder must refuse a fresh checkpoint over it
+    (batch 0 would clobber postings/batch_id=0), not just over stores
+    with keeper partitions."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+        stream_neardup_ingest,
+    )
+
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    b0.write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_neardup_ingest(stream, store, str(tmp_path / "ckA"), "doc_id", "text")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="no committed offsets"):
+        stream_dedup_ladder(stream, store, str(tmp_path / "ckB"), "doc_id", "text")
