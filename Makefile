@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -45,3 +45,10 @@ scale-sweep:
 heaps-sweep:
 	$(PY) scripts/scale_sweep.py --queries q121_prefix_jaccard_corpus \
 	  --scales hx1,hx3,hx10 --engine-only
+
+# The BASELINE.md r15 data-movement audit: measured per-query shuffle /
+# scan / spill bytes (Spark monitoring REST API), engine vs stock at
+# $$SPARK_GRAFT_SF_DIR — the "detection ships hashes, never text" plan
+# pins as measured bytes.
+shuffle-audit:
+	$(PY) scripts/shuffle_audit.py

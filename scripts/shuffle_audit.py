@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""Data-movement audit: MEASURED shuffle/scan/spill bytes, engine vs stock.
+
+Every "text never crosses the shuffle" / "detection ships 16-byte
+hashes" claim in BASELINE.md and docs/SCALE.md has so far been proven
+structurally (plan pins: exchange inputs projected to hash+id columns,
+tests/test_plans.py). This script turns those pins into MEASURED bytes,
+the way scripts/scale_sweep.py turned "no quadratic term" into measured
+exponents: run each heavy query once per side and read the per-stage
+executor metrics (shuffle write/read bytes+records, input bytes, memory
++disk spill) from Spark's monitoring REST API (the public
+/api/v1/applications/{app}/stages surface every Spark UI is built on —
+local mode serves it the same as a cluster).
+
+Method: engine and stock run in SEPARATE sequential sessions (engine:
+the bench-contract confs with the UI enabled; stock: the plain
+measure_baseline.py builder, UI enabled) in one process. Per query:
+snapshot the set of completed stage ids, run ONE collect(), then sum
+metrics over newly-completed stages. Bytes are deterministic per plan —
+no best-of-N needed (unlike wall time); the wall column here is a
+single-run courtesy reading, not the bench. Skipped stages (AQE reused
+exchanges) execute no tasks and are correctly excluded by the
+status=complete filter. Stock runs are wrapped in the scale_sweep hard
+wall-clock kill (default 420 s) so a mis-sized stock scope costs at
+most the wall; a kill is printed and recorded as aborted, never silent.
+
+Usage: python scripts/shuffle_audit.py [--queries q177_...,q182_...]
+         [--stock-wall 420] [--engine-only]
+Prints a markdown table + one JSON line (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Claim-bearing pairs: each has a stock twin in measure_baseline.py and
+# a byte-shape claim on record (BASELINE.md rows / test_plans pins).
+QUERIES = [
+    "q177_exact_substring_dedup",
+    "q182_sliding_substring_dedup",
+    "q121_prefix_jaccard_corpus",
+    "q164_shared_span_pairs",
+    "q67_embedding_neardup_lsh",
+    "q42_dedup_minhash_lsh",
+    "q195_dedup_ladder_e2e",
+]
+# None = no stock twin exists (composition queries): engine-only row —
+# the byte shape is the claim (keeper exchange ships hashes, not text).
+STOCK_NAMES = {
+    "q67_embedding_neardup_lsh": "q67_embedding_neardup",
+    "q42_dedup_minhash_lsh": "q42_minhash_lsh",
+    "q195_dedup_ladder_e2e": None,
+}
+
+FIELDS = (
+    "inputBytes",
+    "shuffleWriteBytes",
+    "shuffleWriteRecords",
+    "shuffleReadBytes",
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+)
+
+
+def sum_new_stages(stages: list[dict], seen: set) -> tuple[dict, set]:
+    """Sum FIELDS over completed stages not in ``seen``.
+
+    Pure (REST-free) so the attribution arithmetic is pytest-able:
+    tests/test_scripts.py feeds it fake StageData dicts. Keys are
+    (stageId, attemptId) — a retried stage re-executes its tasks, and
+    both attempts' bytes genuinely moved."""
+    totals = dict.fromkeys(FIELDS, 0)
+    ids = set(seen)
+    for s in stages:
+        key = (s["stageId"], s.get("attemptId", 0))
+        if key in ids or s.get("status") != "COMPLETE":
+            continue
+        ids.add(key)
+        for f in FIELDS:
+            totals[f] += int(s.get(f, 0))
+    return totals, ids
+
+
+class _UiReader:
+    """Minimal client for the session's monitoring REST API."""
+
+    def __init__(self, spark) -> None:
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            raise RuntimeError("shuffle_audit needs spark.ui.enabled=true")
+        app = spark.sparkContext.applicationId
+        self._url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        self._seen: set = set()
+
+    def _fetch(self) -> list[dict]:
+        with urllib.request.urlopen(self._url, timeout=30) as r:
+            return json.load(r)
+
+    def snapshot(self) -> None:
+        _, self._seen = sum_new_stages(self._fetch(), self._seen)
+
+    def delta(self) -> dict:
+        # The UI's listener bus is async; completed stages can land a
+        # beat after collect() returns. Poll until the totals settle.
+        prev = None
+        for _ in range(20):
+            totals, ids = sum_new_stages(self._fetch(), self._seen)
+            if prev == totals:
+                self._seen = ids
+                return totals
+            prev = totals
+            time.sleep(0.25)
+        self._seen = ids
+        return totals
+
+
+def _fmt_bytes(n: int) -> str:
+    if n >= 1 << 20:
+        return f"{n / (1 << 20):.1f} MiB"
+    if n >= 1 << 10:
+        return f"{n / (1 << 10):.1f} KiB"
+    return f"{n} B"
+
+
+def _audit_one(reader, label, q, run, results) -> None:
+    reader.snapshot()
+    t0 = time.perf_counter()
+    aborted = run()
+    wall = time.perf_counter() - t0
+    d = reader.delta()
+    d["wall_s"] = round(wall, 2)
+    if aborted:
+        d["aborted"] = True
+    results[q][label] = d
+    print(
+        f"{label:6s} {q}: wall {wall:.2f} s, scan {_fmt_bytes(d['inputBytes'])}, "
+        f"shuffle write {_fmt_bytes(d['shuffleWriteBytes'])} "
+        f"({d['shuffleWriteRecords']:,} rows), read {_fmt_bytes(d['shuffleReadBytes'])}, "
+        f"spill {_fmt_bytes(d['memoryBytesSpilled'] + d['diskBytesSpilled'])}"
+        + (" [ABORTED AT WALL — bytes are a lower bound]" if aborted else ""),
+        flush=True,
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=None)
+    ap.add_argument("--stock-wall", type=float, default=420.0)
+    ap.add_argument("--engine-only", action="store_true")
+    args = ap.parse_args()
+
+    queries = args.queries.split(",") if args.queries else QUERIES
+    unknown = [q for q in queries if q not in QUERIES]
+    if unknown:
+        sys.exit(f"shuffle_audit: unknown queries {unknown} — valid: {QUERIES}")
+
+    results: dict[str, dict[str, dict]] = {q: {} for q in queries}
+
+    # ------------------------------------------------ engine session
+    from pyspark.sql import SparkSession
+
+    from apache_hadoop_framework_for_peptide_identification_spark.queries import (
+        BENCH_REGISTRY,
+        REGISTRY,
+    )
+    from apache_hadoop_framework_for_peptide_identification_spark.session import (
+        RUNTIME_CONFS,
+        configure,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    def _builder(name):
+        return (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName(name)
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+            .config("spark.ui.enabled", "true")
+            .config("spark.ui.showConsoleProgress", "false")
+        )
+
+    b = _builder("shuffle-audit-engine").config(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    configure(spark)
+    reader = _UiReader(spark)
+    # Session warm-up (first-query JIT/codegen noise) on a query OUTSIDE
+    # the audit set; bytes attribution starts from the next snapshot.
+    REGISTRY["q40_dedup_exact"].fn(spark, SF_DIR).collect()
+    for q in queries:
+        qd = REGISTRY.get(q) or BENCH_REGISTRY[q]
+        _audit_one(
+            reader, "engine", q,
+            lambda qd=qd: (qd.fn(spark, SF_DIR).collect(), False)[1],
+            results,
+        )
+    spark.stop()
+
+    if not args.engine_only:
+        # ------------------------------------------------- stock session
+        import measure_baseline as mb
+        from scale_sweep import _run_budgeted
+
+        spark = (
+            _builder("shuffle-audit-stock")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        reader = _UiReader(spark)
+        mb.q40_dedup_exact(mb.tables(spark, SF_DIR)).collect()  # warm-up
+        for q in queries:
+            stock_name = STOCK_NAMES.get(q, q)
+            if stock_name is None:
+                print(f"stock  {q}: no stock twin (composition query) — engine-only row", flush=True)
+                continue
+            fn = getattr(mb, stock_name)
+            _audit_one(
+                reader, "stock", q,
+                lambda fn=fn: _run_budgeted(
+                    spark, lambda d: fn(mb.tables(spark, d)), SF_DIR,
+                    args.stock_wall,
+                )[1],
+                results,
+            )
+        spark.stop()
+
+    print(
+        "\n| query | side | wall (s) | scan | shuffle write | shuffle rows "
+        "| shuffle read | spill |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for q in queries:
+        for side in ("engine", "stock"):
+            if side not in results[q]:
+                continue
+            d = results[q][side]
+            ab = " (ABORTED)" if d.get("aborted") else ""
+            print(
+                f"| {q} | {side}{ab} | {d['wall_s']:.2f} | "
+                f"{_fmt_bytes(d['inputBytes'])} | "
+                f"{_fmt_bytes(d['shuffleWriteBytes'])} | "
+                f"{d['shuffleWriteRecords']:,} | "
+                f"{_fmt_bytes(d['shuffleReadBytes'])} | "
+                f"{_fmt_bytes(d['memoryBytesSpilled'] + d['diskBytesSpilled'])} |"
+            )
+    print(json.dumps({"metric": "shuffle_audit", "sf_dir": SF_DIR, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
