@@ -12,6 +12,16 @@ executor metrics (shuffle write/read bytes+records, input bytes, memory
 /api/v1/applications/{app}/stages surface every Spark UI is built on —
 local mode serves it the same as a cluster).
 
+Reading the input column: Spark's task inputMetrics count BOTH file
+scans and cached/localCheckpointed BLOCK reads — a query that buys a
+posting index once and reads it from executor memory four times
+reports ~4× the index size as "input" while touching the source
+parquet once (verified: q121's operator at sf0.01 reads 20.1 MB of
+input with materialize='local_checkpoint' and 34 KB — pure file scans
+— with materialize='none'). The column is therefore labeled "input
+(file+cache)"; per-file source bytes at sf0.1 are sub-MiB for every
+table involved.
+
 Method: engine and stock run in SEPARATE sequential sessions (engine:
 the bench-contract confs with the UI enabled; stock: the plain
 measure_baseline.py builder, UI enabled) in one process. Per query:
@@ -143,7 +153,7 @@ def _audit_one(reader, label, q, run, results) -> None:
         d["aborted"] = True
     results[q][label] = d
     print(
-        f"{label:6s} {q}: wall {wall:.2f} s, scan {_fmt_bytes(d['inputBytes'])}, "
+        f"{label:6s} {q}: wall {wall:.2f} s, input {_fmt_bytes(d['inputBytes'])}, "
         f"shuffle write {_fmt_bytes(d['shuffleWriteBytes'])} "
         f"({d['shuffleWriteRecords']:,} rows), read {_fmt_bytes(d['shuffleReadBytes'])}, "
         f"spill {_fmt_bytes(d['memoryBytesSpilled'] + d['diskBytesSpilled'])}"
@@ -241,7 +251,7 @@ def main() -> None:
         spark.stop()
 
     print(
-        "\n| query | side | wall (s) | scan | shuffle write | shuffle rows "
+        "\n| query | side | wall (s) | input (file+cache) | shuffle write | shuffle rows "
         "| shuffle read | spill |"
     )
     print("|---|---|---|---|---|---|---|---|")
