@@ -35,7 +35,12 @@ wall-clock kill (default 420 s) so a mis-sized stock scope costs at
 most the wall; a kill is printed and recorded as aborted, never silent.
 
 Usage: python scripts/shuffle_audit.py [--queries q177_...,q182_...]
-         [--stock-wall 420] [--engine-only]
+         [--stock-wall 420] [--engine-only] [--bench]
+--bench sweeps EVERY bench.py headliner engine-only in one session —
+the "no silent spill" regression surface: one table ranking queries
+by shuffle write with a spill column that should read zero everywhere
+at the bench scale (any nonzero reading means a new operator outgrew
+its partition sizing and BASELINE.md's spill claim needs re-auditing).
 Prints a markdown table + one JSON line (recorded in BASELINE.md).
 """
 
@@ -167,12 +172,20 @@ def main() -> None:
     ap.add_argument("--queries", default=None)
     ap.add_argument("--stock-wall", type=float, default=420.0)
     ap.add_argument("--engine-only", action="store_true")
+    ap.add_argument("--bench", action="store_true",
+                    help="sweep every bench.py headliner engine-only")
     args = ap.parse_args()
 
-    queries = args.queries.split(",") if args.queries else QUERIES
-    unknown = [q for q in queries if q not in QUERIES]
-    if unknown:
-        sys.exit(f"shuffle_audit: unknown queries {unknown} — valid: {QUERIES}")
+    if args.bench:
+        import bench as bench_mod
+
+        queries = list(bench_mod.HEADLINE)
+        args.engine_only = True
+    else:
+        queries = args.queries.split(",") if args.queries else QUERIES
+        unknown = [q for q in queries if q not in QUERIES]
+        if unknown:
+            sys.exit(f"shuffle_audit: unknown queries {unknown} — valid: {QUERIES}")
 
     results: dict[str, dict[str, dict]] = {q: {} for q in queries}
 
@@ -250,6 +263,21 @@ def main() -> None:
             )
         spark.stop()
 
+    if args.bench:
+        # rank by shuffle write; lead with the sweep's one-line verdict
+        queries = sorted(
+            queries,
+            key=lambda q: -results[q]["engine"]["shuffleWriteBytes"],
+        )
+        spilled = [
+            q for q in queries
+            if results[q]["engine"]["memoryBytesSpilled"]
+            + results[q]["engine"]["diskBytesSpilled"] > 0
+        ]
+        print(
+            f"\nSPILL SWEEP: {len(spilled)}/{len(queries)} headliners spilled"
+            + (f" — {spilled}" if spilled else " (all in-memory at this scale)")
+        )
     print(
         "\n| query | side | wall (s) | input (file+cache) | shuffle write | shuffle rows "
         "| shuffle read | spill |"
