@@ -107,3 +107,33 @@ def test_skew_ratios_zero_median_yields_none():
     r = skew_ratios(summary)
     assert r["task_time_max_over_med"] is None
     assert r["task_read_max_over_med"] is None
+
+
+def test_shuffle_audit_end_to_end_against_live_rest_api():
+    """Integration pin for the REST-metrics pipeline (the pure helpers
+    above can't catch the monitoring API renaming a field or the UI
+    port handshake breaking on a Spark upgrade): run the audit script
+    as a subprocess — it needs its own SparkContext with the UI
+    enabled, which the suite's session fixture deliberately disables —
+    on the smallest fixture and assert the JSON contract: metrics
+    present, shuffle bytes nonzero (q177's detection always
+    exchanges), write <= read-side accounting coherent."""
+    import json as _json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "shuffle_audit.py"),
+         "--engine-only", "--queries", "q177_exact_substring_dedup"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = next(
+        ln for ln in out.stdout.splitlines() if ln.startswith('{"metric": "shuffle_audit"')
+    )
+    rec = _json.loads(line)["results"]["q177_exact_substring_dedup"]["engine"]
+    assert rec["shuffleWriteBytes"] > 0
+    assert rec["shuffleWriteRecords"] > 0
+    assert rec["shuffleReadBytes"] >= rec["shuffleWriteBytes"]
+    assert rec["wall_s"] > 0
