@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -52,3 +52,9 @@ heaps-sweep:
 # pins as measured bytes.
 shuffle-audit:
 	$(PY) scripts/shuffle_audit.py
+
+# The BASELINE.md r15 streaming-ingest measurement: per-micro-batch
+# fixed cost + store-fragmentation tax for stream_neardup_ingest and
+# stream_dedup_ladder (fixed corpus, batch-count sweep).
+stream-throughput:
+	$(PY) scripts/stream_throughput.py

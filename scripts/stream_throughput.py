@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Streaming ingest throughput: the last unmeasured surface.
+
+Batch has BENCH_r{N}, exponents, recall curves, and byte audits; the
+streaming operators' performance story was structural only. This
+script measures the two numbers a 100 TB streaming deployment needs:
+
+- **Per-micro-batch fixed cost** — the batch-sizing rule. A fixed doc
+  corpus is split into B source files and drained with
+  maxFilesPerTrigger=1 under one availableNow run (B micro-batches);
+  the slope of wall vs B is the per-batch overhead (keeper-store
+  read-back + pandas-UDF launch + 4 store writes for the ladder),
+  and docs/s at each B shows where amortization wins.
+- **The store-fragmentation tax** — both ingest operators append one
+  ``batch_id=N`` partition per batch to every store and re-read the
+  whole store next batch, so a long-running stream reads O(B²) store
+  partitions. The sweep holds N fixed while B grows: any wall growth
+  beyond the linear per-batch overhead IS the fragmentation tax, the
+  measured motivation for periodic store compaction (the same
+  pattern as the batch sink-compaction operator).
+
+Operators measured: stream_neardup_ingest (q180's machinery) and
+stream_dedup_ladder (q197's full NFC→casefold→exact→near-dup ladder).
+Corpus: the first N sf0.1 documents plus one planted near-dup per 10
+docs (so every batch does real dedup work, not just store writes).
+
+Method: one warm-up drain per operator at the smallest B (fresh
+dirs), then a single timed drain per (operator, B) — each timed run
+uses FRESH src/store/checkpoint dirs so store state never leaks
+across settings. Wall is end-to-end drain time of ALL B batches.
+
+Usage: python scripts/stream_throughput.py [--docs 2000]
+         [--batches 1,4,16,64]
+Prints a markdown table + one JSON line (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--batches", default="1,4,16,64")
+    args = ap.parse_args()
+    batch_counts = [int(b) for b in args.batches.split(",")]
+
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+        stream_neardup_ingest,
+    )
+
+    spark = get_spark("stream-throughput")
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < args.docs)
+    )
+    # one planted near-dup per 10 docs (drop last word, id offset 10^6)
+    # so the incremental near-dup path does real work every batch
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", " \\S+\\z", "").alias("text"),
+    )
+    corpus = docs.unionByName(dups)
+    n_rows = corpus.count()
+
+    ops = {
+        "neardup_ingest": stream_neardup_ingest,
+        "dedup_ladder": stream_dedup_ladder,
+    }
+
+    def drain(op, n_batches: int) -> float:
+        """Write the corpus as n_batches files into fresh dirs and time
+        one availableNow drain with maxFilesPerTrigger=1."""
+        root = tempfile.mkdtemp(prefix="stream_tp_")
+        src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
+        # deterministic round-robin split: batch i holds ids ≡ i (mod B)
+        for i in range(n_batches):
+            corpus.filter(F.col("doc_id") % n_batches == i).repartition(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        op(stream, store, ckpt, "doc_id", "text",
+           threshold=0.5, num_hashes=64, bands=16, shingle_n=3)
+        wall = time.perf_counter() - t0
+        n_batches_seen = len(
+            [d for d in os.listdir(os.path.join(store, "postings"))
+             if d.startswith("batch_id=")]
+        )
+        if n_batches_seen != n_batches:
+            print(
+                f"WARNING: {n_batches_seen} store partitions for "
+                f"{n_batches} source files — maxFilesPerTrigger not honored?",
+                flush=True,
+            )
+        shutil.rmtree(root, ignore_errors=True)
+        return wall
+
+    results: dict[str, dict[int, float]] = {}
+    for name, op in ops.items():
+        drain(op, batch_counts[0])  # session warm-up, untimed
+        results[name] = {}
+        for b in batch_counts:
+            wall = drain(op, b)
+            results[name][b] = round(wall, 2)
+            print(
+                f"{name} B={b}: {wall:.2f} s total, "
+                f"{n_rows / wall:.0f} docs/s, {wall / b:.2f} s/batch",
+                flush=True,
+            )
+    spark.stop()
+
+    print(f"\ncorpus: {n_rows} docs ({args.docs} base + planted near-dups), sf_dir {SF_DIR}")
+    print("\n| operator | batches | wall (s) | docs/s | s/batch |")
+    print("|---|---|---|---|---|")
+    for name in results:
+        for b, wall in results[name].items():
+            print(
+                f"| {name} | {b} | {wall:.2f} | {n_rows / wall:.0f} | {wall / b:.2f} |"
+            )
+    # per-batch overhead: slope between the two largest B (fixed N, so
+    # marginal batches are nearly empty of data — pure overhead + tax)
+    for name in results:
+        bs = sorted(results[name])
+        if len(bs) >= 2:
+            b1, b2 = bs[-2], bs[-1]
+            slope = (results[name][b2] - results[name][b1]) / (b2 - b1)
+            print(f"{name}: marginal cost {slope:.2f} s/batch over B={b1}->{b2}")
+    print(json.dumps({
+        "metric": "stream_throughput", "sf_dir": SF_DIR, "docs": n_rows,
+        "results": {k: {str(b): w for b, w in v.items()} for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
