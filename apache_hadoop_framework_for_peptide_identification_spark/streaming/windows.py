@@ -413,6 +413,115 @@ def _neardup_ingest_batch(
     pairs.write.mode("overwrite").parquet(f"{store_dir}/pairs/batch_id={batch_id}")
 
 
+def compact_ingest_store(
+    spark: SparkSession,
+    store_dir: str,
+    through_batch: int | None = None,
+    substores: tuple[str, ...] = ("postings", "texts", "pairs", "keepers", "tiers"),
+    target_partitions: int = 1,
+) -> dict:
+    """Compact a stream-ingest store's ``batch_id=N`` partitions
+    (r15 — the operator the measured store-fragmentation tax calls
+    for, BASELINE.md "Streaming-ingest throughput"): every micro-batch
+    of stream_neardup_ingest / stream_dedup_ladder appends one
+    partition per substore and RE-READS the whole store next batch,
+    so a long-running stream pays O(batches²) partition opens — this
+    rewrites all partitions with batch_id ≤ ``through_batch`` into a
+    single consolidated ``batch_id=through_batch`` partition per
+    substore (``target_partitions`` files). Row content is preserved
+    exactly; only the layout column moves — compacted rows thereafter
+    report the horizon's batch_id, so per-batch ATTRIBUTION of
+    historical rows is deliberately folded (the stores' consumers key
+    on content columns; batch_id exists for replay pruning).
+
+    Replay safety is structural: ``through_batch`` must be strictly
+    below the store's max batch id (default ``max - 1``) — foreachBatch
+    can only ever replay the batch AFTER the last committed one, whose
+    partition this function never touches, and a replayed batch N >
+    through_batch still prunes only ``batch_id=N`` (compacted history
+    at the horizon stays visible) and overwrites only its own
+    partition. Run with the stream STOPPED: the swap is not atomic
+    against a concurrent reader.
+
+    Crash-resumable by re-run: each substore consolidates into a
+    ``.compact_tmp.batch_id=K`` sibling first (parquet ``_SUCCESS``
+    marks completeness), and only then deletes the source partitions
+    and renames the tmp into place — a crash at any point is repaired
+    by calling the function again with the same ``through_batch`` (a
+    complete tmp is adopted, an incomplete one rebuilt; rebuild reads
+    find either all source partitions or the adopted result).
+
+    Returns {substore: {"partitions_before": n, "rows": m}} for the
+    substores actually compacted; substores absent from the store
+    (e.g. keepers/tiers on a plain near-dup store) are skipped, as is
+    any substore with fewer than 2 partitions at or below the horizon
+    (nothing to gain). Raises on ``through_batch >= max`` (the replay
+    hazard) and on an empty/absent store."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _fs(path: str):
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(hconf), p
+
+    max_b = max(
+        (_max_batch_id(spark, f"{store_dir}/{s}") for s in substores), default=-1
+    )
+    if max_b < 0:
+        raise ValueError(
+            f"compact_ingest_store: no batch_id partitions under {store_dir!r} "
+            f"substores {substores} — nothing to compact"
+        )
+    if through_batch is None:
+        through_batch = max_b - 1
+    if through_batch >= max_b:
+        raise ValueError(
+            f"compact_ingest_store: through_batch={through_batch} must be < the "
+            f"store's max batch_id={max_b} — the latest batch can be replayed by "
+            "a restarted checkpoint and must keep its own partition"
+        )
+    out: dict[str, dict] = {}
+    for sub in substores:
+        sub_dir = f"{store_dir}/{sub}"
+        fs, sub_p = _fs(sub_dir)
+        if not fs.exists(sub_p):
+            continue
+        batch_dirs = sorted(
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(sub_p)
+            if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+        )
+        in_scope = [b for b in batch_dirs if b <= through_batch]
+        tmp_dir = f"{sub_dir}/.compact_tmp.batch_id={through_batch}"
+        _, tmp_p = _fs(tmp_dir)
+        tmp_complete = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{tmp_dir}/_SUCCESS")
+        )
+        if len(in_scope) < 2 and not tmp_complete:
+            if fs.exists(tmp_p):
+                fs.delete(tmp_p, True)  # incomplete tmp from a dead run
+            continue
+        if not tmp_complete:
+            src = spark.read.parquet(sub_dir).filter(
+                F.col("batch_id") <= F.lit(through_batch)
+            )
+            if fs.exists(tmp_p):
+                fs.delete(tmp_p, True)
+            src.drop("batch_id").repartition(target_partitions).write.parquet(tmp_dir)
+        rows = spark.read.parquet(tmp_dir).count()
+        for b in in_scope:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{sub_dir}/batch_id={b}"), True)
+        dest = jvm.org.apache.hadoop.fs.Path(f"{sub_dir}/batch_id={through_batch}")
+        if not fs.rename(tmp_p, dest):
+            # Hadoop rename reports failure by return value, not raise
+            raise IOError(
+                f"compact_ingest_store: rename {tmp_dir!r} -> {dest} failed — "
+                "the consolidated tmp is intact; re-run to resume the swap"
+            )
+        out[sub] = {"partitions_before": len(in_scope), "rows": rows}
+    return out
+
+
 def stream_dedup_ladder(
     stream: DataFrame,
     store_dir: str,

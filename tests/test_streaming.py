@@ -998,3 +998,171 @@ def test_stream_dedup_ladder_guards_neardup_store_reuse(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     with pytest.raises(ValueError, match="no committed offsets"):
         stream_dedup_ladder(stream, store, str(tmp_path / "ckB"), "doc_id", "text")
+
+
+def _drain_ladder(spark, src, store, ckpt, rows):
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        stream_dedup_ladder,
+    )
+
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_dedup_ladder(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+
+def test_compact_ingest_store_preserves_neardup_results(spark, tmp_path):
+    """r15 compaction operator (the measured store-fragmentation tax's
+    API, BASELINE.md "Streaming-ingest throughput"): a mid-stream
+    compaction of a seeded near-dup store must leave every subsequent
+    ingest result IDENTICAL to an uncompacted twin run — rows are
+    preserved exactly, only the partition layout consolidates — and
+    the partition count actually shrinks (the operator's point)."""
+    import os
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        compact_ingest_store,
+        seed_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    history = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    b0 = [(10, "alpha beta gamma delta epsilon"),      # near-dup of 1
+          (11, "totally novel content words right here")]
+    b1 = [(15, "eight nine ten eleven twelve thirteen")]  # novel keeper
+    b2 = [(20, "one two three four five six"),         # near-dup of 2
+          (21, "totally novel content words right")]   # near-dup of 11
+
+    def run(compact: bool):
+        store = str(tmp_path / f"store_{compact}")
+        src = str(tmp_path / f"src_{compact}")
+        ckpt = str(tmp_path / f"ck_{compact}")
+        seed_neardup_store(history, store, "doc_id", "text")
+        for i, rows in enumerate([b0, b1, b2]):
+            if compact and i == 2:
+                # store holds batch_id=-1 (seed), 0, 1: consolidate
+                # {-1, 0} into batch_id=0 (batch 1 = the replayable
+                # latest, guarded off the horizon)
+                rep = compact_ingest_store(spark, store, through_batch=0)
+                assert rep["postings"]["partitions_before"] == 2
+                assert rep["texts"]["partitions_before"] == 2
+                dirs = {
+                    d for d in os.listdir(f"{store}/postings")
+                    if d.startswith("batch_id=")
+                }
+                assert dirs == {"batch_id=0", "batch_id=1"}
+            spark.createDataFrame(rows, "doc_id long, text string").repartition(
+                1
+            ).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+            stream_neardup_ingest(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(f"{store}/pairs").collect()
+        }
+        texts = {
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(f"{store}/texts").collect()
+        }
+        return pairs, texts
+
+    plain = run(compact=False)
+    compacted = run(compact=True)
+    assert compacted == plain
+    # b2's dups fire against BOTH compacted history (2->20 from the
+    # merged seed, 11->21 from merged batch 0)
+    assert plain[0] == {(1, 10), (2, 20), (11, 21)}
+
+
+def test_compact_ingest_store_preserves_ladder_tiers(spark, tmp_path):
+    """Same twin-run contract through the full ladder (all five
+    substores, incl. keepers whose read-back resolves cross-batch
+    hash tiers): compacting batches 0..1 between phases must not
+    change any later doc's tier or near-dup pair."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        compact_ingest_store,
+        stream_dedup_ladder,
+    )
+
+    phases = [
+        [(1, "Alpha beta gamma delta epsilon zeta."),
+         (2, "one two three four five six seven")],
+        [(10, "alpha beta gamma delta epsilon zeta"),   # casefold of 1
+         (11, "strange unrelated vocabulary item list")],
+        [(12, "eight nine ten eleven twelve thirteen")],  # novel keeper
+        [(20, "Alpha beta gamma delta epsilon zeta."),  # exact copy of 1
+         (21, "one two three four five six"),           # near-dup of 2
+         (22, "strange unrelated vocabulary item")],    # near-dup of 11
+    ]
+
+    def run(compact: bool):
+        store = str(tmp_path / f"lstore_{compact}")
+        src = str(tmp_path / f"lsrc_{compact}")
+        ckpt = str(tmp_path / f"lck_{compact}")
+        for i, rows in enumerate(phases):
+            if compact and i == 3:
+                # batches 0, 1, 2 exist: merge {0, 1}, keep 2 (the
+                # replayable latest) out of the horizon
+                rep = compact_ingest_store(spark, store, through_batch=1)
+                assert rep["keepers"]["partitions_before"] == 2
+                assert rep["tiers"]["partitions_before"] == 2
+            _drain_ladder(spark, src, store, ckpt, rows)
+        tiers = {
+            r["doc_id"]: r["tier"]
+            for r in spark.read.parquet(f"{store}/tiers").collect()
+        }
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(f"{store}/pairs").collect()
+        }
+        return tiers, pairs
+
+    plain = run(compact=False)
+    compacted = run(compact=True)
+    assert compacted == plain
+    # phase-3 dups resolve against compacted keepers (20 'exact' vs
+    # batch-0 keeper 1; 21/22 near-dup vs merged postings)
+    assert plain[0] == {
+        1: "kept", 2: "kept", 10: "casefold", 11: "kept", 12: "kept",
+        20: "exact", 21: "neardup", 22: "neardup",
+    }
+    assert plain[1] == {(2, 21), (11, 22)}
+
+
+def test_compact_ingest_store_guards_and_noop(spark, tmp_path):
+    """The replay-safety guard (through_batch must stay below the max
+    batch id — the latest batch can replay and must keep its own
+    partition), the empty-store raise, and the idempotent second call
+    (nothing ≤ horizon left to merge -> {})."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        compact_ingest_store,
+        seed_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    store = str(tmp_path / "gstore")
+    src = str(tmp_path / "gsrc")
+    ckpt = str(tmp_path / "gck")
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact_ingest_store(spark, store)
+    seed_neardup_store(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        ),
+        store, "doc_id", "text",
+    )
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    stream_neardup_ingest(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    with pytest.raises(ValueError, match="must be < the"):
+        compact_ingest_store(spark, store, through_batch=0)  # 0 == max
+    rep = compact_ingest_store(spark, store)  # default max-1 == -1... nothing below seed
+    assert rep == {}  # seed partition alone: fewer than 2 in scope
