@@ -30,7 +30,14 @@ uses FRESH src/store/checkpoint dirs so store state never leaks
 across settings. Wall is end-to-end drain time of ALL B batches.
 
 Usage: python scripts/stream_throughput.py [--docs 2000]
-         [--batches 1,4,16,64]
+         [--batches 1,4,16,64] [--compact-probe B]
+--compact-probe B (r15, after compact_ingest_store landed): runs the
+near-dup ingest twice at B batches — once straight through, once
+draining the first half, compacting the store through batch B/2-2,
+then draining the rest — and reports the wall delta. The benefit is
+the avoided O(B²) partition reads in the second half; it grows with
+stream lifetime, so the probe's B should be large (256+) for a
+quotable number.
 Prints a markdown table + one JSON line (recorded in BASELINE.md).
 """
 
@@ -53,6 +60,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument("--batches", default="1,4,16,64")
+    ap.add_argument("--compact-probe", type=int, default=None)
     args = ap.parse_args()
     batch_counts = [int(b) for b in args.batches.split(",")]
 
@@ -84,37 +92,81 @@ def main() -> None:
         "dedup_ladder": stream_dedup_ladder,
     }
 
-    def drain(op, n_batches: int) -> float:
+    def drain(op, n_batches: int, compact_at: int | None = None) -> float:
         """Write the corpus as n_batches files into fresh dirs and time
-        one availableNow drain with maxFilesPerTrigger=1."""
+        the availableNow drain(s) with maxFilesPerTrigger=1. With
+        ``compact_at``, drain the first half, compact the store through
+        its max-1 (the replay-safe horizon), then drain the rest —
+        compaction wall INCLUDED in the reading (a cadence you can't
+        afford to run isn't a win)."""
+        from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+            compact_ingest_store,
+        )
+
         root = tempfile.mkdtemp(prefix="stream_tp_")
         src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
-        # deterministic round-robin split: batch i holds ids ≡ i (mod B)
-        for i in range(n_batches):
-            corpus.filter(F.col("doc_id") % n_batches == i).repartition(1).write.mode(
-                "append"
-            ).parquet(src)
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        t0 = time.perf_counter()
-        op(stream, store, ckpt, "doc_id", "text",
-           threshold=0.5, num_hashes=64, bands=16, shingle_n=3)
-        wall = time.perf_counter() - t0
-        n_batches_seen = len(
+
+        def _write(lo: int, hi: int) -> None:
+            # deterministic round-robin split: batch i holds ids ≡ i (mod B)
+            for i in range(lo, hi):
+                corpus.filter(
+                    F.col("doc_id") % n_batches == i
+                ).repartition(1).write.mode("append").parquet(src)
+
+        def _drain() -> None:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            op(stream, store, ckpt, "doc_id", "text",
+               threshold=0.5, num_hashes=64, bands=16, shingle_n=3)
+
+        wall = 0.0
+        if compact_at is None:
+            _write(0, n_batches)
+            t0 = time.perf_counter()
+            _drain()
+            wall = time.perf_counter() - t0
+        else:
+            _write(0, compact_at)
+            t0 = time.perf_counter()
+            _drain()
+            compact_ingest_store(spark, store, through_batch=compact_at - 2)
+            wall = time.perf_counter() - t0
+            _write(compact_at, n_batches)
+            t0 = time.perf_counter()
+            _drain()
+            wall += time.perf_counter() - t0
+        n_parts = len(
             [d for d in os.listdir(os.path.join(store, "postings"))
              if d.startswith("batch_id=")]
         )
-        if n_batches_seen != n_batches:
+        expect = n_batches if compact_at is None else n_batches - compact_at + 2
+        if n_parts != expect:
             print(
-                f"WARNING: {n_batches_seen} store partitions for "
-                f"{n_batches} source files — maxFilesPerTrigger not honored?",
+                f"WARNING: {n_parts} store partitions, expected {expect} "
+                f"for {n_batches} source files — maxFilesPerTrigger not honored?",
                 flush=True,
             )
         shutil.rmtree(root, ignore_errors=True)
         return wall
+
+    if args.compact_probe:
+        b = args.compact_probe
+        op = ops["neardup_ingest"]
+        drain(op, min(8, b))  # session warm-up, untimed
+        plain = drain(op, b)
+        print(f"compact-probe B={b} uncompacted: {plain:.1f} s", flush=True)
+        compacted = drain(op, b, compact_at=b // 2)
+        print(f"compact-probe B={b} compact@B/2: {compacted:.1f} s", flush=True)
+        spark.stop()
+        print(json.dumps({
+            "metric": "stream_compact_probe", "sf_dir": SF_DIR, "docs": n_rows,
+            "batches": b, "uncompacted_s": round(plain, 1),
+            "compacted_s": round(compacted, 1),
+        }))
+        return
 
     results: dict[str, dict[int, float]] = {}
     for name, op in ops.items():
