@@ -154,6 +154,12 @@ def main() -> None:
 
     if args.compact_probe:
         b = args.compact_probe
+        if b < 8:
+            sys.exit(
+                f"stream_throughput: --compact-probe {b} is degenerate — the "
+                "mid-stream horizon (B/2 - 2) needs B >= 8 to merge anything; "
+                "a quotable tax number wants 256+"
+            )
         op = ops["neardup_ingest"]
         drain(op, min(8, b))  # session warm-up, untimed
         plain = drain(op, b)
