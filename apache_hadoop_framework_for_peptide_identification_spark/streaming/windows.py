@@ -444,12 +444,20 @@ def compact_ingest_store(
     against a concurrent reader.
 
     Crash-resumable by re-run: each substore consolidates into a
-    ``.compact_tmp.batch_id=K`` sibling first (parquet ``_SUCCESS``
-    marks completeness), and only then deletes the source partitions
-    and renames the tmp into place — a crash at any point is repaired
-    by calling the function again with the same ``through_batch`` (a
-    complete tmp is adopted, an incomplete one rebuilt; rebuild reads
-    find either all source partitions or the adopted result).
+    hidden ``.compact_tmp.batch_id=K.max=M`` sibling first (parquet
+    ``_SUCCESS`` marks completeness; the name pins the horizon AND the
+    store's max batch id at write time), and only then deletes the
+    source partitions and renames the tmp into place — a crash at any
+    point is repaired by calling the function again with the same
+    ``through_batch`` while the store is unchanged (the matching
+    complete tmp is adopted, an incomplete one rebuilt). A complete
+    tmp from any OTHER (horizon, max) state raises instead of being
+    adopted or silently discarded: adopting one after the store moved
+    on would resurrect its rows beside a newer consolidation as
+    duplicates, and discarding one that crashed mid-delete would lose
+    the rows only it still holds — the error message says which way
+    to resolve. Incomplete foreign tmps deleted nothing and are
+    cleaned automatically.
 
     Returns {substore: {"partitions_before": n, "rows": m}} for the
     substores actually compacted; substores absent from the store
@@ -486,13 +494,49 @@ def compact_ingest_store(
         fs, sub_p = _fs(sub_dir)
         if not fs.exists(sub_p):
             continue
-        batch_dirs = sorted(
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(sub_p)
-            if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
-        )
-        in_scope = [b for b in batch_dirs if b <= through_batch]
-        tmp_dir = f"{sub_dir}/.compact_tmp.batch_id={through_batch}"
+        batch_dirs = []
+        tmp_names = []
+        for st in fs.listStatus(sub_p):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            if name.startswith("batch_id="):
+                try:
+                    batch_dirs.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue  # foreign layout dir — same tolerance as _max_batch_id
+            elif name.startswith(".compact_tmp."):
+                tmp_names.append(name)
+        in_scope = [b for b in sorted(batch_dirs) if b <= through_batch]
+        # The tmp name pins BOTH the horizon and the store's max batch id
+        # at write time: adopting a complete tmp is only safe when the
+        # store hasn't moved since (max unchanged — the stream stayed
+        # stopped), because a tmp that survived a crash AND a later
+        # successful compaction at another horizon would resurrect its
+        # rows as duplicates beside the newer consolidation (code-review
+        # r15 finding). A complete tmp from any OTHER (horizon, max)
+        # state is ambiguous — its run may have deleted some sources —
+        # so refuse and make the operator resolve it a human decision;
+        # an incomplete foreign tmp never deleted anything and is safe
+        # to discard.
+        tmp_name = f".compact_tmp.batch_id={through_batch}.max={max_b}"
+        for name in tmp_names:
+            if name == tmp_name:
+                continue
+            _, foreign_p = _fs(f"{sub_dir}/{name}")
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{sub_dir}/{name}/_SUCCESS")):
+                raise ValueError(
+                    f"compact_ingest_store: {sub_dir!r} holds a COMPLETE pending "
+                    f"compaction {name!r} from another (horizon, max) state — its "
+                    "crashed run may have deleted source partitions, so neither "
+                    "adopting nor discarding it is safe automatically. Inspect: if "
+                    "its source batch_id dirs are all present, delete the tmp and "
+                    "re-run; if some are missing, finish that compaction first by "
+                    "re-running with its original through_batch (and the store "
+                    "unchanged since)."
+                )
+            fs.delete(foreign_p, True)  # incomplete foreign tmp: nothing was deleted
+        tmp_dir = f"{sub_dir}/{tmp_name}"
         _, tmp_p = _fs(tmp_dir)
         tmp_complete = fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{tmp_dir}/_SUCCESS")

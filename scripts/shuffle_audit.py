@@ -122,7 +122,11 @@ class _UiReader:
             return json.load(r)
 
     def snapshot(self) -> None:
-        _, self._seen = sum_new_stages(self._fetch(), self._seen)
+        # Same settle-poll as delta(): the listener bus is async, and a
+        # single fetch here would let a warm-up stage landing a beat
+        # later be mis-attributed to the first audited query
+        # (code-review r15 finding).
+        self.delta()
 
     def delta(self) -> dict:
         # The UI's listener bus is async; completed stages can land a

@@ -123,7 +123,17 @@ class _Rest:
         return self._get("/stages?status=complete")
 
     def snapshot(self) -> None:
-        _, self._seen = sum_new_stages(self.stages(), self._seen)
+        # settle-poll, not a single fetch: the listener bus is async and
+        # a warm-up stage landing a beat later would be mis-attributed
+        # to the first probe (code-review r15 finding)
+        prev = None
+        for _ in range(20):
+            totals, ids = sum_new_stages(self.stages(), self._seen)
+            if prev == totals:
+                break
+            prev = totals
+            time.sleep(0.25)
+        self._seen = ids
 
     def audit_run(self, fn) -> dict:
         self.snapshot()
@@ -160,10 +170,16 @@ class _Rest:
 
 @contextmanager
 def _probe_confs(spark, confs: dict):
-    """Apply probe confs for one run and restore the session contract
-    afterwards (unset keys the contract never set, so fallback-default
-    confs like spark.sql.adaptive.autoBroadcastJoinThreshold fall back
-    again instead of being pinned to a stale snapshot)."""
+    """Apply probe confs for one run and restore the pre-probe values
+    afterwards. Honesty note (code-review r15): ``conf.get`` cannot
+    distinguish an explicitly-set conf from a resolved default — it
+    returns the fallback value for keys like
+    spark.sql.adaptive.autoBroadcastJoinThreshold rather than raising
+    — so restore PINS each key to its pre-probe snapshot instead of
+    unsetting it. Equivalent to true fallback as long as the base conf
+    doesn't change mid-session (this script never changes it outside
+    a probe); a future probe that varies the base threshold must
+    restore the adaptive twin itself."""
     orig: dict[str, str | None] = {}
     for k, v in confs.items():
         try:

@@ -84,7 +84,10 @@ def main() -> None:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.regexp_replace("text", " \\S+\\z", "").alias("text"),
     )
-    corpus = docs.unionByName(dups)
+    # cached: drain()'s per-file writes would otherwise re-read the
+    # parquet and recompute the planted dups once per source file —
+    # B scans per run (code-review r15 finding); count() materializes
+    corpus = docs.unionByName(dups).cache()
     n_rows = corpus.count()
 
     ops = {
@@ -152,7 +155,7 @@ def main() -> None:
         shutil.rmtree(root, ignore_errors=True)
         return wall
 
-    if args.compact_probe:
+    if args.compact_probe is not None:
         b = args.compact_probe
         if b < 8:
             sys.exit(

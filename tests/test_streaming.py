@@ -1166,3 +1166,18 @@ def test_compact_ingest_store_guards_and_noop(spark, tmp_path):
         compact_ingest_store(spark, store, through_batch=0)  # 0 == max
     rep = compact_ingest_store(spark, store)  # default max-1 == -1... nothing below seed
     assert rep == {}  # seed partition alone: fewer than 2 in scope
+
+    # Stale-tmp handling (code-review r15): a COMPLETE tmp from another
+    # (horizon, max) state is ambiguous — its crashed run may have
+    # deleted sources — so the operator refuses; an INCOMPLETE foreign
+    # tmp never deleted anything and is silently cleaned.
+    import os
+
+    stale = f"{store}/postings/.compact_tmp.batch_id=-5.max=-2"
+    os.makedirs(stale)
+    open(f"{stale}/_SUCCESS", "w").close()
+    with pytest.raises(ValueError, match="COMPLETE pending compaction"):
+        compact_ingest_store(spark, store)
+    os.remove(f"{stale}/_SUCCESS")  # now incomplete: cleaned, run proceeds
+    assert compact_ingest_store(spark, store) == {}
+    assert not os.path.exists(stale)
