@@ -68,6 +68,11 @@ QUERIES = [
     "q67_embedding_neardup_lsh",
     "q42_dedup_minhash_lsh",
     "q195_dedup_ladder_e2e",
+    # second tier (byte-exponent runs on the .scaledata fixtures)
+    "q83_repetition_filter",
+    "q100_paragraph_dedup",
+    "q106_textrank_keywords",
+    "q165_containment_prefix_corpus",
 ]
 # None = no stock twin exists (composition queries): engine-only row —
 # the byte shape is the claim (keeper exchange ships hashes, not text).
