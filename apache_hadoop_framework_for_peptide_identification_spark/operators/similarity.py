@@ -127,7 +127,12 @@ def embedding_neardup_lsh(
 
     Knob sizing at scale: :func:`lsh_knobs` turns (corpus rows,
     recall target) into the (bits, bands) pair the measured
-    docs/SCALE.md curves call for."""
+    docs/SCALE.md curves call for. Measured consequence of NOT
+    scaling them (BASELINE.md byte-exponent table, r15): fixed knobs
+    at a 10× corpus shuffle 92× the bytes and spill 3.9 GiB where the
+    lsh_knobs setting shuffles 1 MB with zero spill at equal
+    recall — at 100 TB the knob rule is the difference between a
+    working operator and a failed stage."""
     bits_per_band = _validate_banding(bits, bands, "embedding_neardup_lsh")
     sig_schema = f"{id_col} long, embedding array<float>, lsh_sig long"
     sig = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(

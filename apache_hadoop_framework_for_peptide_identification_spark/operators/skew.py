@@ -94,7 +94,15 @@ def salted_join(
     unmatched SMALL-side rows (right/full outer, right_semi) would
     surface each unmatched small row once per salt copy — silent row
     multiplication. Those modes need a different strategy (AQE skew
-    join or broadcast)."""
+    join or broadcast).
+
+    Measured (BASELINE.md task-skew audit, r15): in the
+    forced-shuffle regime on the q168 adversarial fixture the plain
+    join concentrates into a single hot task (1.9 s; AQE's skew split
+    does not fire below its 256 MB threshold) while this form runs the
+    same join as 19 tasks at max/median 1.2× — at a measured 9.4×
+    byte premium (the replicated small side), which is the insurance
+    price hot_key_salted_join cuts to 3.0×."""
     supported = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
     if how.lower() not in supported:
         raise ValueError(
