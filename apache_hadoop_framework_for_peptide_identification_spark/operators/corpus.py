@@ -450,6 +450,13 @@ def equiwidth_histogram(
     carries one row per (executor, bucket). Mean is exact (integer sum
     / count). The length-distribution audit every training-data drop
     gets before tokenization."""
+    if width <= 0:
+        raise ValueError(
+            f"equiwidth_histogram: width must be >= 1, got {width} — width 0 "
+            "would surface as an opaque ANSI DIVIDE_BY_ZERO at execution and "
+            "a negative width silently inverts bucket keys (loud-guard rule, "
+            "the r14 LSH bits precedent)"
+        )
     v = value_col.cast("long")
     return (
         df.select(v.alias("__v"))

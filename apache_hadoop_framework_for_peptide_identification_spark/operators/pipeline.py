@@ -705,6 +705,13 @@ def pack_sequences(
 
     Returns (group_col, order_col, size_col, seq_id).
     """
+    if budget <= 0:
+        raise ValueError(
+            f"pack_sequences: budget must be >= 1 token, got {budget} — a "
+            "non-positive budget silently degrades to one-doc bins after the "
+            "first row instead of failing (loud-guard rule, the r14 LSH bits "
+            "precedent)"
+        )
     schema = (
         df.select(group_col, order_col, size_col)
         .withColumn("seq_id", F.lit(0).cast("bigint"))

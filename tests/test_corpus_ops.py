@@ -124,6 +124,17 @@ def test_equiwidth_histogram_buckets(spark):
     assert rows[20]["n"] == 1
 
 
+def test_equiwidth_histogram_rejects_nonpositive_width(spark):
+    # loud-guard rule (r15): width=0 would otherwise surface as an
+    # opaque ANSI DIVIDE_BY_ZERO at execution, negative widths invert keys
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "v long")
+    for bad in (0, -10):
+        with pytest.raises(ValueError, match="width must be >= 1"):
+            C.equiwidth_histogram(df, F.col("v"), bad)
+
+
 def test_unicode_normalize_forms_and_agreement(spark, duck):
     """r13 unicode_normalize: NFC composes precomposed/decomposed/
     reordered encodings to one form, NFD inverts it, NFKC folds

@@ -116,6 +116,16 @@ def test_pack_sequences_greedy_rule(spark, sizes, budget, expect):
     assert [got[i] for i in range(len(sizes))] == expect
 
 
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    # loud-guard rule (r15): budget<=0 silently degrades to one-doc bins
+    import pytest
+
+    df = spark.createDataFrame([("g", 0, 5)], "grp string, ord long, n long")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="budget must be >= 1"):
+            P.pack_sequences(df, "grp", "ord", "n", budget=bad)
+
+
 def test_pack_sequences_input_order_invariant(spark):
     rows = [("g", i, 100) for i in range(10)]
     df = spark.createDataFrame(rows, "grp string, ord long, n long")
