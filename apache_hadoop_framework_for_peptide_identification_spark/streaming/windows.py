@@ -419,6 +419,7 @@ def compact_ingest_store(
     through_batch: int | None = None,
     substores: tuple[str, ...] = ("postings", "texts", "pairs", "keepers", "tiers"),
     target_partitions: int = 1,
+    assume_atomic_rename: bool = False,
 ) -> dict:
     """Compact a stream-ingest store's ``batch_id=N`` partitions
     (r15 — the operator the measured store-fragmentation tax calls
@@ -456,8 +457,22 @@ def compact_ingest_store(
     on would resurrect its rows beside a newer consolidation as
     duplicates, and discarding one that crashed mid-delete would lose
     the rows only it still holds — the error message says which way
-    to resolve. Incomplete foreign tmps deleted nothing and are
-    cleaned automatically.
+    to resolve. The foreign-tmp scan covers ALL requested substores
+    BEFORE anything is mutated (ADVICE r15: a mid-iteration raise used
+    to leave earlier substores already compacted), so the raise is a
+    clean no-op on the store. Incomplete foreign tmps deleted nothing
+    and are cleaned automatically.
+
+    FILESYSTEM REQUIREMENT: the crash-repair contract relies on
+    ``fs.rename`` being an atomic directory move — true on local FS
+    and HDFS, FALSE on object stores (S3A renames copy-then-delete; a
+    crash mid-rename leaves a partial destination plus a tmp that
+    already lost files, and the re-run would delete whichever side
+    survived — silent row loss, ADVICE r15). Stores on a filesystem
+    whose scheme is not local/HDFS raise up front; pass
+    ``assume_atomic_rename=True`` only for a store you KNOW sits on an
+    atomic-rename mount (e.g. a fuse-mounted HDFS-compatible FS with a
+    custom scheme).
 
     Returns {substore: {"partitions_before": n, "rows": m}} for the
     substores actually compacted; substores absent from the store
@@ -471,6 +486,18 @@ def compact_ingest_store(
     def _fs(path: str):
         p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(hconf), p
+
+    store_fs, _ = _fs(store_dir)
+    scheme = store_fs.getScheme()
+    if scheme not in ("file", "hdfs", "viewfs") and not assume_atomic_rename:
+        raise ValueError(
+            f"compact_ingest_store: store filesystem scheme {scheme!r} is not "
+            "known to provide ATOMIC directory rename — on copy-then-delete "
+            "stores (e.g. s3a) a crash mid-rename loses rows that the re-run "
+            "repair cannot recover (docstring: FILESYSTEM REQUIREMENT). Move "
+            "the store to local FS/HDFS, or pass assume_atomic_rename=True "
+            "if this scheme is an atomic-rename mount"
+        )
 
     max_b = max(
         (_max_batch_id(spark, f"{store_dir}/{s}") for s in substores), default=-1
@@ -488,7 +515,25 @@ def compact_ingest_store(
             f"store's max batch_id={max_b} — the latest batch can be replayed by "
             "a restarted checkpoint and must keep its own partition"
         )
-    out: dict[str, dict] = {}
+    # The tmp name pins BOTH the horizon and the store's max batch id
+    # at write time: adopting a complete tmp is only safe when the
+    # store hasn't moved since (max unchanged — the stream stayed
+    # stopped), because a tmp that survived a crash AND a later
+    # successful compaction at another horizon would resurrect its
+    # rows as duplicates beside the newer consolidation (code-review
+    # r15 finding). A complete tmp from any OTHER (horizon, max)
+    # state is ambiguous — its run may have deleted some sources —
+    # so refuse and make the operator resolve it a human decision;
+    # an incomplete foreign tmp never deleted anything and is safe
+    # to discard.
+    tmp_name = f".compact_tmp.batch_id={through_batch}.max={max_b}"
+
+    # PRE-SCAN (ADVICE r15): list every requested substore and check for
+    # foreign COMPLETE tmps across ALL of them BEFORE mutating anything —
+    # the raise used to fire mid-iteration, leaving earlier substores
+    # already compacted (part-old, part-new layout) with an error message
+    # that never said so. Raising here is a clean no-op on the store.
+    scans: list[tuple[str, object, list[int], list[str]]] = []
     for sub in substores:
         sub_dir = f"{store_dir}/{sub}"
         fs, sub_p = _fs(sub_dir)
@@ -507,34 +552,32 @@ def compact_ingest_store(
                     continue  # foreign layout dir — same tolerance as _max_batch_id
             elif name.startswith(".compact_tmp."):
                 tmp_names.append(name)
-        in_scope = [b for b in sorted(batch_dirs) if b <= through_batch]
-        # The tmp name pins BOTH the horizon and the store's max batch id
-        # at write time: adopting a complete tmp is only safe when the
-        # store hasn't moved since (max unchanged — the stream stayed
-        # stopped), because a tmp that survived a crash AND a later
-        # successful compaction at another horizon would resurrect its
-        # rows as duplicates beside the newer consolidation (code-review
-        # r15 finding). A complete tmp from any OTHER (horizon, max)
-        # state is ambiguous — its run may have deleted some sources —
-        # so refuse and make the operator resolve it a human decision;
-        # an incomplete foreign tmp never deleted anything and is safe
-        # to discard.
-        tmp_name = f".compact_tmp.batch_id={through_batch}.max={max_b}"
         for name in tmp_names:
             if name == tmp_name:
                 continue
-            _, foreign_p = _fs(f"{sub_dir}/{name}")
             if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{sub_dir}/{name}/_SUCCESS")):
                 raise ValueError(
                     f"compact_ingest_store: {sub_dir!r} holds a COMPLETE pending "
                     f"compaction {name!r} from another (horizon, max) state — its "
                     "crashed run may have deleted source partitions, so neither "
-                    "adopting nor discarding it is safe automatically. Inspect: if "
-                    "its source batch_id dirs are all present, delete the tmp and "
-                    "re-run; if some are missing, finish that compaction first by "
+                    "adopting nor discarding it is safe automatically. NOTHING "
+                    "was mutated by this call (all substores are pre-scanned "
+                    "before any compaction). Inspect: if the tmp's source "
+                    "batch_id dirs are all present, delete the tmp and re-run; "
+                    "if some are missing, finish that compaction first by "
                     "re-running with its original through_batch (and the store "
                     "unchanged since)."
                 )
+        scans.append((sub, fs, batch_dirs, tmp_names))
+
+    out: dict[str, dict] = {}
+    for sub, fs, batch_dirs, tmp_names in scans:
+        sub_dir = f"{store_dir}/{sub}"
+        in_scope = [b for b in sorted(batch_dirs) if b <= through_batch]
+        for name in tmp_names:
+            if name == tmp_name:
+                continue
+            _, foreign_p = _fs(f"{sub_dir}/{name}")
             fs.delete(foreign_p, True)  # incomplete foreign tmp: nothing was deleted
         tmp_dir = f"{sub_dir}/{tmp_name}"
         _, tmp_p = _fs(tmp_dir)

@@ -144,7 +144,19 @@ class _UiReader:
                 return totals
             prev = totals
             time.sleep(0.25)
+        # Exhausted without two identical consecutive reads: on a loaded
+        # machine the next query's delta could silently absorb the bytes
+        # still landing — the exact mis-attribution this poll exists to
+        # prevent (ADVICE r15). Mark the row so an unsettled reading is
+        # visible in both the console output and the recorded JSON.
+        print(
+            "shuffle_audit: WARNING — stage totals did not settle within the "
+            "poll budget; this reading may under-attribute bytes into the "
+            "next query's delta",
+            flush=True,
+        )
         self._seen = ids
+        totals["unsettled"] = True
         return totals
 
 
@@ -182,8 +194,17 @@ def main() -> None:
     ap.add_argument("--stock-wall", type=float, default=420.0)
     ap.add_argument("--engine-only", action="store_true")
     ap.add_argument("--bench", action="store_true",
-                    help="sweep every bench.py headliner engine-only")
+                    help="sweep every bench.py headliner engine-only "
+                         "(implies --engine-only; mutually exclusive with "
+                         "--queries)")
     args = ap.parse_args()
+
+    if args.bench and args.queries:
+        # --bench used to silently discard an explicit --queries list and
+        # run the full headliner sweep instead (ADVICE r15): error out so
+        # the stock comparison the user asked for is never silently skipped.
+        ap.error("--bench sweeps every headliner and cannot be combined with "
+                 "--queries — drop one of the two flags")
 
     if args.bench:
         import bench as bench_mod

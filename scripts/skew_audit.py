@@ -127,12 +127,20 @@ class _Rest:
         # a warm-up stage landing a beat later would be mis-attributed
         # to the first probe (code-review r15 finding)
         prev = None
+        settled = False
         for _ in range(20):
             totals, ids = sum_new_stages(self.stages(), self._seen)
             if prev == totals:
+                settled = True
                 break
             prev = totals
             time.sleep(0.25)
+        if not settled:
+            print(
+                "skew_audit: WARNING — pre-probe stage totals did not settle; "
+                "late-landing stages may be mis-attributed to the next probe",
+                flush=True,
+            )
         self._seen = ids
 
     def audit_run(self, fn) -> dict:
@@ -142,16 +150,26 @@ class _Rest:
         wall = time.perf_counter() - t0
         # listener bus is async: poll until the stage set settles
         prev = None
+        settled = False
         for _ in range(20):
             stages = self.stages()
             totals, ids = sum_new_stages(stages, self._seen)
             if prev == totals:
+                settled = True
                 break
             prev = totals
             time.sleep(0.25)
         dom = dominant_stage(stages, self._seen)
         self._seen = ids
         out = {"wall_s": round(wall, 2), "shuffle_read_total": totals["shuffleReadBytes"]}
+        if not settled:
+            # visible in the console AND the recorded JSON (ADVICE r15)
+            print(
+                "skew_audit: WARNING — stage totals did not settle within the "
+                "poll budget; this probe's bytes are a lower bound",
+                flush=True,
+            )
+            out["unsettled"] = True
         if dom is None:
             out["dominant"] = None  # fully broadcast: no shuffle-read stage
             return out

@@ -1181,3 +1181,46 @@ def test_compact_ingest_store_guards_and_noop(spark, tmp_path):
     os.remove(f"{stale}/_SUCCESS")  # now incomplete: cleaned, run proceeds
     assert compact_ingest_store(spark, store) == {}
     assert not os.path.exists(stale)
+
+
+def test_compact_ingest_store_foreign_tmp_prescan_is_noop(spark, tmp_path):
+    """ADVICE r16 (windows.py): a foreign COMPLETE tmp in a LATER
+    substore must be detected by the pre-scan BEFORE any earlier
+    substore is mutated — the r15 form raised mid-iteration, leaving
+    the store part-old, part-new. Here 'postings' has two compactable
+    partitions and 'texts' (scanned after it in the substores tuple)
+    holds the poisoned tmp: the raise must leave postings' original
+    batch_id layout untouched."""
+    import os
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        compact_ingest_store,
+    )
+
+    store = str(tmp_path / "pstore")
+    for sub in ("postings", "texts"):
+        for b in (0, 1, 2):
+            spark.createDataFrame([(b,)], "x long").write.parquet(
+                f"{store}/{sub}/batch_id={b}"
+            )
+    poison = f"{store}/texts/.compact_tmp.batch_id=0.max=1"
+    os.makedirs(poison)
+    open(f"{poison}/_SUCCESS", "w").close()
+    with pytest.raises(ValueError, match="NOTHING was mutated"):
+        compact_ingest_store(
+            spark, store, through_batch=1, substores=("postings", "texts")
+        )
+    # pre-scan guarantee: postings kept ALL original partitions
+    assert sorted(os.listdir(f"{store}/postings")) == [
+        "batch_id=0", "batch_id=1", "batch_id=2",
+    ]
+    os.remove(f"{poison}/_SUCCESS")
+    # incomplete foreign tmp: cleaned, compaction proceeds on both
+    rep = compact_ingest_store(
+        spark, store, through_batch=1, substores=("postings", "texts"),
+        assume_atomic_rename=True,  # local FS: flag must be a no-op
+    )
+    assert rep["postings"]["partitions_before"] == 2
+    assert rep["texts"]["rows"] == 2
+    assert sorted(os.listdir(f"{store}/postings")) == ["batch_id=1", "batch_id=2"]
+    assert not os.path.exists(poison)
