@@ -208,6 +208,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     materialize: str = "local_checkpoint",
+    hash_postings: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-≥-threshold pairs via prefix filtering (SSJoin /
     PPJoin, Chaudhuri'06 / Xiao'08) — the scale path for exact
@@ -230,11 +231,34 @@ def prefix_jaccard_pairs(
     guarantees no false negatives, which is why the plain all-pairs
     Jaccard oracle can hash-match this plan.
 
+    Posting payload is the 16-byte md5 of each shingle, never the raw
+    string (r16 — the q177 discipline). Correctness class is
+    unchanged: md5 is injective on distinct shingles up to the
+    2^-128 collision bound, so per-doc sizes, document frequencies,
+    intersection counts — and therefore every emitted Jaccard value —
+    are exactly those of the string form; the frequency order's
+    tie-break becomes md5-byte order, which is still one consistent
+    total order across all documents (the only property the prefix
+    theorem needs). What the hashing buys is ENTROPY-INDEPENDENCE of
+    the exchange, not a cut on every corpus: on the x10 synthetic
+    fixture (44-token vocabulary) the lz4-compressed shuffle is
+    byte-neutral (191.8 → 191.2 MB — the low-entropy strings compress
+    below 16 incompressible md5 bytes), while on a high-entropy
+    vocabulary — real web text — raw shingles ship at full width and
+    the hash bounds every posting row at 16 B regardless of n or
+    token length (measured on a random-hex corpus: 116.5 → 73.3 MB
+    shuffled — a 37% cut, the predicted figure — and 0.57× wall at
+    identical output; BASELINE.md r16). ``hash_postings=False`` keeps the raw
+    string payload for exactly that A/B measurement on a user's own
+    corpus; results are identical either way.
+
     Shuffles: shingle-frequency groupBy, per-doc position window,
     prefix self-join, pair-verify join — all equi-keyed, never
     all-pairs. Returns (id_a, id_b, jaccard), id_a < id_b.
     """
     sh = exploded_shingles(df, id_col, text_col, n)
+    if hash_postings:
+        sh = sh.select("id", F.unhex(F.md5("sh")).alias("sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy("__df", "sh")
     ordered = (
@@ -294,6 +318,7 @@ def containment_prefix_pairs(
     n: int = 3,
     threshold: float = 0.9,
     materialize: str = "local_checkpoint",
+    hash_postings: bool = True,
 ) -> DataFrame:
     """EXACT containment-≥-threshold ORDERED pairs via the ASYMMETRIC
     prefix filter — the scale path for excerpt/quote detection
@@ -317,6 +342,13 @@ def containment_prefix_pairs(
     negatives, which is why the plain posting-join oracle hash-matches
     this plan.
 
+    Posting payload is the 16-byte md5 of each shingle, never the raw
+    string (r16 — same rationale, exactness class, entropy-
+    independence argument, and measurement-only ``hash_postings``
+    escape hatch as prefix_jaccard_pairs; the asymmetric theorem
+    likewise only needs ONE consistent order shared by the A-prefixes
+    and the B-side full posting lists).
+
     Shuffles: shingle-frequency groupBy, per-doc position window,
     prefix⋈full posting join, pair-verify join — all equi-keyed,
     never all-pairs. Returns (id_a, id_b, containment), id_a ≠ id_b,
@@ -324,6 +356,8 @@ def containment_prefix_pairs(
     point: a 20-token crop is contained in its 54-token source at 1.0
     while the reverse direction scores ~0.35)."""
     sh = exploded_shingles(df, id_col, text_col, n)
+    if hash_postings:
+        sh = sh.select("id", F.unhex(F.md5("sh")).alias("sh"))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy("__df", "sh")
     ordered = (

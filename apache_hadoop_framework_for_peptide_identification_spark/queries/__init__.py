@@ -172,24 +172,16 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 15
+_CHANGED_IN_ROUND = 16
 _CHANGED_THIS_ROUND = [
-    # r15: similarity.py _cell_assign now tie-breaks equal centroid
-    # cosines to the LOWEST cell id (kind='stable' argsort — ADVICE
-    # r14: the oracle's ORDER BY sim DESC, cell convention), touching
-    # every IVF surface; pq_query gained candidate_frac/corpus_rows
-    # (VERDICT r14 item 1 — default path identical, but the function
-    # body changed). Each carrier query takes a fresh verdict on the
-    # changed implementation (the r14 q192 precedent).
-    "q194_ann_ivf_recall",  # ivf_append + ivf_query
-    "q68_ann_ivf",          # ivf_topk
-    "q196_ann_pq_recall",   # pq_query
-    "q98_ann_pq",           # pq_ann_topk -> pq_query
-    # r15: stream_neardup_ingest's per-batch block factored into the
-    # shared _neardup_ingest_batch helper (reused by the new
-    # stream_dedup_ladder) — behavior-preserving refactor, fresh
-    # verdict on the changed body.
-    "q180_stream_neardup_ingest",
+    # r16: prefix_jaccard_pairs / containment_prefix_pairs posting
+    # payload hashed to 16-byte md5 (VERDICT r15 item 1 — the q177
+    # discipline; exactness class unchanged, results identical, but
+    # every exchange in these paths changed). Each carrier query
+    # takes a fresh verdict on the changed implementation.
+    "q107_prefix_jaccard",
+    "q121_prefix_jaccard_corpus",
+    "q165_containment_prefix_corpus",
 ]
 
 

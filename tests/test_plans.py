@@ -402,6 +402,54 @@ def test_q165_containment_prefix_strictly_smaller_than_full_postings(spark):
     assert prefix_rows < 0.2 * full, (prefix_rows, full)
 
 
+def test_prefix_filter_exchanges_carry_hashed_shingles_only(spark):
+    """r16 (VERDICT r15 item 1): the PPJoin / containment posting
+    payload is the 16-byte md5 of each shingle, never the raw string —
+    the r15 shuffle audit measured ~35% of q121's 191.8 MB exchange
+    volume as raw-shingle bytes. Pin it by TYPE, not name (the raw and
+    hashed columns are both named ``sh``): with AQE off (so
+    EnsureRequirements' exchanges are visible in executedPlan) and a
+    multi-partition input (so they are actually inserted), walk the
+    plan tree and assert NO exchange output carries a string-typed
+    column except ``text`` on the test harness's own RoundRobin
+    repartition — and that binary ``sh`` attrs DO ride the shuffles
+    (proof the walker is looking at the live columns)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
+
+    d = load_table(spark, SF, "documents").repartition(8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for fn in (dedup.prefix_jaccard_pairs, dedup.containment_prefix_pairs):
+            df = fn(d, "doc_id", "text", n=3, materialize="none")
+            stack = [df._jdf.queryExecution().executedPlan()]
+            exchanges = []
+            while stack:
+                node = stack.pop()
+                if "Exchange" in node.getClass().getSimpleName():
+                    exchanges.append(node)
+                ch = node.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            assert exchanges, "no exchanges found — the walker went blind"
+            bad, binary_sh = [], 0
+            for node in exchanges:
+                out = node.output()
+                for i in range(out.size()):
+                    attr = out.apply(i)
+                    t = attr.dataType().typeName()
+                    if t == "string" and attr.name() != "text":
+                        bad.append((fn.__name__, attr.name()))
+                    if attr.name() in ("sh", "s_a", "s_b") and t == "binary":
+                        binary_sh += 1
+            assert not bad, f"raw strings riding exchanges: {bad}"
+            assert binary_sh >= 5, f"{fn.__name__}: expected hashed shingle "
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_q165_has_no_nested_loop_join(spark):
     """Containment candidates come from equi-joins only — a
     BroadcastNestedLoopJoin or CartesianProduct here means the prefix
