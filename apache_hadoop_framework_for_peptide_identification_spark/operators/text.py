@@ -119,3 +119,125 @@ def unicode_normalize(text_col: Column, form: str = "NFC") -> Column:
         )
 
     return _norm(text_col)
+
+
+# --------------------------------------------------------------- trained LID
+# The marker heuristic above (lang_id) answers "which of five fixed
+# lexicons hits" — the layer every public pipeline recipe (CCNet, C4,
+# RefinedWeb) actually runs is a TRAINED character-n-gram classifier
+# (fastText langid's feature family). These two functions are that
+# layer in oracle-replayable form (r16 — VERDICT r15 item 4): hashed
+# char-n-gram features through the portable md5-bucket discipline
+# (q163/q120), integer-quantized per-language weights (BIGINT floor
+# division, never IEEE ln — cross-engine bit-exactness is the registry
+# contract; swap the weight column for log-likelihoods on a real run,
+# the plan is unchanged), scoring as a pure BIGINT sum.
+
+
+def _char_ngram_buckets(text_col: Column, n: int, buckets: int) -> Column:
+    """array<bucket> of ALL overlapping character n-grams (every
+    occurrence, spaces included — the fastText convention), each
+    feature-hashed to ``pmod(md5 prefix, buckets)``. Empty array for
+    NULL or shorter-than-n text (callers map that to 'und').
+    JVM-side end to end: transform over a position sequence, never a
+    Python UDF. The explicit length guard exists because Spark's
+    ``sequence(1, stop)`` is DESCENDING when stop < 1 (it would emit
+    phantom positions for short docs, not an empty list)."""
+    return F.when(
+        text_col.isNotNull() & (F.length(text_col) >= n),
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col) - n + 1),
+            lambda i: F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.substring(text_col, i, n)), 1, 15), 16, 10
+                ).cast("long"),
+                F.lit(buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def train_char_ngram_lid(
+    train_df,
+    text_col: str,
+    label_col: str,
+    n: int = 3,
+    buckets: int = 4096,
+    scale: int = 1_000_000,
+):
+    """Train the hashed char-n-gram language model: returns the tiny
+    (bucket, lang, w) frame where ``w = (occurrences of bucket in
+    lang-labeled text × scale) DIV (total n-gram occurrences in that
+    lang)`` — a per-million integer frequency, exact on any engine
+    (BIGINT floor division; no logs, no doubles). The model is at most
+    ``buckets × n_langs`` rows — persist it as parquet and BROADCAST
+    it at scoring time; training itself is one explode + two hash
+    aggregates over the labeled corpus, so a 100 TB-side corpus never
+    moves (and training sets are small by construction anyway).
+
+    Normalization by per-language totals makes scores comparable when
+    training volumes differ per language (the raw-count shortcut
+    silently biases toward the most-sampled language)."""
+    feat = train_df.select(
+        F.col(label_col).alias("lang"),
+        F.explode(_char_ngram_buckets(F.col(text_col), n, buckets)).alias("bucket"),
+    )
+    cts = feat.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("ct"))
+    totals = feat.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        cts.join(F.broadcast(totals), "lang")
+        .select(
+            "bucket",
+            "lang",
+            F.expr(f"CAST((ct * {int(scale)}) DIV total AS BIGINT)").alias("w"),
+        )
+    )
+
+
+def char_ngram_lid(
+    df,
+    id_col: str,
+    text_col: str,
+    model,
+    n: int = 3,
+    buckets: int = 4096,
+):
+    """Score documents against a :func:`train_char_ngram_lid` model:
+    returns (id, lang, score) where ``score`` is the BIGINT sum of the
+    predicted language's bucket weights over the document's n-gram
+    OCCURRENCES and ``lang`` is the argmax (ties to the
+    lexicographically smallest language — deterministic, oracle-
+    replayable). Documents with no scorable n-gram (NULL text, shorter
+    than ``n``, or every n-gram unseen in training) return
+    ``('und', 0)`` — a silent drop would exempt exactly the documents
+    a language gate most needs to flag.
+
+    Scale shape: the corpus reduces to (id, bucket) occurrence rows
+    scan-side, joins the BROADCAST model (≤ buckets × n_langs rows),
+    and partially aggregates map-side — one shuffle of
+    (id, lang, partial sum) rows, document text never leaves its
+    scan. ``n`` and ``buckets`` must match the model's training
+    values (the bucket space IS the feature space)."""
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_char_ngram_buckets(F.col(text_col), n, buckets)).alias("bucket"),
+    )
+    scores = (
+        occ.join(F.broadcast(model), "bucket")
+        .groupBy("id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("lang"))
+    best = (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "lang", "score")
+    )
+    return ids.join(best, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+    )

@@ -182,6 +182,11 @@ _CHANGED_THIS_ROUND = [
     "q107_prefix_jaccard",
     "q121_prefix_jaccard_corpus",
     "q165_containment_prefix_corpus",
+    # r16: q197's staged replay now runs FOUR phases with a mid-stream
+    # stop-compact-resume (compact_ingest_store between phases C and D
+    # through the same checkpoint — VERDICT r15 item 3); the query body
+    # changed, fresh verdict on the compaction-in-the-replay form.
+    "q197_stream_dedup_ladder",
 ]
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..streaming.windows import (
+    compact_ingest_store,
     events_stream,
     run_foreach_batch,
     run_to_memory,
@@ -1146,16 +1147,21 @@ def q197_stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming end-to-end proofs). The SAME 200 planted docs as q195
     (40 bases × 5 variants: v0 anchor, v1 decomposed-NFC twin, v2
     case/punct twin, v3 byte-exact copy, v4 drop-last-word near-dup)
-    — but arriving across TWO staged stream phases through one
-    checkpoint: phase 1 = ids < 100 (all anchors + all v1 + half of
-    v2), phase 2 = ids 100–199 (the other v2 half, v3, v4). Each
-    micro-batch runs the full ladder against the persisted stores:
-    phase-2 v2 docs must fold 'casefold' against keepers READ BACK
-    from phase 1's keeper store (the same tier phase-1 v2 docs earn
-    within-batch — both resolution paths exercised for one tier),
-    phase-2 v3 copies must hash 'exact' against stored keeper_kr, and
-    phase-2 v4 twins become keepers whose near-dup pairs fire against
-    phase 1's posting store.
+    — but arriving across FOUR staged stream phases through one
+    checkpoint (r16 — was two; VERDICT r15 item 3 asked for the
+    compaction cadence in the replay): phase A = ids < 50 (anchors +
+    first v1 quarter), phase B = 50–99 (rest of v1 + half of v2),
+    phase C = 100–159 (other v2 half + v3 copies), then a
+    STOP-COMPACT-RESUME — ``compact_ingest_store`` folds batches 0–1
+    into one partition per substore while the stream is stopped —
+    and phase D = 160–199 (all v4 near-dup twins) resumes through
+    the SAME checkpoint against the compacted store. Every
+    cross-batch resolution path now runs at least once against
+    compacted history: phase-D v4 twins become keepers whose
+    near-dup pairs fire against posting rows that were REWRITTEN by
+    the compaction, and phase-C v2/v3 docs fold casefold/exact
+    against keepers read back from earlier phases (the same tiers
+    phase-B docs earn within-batch).
 
     The oracle is q195's VERBATIM one-shot ladder replay (DuckDB
     utf8proc NFC + all-pairs Jaccard): the stream's tier union across
@@ -1163,13 +1169,15 @@ def q197_stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the incremental-view contract, holding here because phases
     partition ids monotonically so first-arrival keepers coincide
     with the one-shot min-id keepers (the operator docstring's
-    planted-replay contract). Each phase writes one parquet file
-    (repartition(1)) so a phase is one micro-batch and keeper
-    first-arrival is deterministic. Scale shape per batch: one NFC
-    pass, one k_n hash join against the keeper store, q180's
-    incremental near-dup over new keepers only; document bytes never
-    enter a store exchange (keepers store hashes, postings 16-byte
-    keys, texts only keeper norms)."""
+    planted-replay contract) — and the mid-stream compaction must be
+    INVISIBLE in it (rows preserved exactly, only layout folds),
+    which is what this hash verdict now proves under the driver.
+    Each phase writes one parquet file (repartition(1)) so a phase
+    is one micro-batch and keeper first-arrival is deterministic.
+    Scale shape per batch: one NFC pass, one k_n hash join against
+    the keeper store, q180's incremental near-dup over new keepers
+    only; document bytes never enter a store exchange (keepers store
+    hashes, postings 16-byte keys, texts only keeper norms)."""
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
@@ -1206,9 +1214,22 @@ def q197_stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one file per phase => one micro-batch per phase (deterministic
     # first-arrival keepers; ids partition monotonically across phases)
-    raws.filter(F.col("doc_id") < 100).repartition(1).write.mode("append").parquet(src)
-    run_once()
-    raws.filter(F.col("doc_id") >= 100).repartition(1).write.mode("append").parquet(src)
+    phases = [
+        F.col("doc_id") < 50,
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 100),
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 160),
+    ]
+    for cond in phases:
+        raws.filter(cond).repartition(1).write.mode("append").parquet(src)
+        run_once()
+    # stop-compact-resume (r16): with batches 0..2 committed and the
+    # stream stopped, fold batches 0-1 into one partition per substore
+    # (default horizon = max-1 — batch 2 keeps its own partition, the
+    # replay-safety rule), then phase D resumes through the SAME
+    # checkpoint and must read identical history from the folded store.
+    rep = compact_ingest_store(spark, store)
+    assert rep, "compaction found nothing to fold — staging drifted"
+    raws.filter(F.col("doc_id") >= 160).repartition(1).write.mode("append").parquet(src)
     run_once()
 
     return (
