@@ -103,16 +103,171 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_knobs_volume(
+    n_rows: int,
+    recall_target: float = 0.9,
+    bit_agreement: float = 0.955,
+    bit_budget: int = 64,
+    max_candidates: int | None = None,
+) -> dict:
+    """VOLUME-aware LSH knob selection (r16 — the auto-default solver
+    behind embedding_neardup_lsh / lsh_ann_topk). :func:`lsh_knobs`
+    encodes the measured recall curve but its "+1 bit/band per corpus
+    doubling" growth keeps per-ROW collisions flat while total
+    candidate volume still grows — probed this round at the x10
+    fixture, the curve-rule setting (bpb=9, bands=7 at 40k rows)
+    shuffled 956 MB and spilled 7.4 GB in the candidate re-rank join.
+    What spills is CANDIDATES (each one re-joins two vectors), so the
+    binding constraint is expected random co-bucket pairs:
+    ``volume = bands × C(n,2) / 2^bits_per_band``.
+
+    Selection: enumerate bits_per_band; a config is feasible when the
+    bands the recall equation demands fit ``bit_budget`` AND its
+    volume fits ``max_candidates`` (default ``max(2_000_000, 16 ×
+    n_rows)`` — the measured sf0.1 ANN anchor (64, 16) sits exactly at
+    2M volume and does not spill). Among target-achieving feasible
+    configs, take the MINIMUM-volume one — this reproduces both r15
+    measured anchors: p=0.608/2000 rows → (64, 16) (the ANN sweep
+    anchor) and p≈0.955/40k rows → (64, 4) (the x10 knob-rule row
+    that shuffled 1.01 MB with zero spill). When NO config achieves
+    the target within both budgets, degrade to the max-expected-recall
+    config within them and WARN with the achieved number — an
+    operator that spills 7 GB or refuses to run is worse at 100 TB
+    than one that runs at a stated lower recall.
+
+    Returns {bits, bands, bits_per_band, expected_recall,
+    expected_candidates}."""
+    import math
+    import warnings
+
+    if n_rows < 1:
+        raise ValueError(f"lsh_knobs_volume: n_rows must be >= 1, got {n_rows}")
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(
+            f"lsh_knobs_volume: recall_target must be in (0, 1), got {recall_target}"
+        )
+    if not 0.0 < bit_agreement < 1.0:
+        raise ValueError(
+            f"lsh_knobs_volume: bit_agreement must be in (0, 1), got {bit_agreement}"
+        )
+    budget = max_candidates if max_candidates is not None else max(2_000_000, 16 * n_rows)
+    all_pairs = n_rows * (n_rows - 1) / 2.0
+    best_feasible = None  # (volume, bpb, bands, recall)
+    best_degraded = None  # (-recall, volume, bpb, bands)
+    for bpb in range(1, min(bit_budget, 63) + 1):
+        x = bit_agreement**bpb
+        if not 0.0 < x < 1.0:
+            continue
+        per_band = all_pairs / (2.0**bpb)
+        bands_needed = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - x)))
+        if bands_needed * bpb <= bit_budget and bands_needed * per_band <= budget:
+            vol = bands_needed * per_band
+            rec = 1.0 - (1.0 - x) ** bands_needed
+            if best_feasible is None or vol < best_feasible[0]:
+                best_feasible = (vol, bpb, bands_needed, rec)
+        bands_cap = bit_budget // bpb
+        if per_band > 0:
+            bands_cap = min(bands_cap, int(min(budget / per_band, float(bit_budget))))
+        if bands_cap >= 1:
+            rec = 1.0 - (1.0 - x) ** bands_cap
+            vol = bands_cap * per_band
+            if best_degraded is None or (-rec, vol) < (best_degraded[0], best_degraded[1]):
+                best_degraded = (-rec, vol, bpb, bands_cap)
+    if best_feasible is not None:
+        vol, bpb, bands, rec = best_feasible
+        out = {"bits": bpb * bands, "bands": bands, "bits_per_band": bpb,
+               "expected_recall": rec, "expected_candidates": vol}
+        _validate_banding(out["bits"], bands, "lsh_knobs_volume")
+        return out
+    if best_degraded is None:
+        raise ValueError(
+            f"lsh_knobs_volume: no (bits_per_band, bands) fits bit_budget="
+            f"{bit_budget} within max_candidates={budget} at n_rows={n_rows} — "
+            "raise max_candidates or bit_budget"
+        )
+    negrec, vol, bpb, bands = best_degraded
+    warnings.warn(
+        f"lsh_knobs_volume: recall_target={recall_target} at n_rows={n_rows} is "
+        f"not reachable within {bit_budget} signature bits and "
+        f"~{int(budget):,} candidate pairs; degraded to bits_per_band={bpb} x "
+        f"bands={bands} with expected_recall={-negrec:.3f} — raise "
+        "bit_agreement (near-dup thresholds imply p >> the ANN default), raise "
+        "max_candidates, or OR multiple independently-seeded signatures",
+        stacklevel=2,
+    )
+    out = {"bits": bpb * bands, "bands": bands, "bits_per_band": bpb,
+           "expected_recall": -negrec, "expected_candidates": vol}
+    _validate_banding(out["bits"], bands, "lsh_knobs_volume")
+    return out
+
+
+def _resolve_lsh_knobs(
+    corpus: DataFrame,
+    bits: int | None,
+    bands: int | None,
+    n_rows: int | None,
+    bit_agreement: float,
+    recall_target: float,
+    caller: str,
+) -> tuple[int, int]:
+    """Shared knob resolution for the hyperplane-LSH tiers (r16 —
+    VERDICT r15 item 5: the measured knob rule as the DEFAULT, not an
+    opt-in). Both knobs None (the default) → derive them from the
+    corpus row count via :func:`lsh_knobs_volume` (volume-minimal at
+    the recall target; degrades with a loud warning rather than
+    entering the measured spill regime). ``n_rows`` skips the sizing
+    count when the caller already knows it (an index manifest at
+    100 TB — the pq_query corpus_rows precedent); left None, one
+    count resolves it. EXPLICIT knobs are honored verbatim, but when
+    ``n_rows`` is also known their expected candidate volume is
+    checked against the same budget and a violation warns loudly —
+    the r15 x10 audit measured an unguarded setting shuffling 92× the
+    bytes and spilling 3.9 GiB at equal recall. Passing exactly one
+    of bits/bands raises: half a knob pair has no meaning in the
+    banding algebra."""
+    import warnings
+
+    if (bits is None) != (bands is None):
+        raise ValueError(
+            f"{caller}: pass BOTH bits and bands (explicit banding) or NEITHER "
+            f"(auto-derived from the corpus count); got bits={bits}, bands={bands}"
+        )
+    if bits is None:
+        n = n_rows if n_rows is not None else corpus.count()
+        k = lsh_knobs_volume(
+            max(n, 1), recall_target=recall_target, bit_agreement=bit_agreement
+        )
+        return k["bits"], k["bands"]
+    if n_rows is not None and bands >= 1:
+        bpb = bits // max(bands, 1)
+        volume = bands * (n_rows * (n_rows - 1) / 2.0) / (2.0 ** max(bpb, 1))
+        budget = max(2_000_000, 16 * n_rows)
+        if volume > budget:
+            warnings.warn(
+                f"{caller}: explicit (bits={bits}, bands={bands}) expects "
+                f"~{int(volume):,} random candidate pairs at n_rows={n_rows} — "
+                f"above the ~{budget:,} no-spill budget (the r15 x10 audit "
+                "measured this regime shuffling 92x the bytes and spilling "
+                "3.9 GiB at equal recall); raise bits_per_band or drop "
+                "bits/bands to let the corpus count derive them",
+                stacklevel=3,
+            )
+    return bits, bands
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bits: int = 32,
-    bands: int = 8,
+    bits: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     dim: int = 64,
     max_bucket: int | None = None,
+    n_rows: int | None = None,
+    recall_target: float = 0.9,
+    sizing_cos: float | None = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH banding generates
     candidate pairs (equi-join on (band, bucket) — shuffle bounded by
@@ -125,14 +280,35 @@ def embedding_neardup_lsh(
     vectors, repeated embeddings) before the pair join — the same
     skew cap as minhash_lsh_candidates; see that docstring.
 
-    Knob sizing at scale: :func:`lsh_knobs` turns (corpus rows,
-    recall target) into the (bits, bands) pair the measured
-    docs/SCALE.md curves call for. Measured consequence of NOT
-    scaling them (BASELINE.md byte-exponent table, r15): fixed knobs
-    at a 10× corpus shuffle 92× the bytes and spill 3.9 GiB where the
-    lsh_knobs setting shuffles 1 MB with zero spill at equal
-    recall — at 100 TB the knob rule is the difference between a
-    working operator and a failed stage."""
+    Knob sizing at scale (r16: the rule IS the default): leave
+    ``bits``/``bands`` unset and they derive from the corpus count
+    via :func:`lsh_knobs_volume` — volume-minimal at
+    ``recall_target``, evaluated at the bit-agreement the SIZING
+    similarity implies (p = 1 − arccos(sizing_cos)/π). ``sizing_cos``
+    defaults to ``max(threshold, 0.99)``, the near-IDENTICAL end of
+    the band, not the threshold itself: near-dup twins sit at
+    cos ≈ 0.99+, and sizing for worst-case threshold-recall at scale
+    costs 100–400× the candidate volume for pairs that barely exist
+    (the r15 x10 knob-rule row — bits=64, bands=4, 1.01 MB shuffled,
+    zero spill, all 19,997 twins recovered — is exactly this
+    solver's output at 40k rows; pass ``sizing_cos=threshold`` to buy
+    guaranteed threshold-recall with the volume it costs). One sizing
+    count is skipped by passing ``n_rows`` (the index-manifest path).
+    Explicit knobs are honored but warned against the candidate-
+    volume budget when ``n_rows`` is known (:func:`_resolve_lsh_knobs`).
+    Measured consequence of an unguarded fixed setting (BASELINE.md
+    byte-exponent table, r15): at a 10× corpus it shuffles 92× the
+    bytes and spills 3.9 GiB where the rule's setting shuffles 1 MB
+    with zero spill at equal recall — at 100 TB the knob rule is the
+    difference between a working operator and a failed stage."""
+    import math
+
+    sc = sizing_cos if sizing_cos is not None else max(threshold, 0.99)
+    p = 1.0 - math.acos(max(-1.0, min(1.0, sc))) / math.pi
+    bits, bands = _resolve_lsh_knobs(
+        df.select(id_col), bits, bands, n_rows, p, recall_target,
+        "embedding_neardup_lsh",
+    )
     bits_per_band = _validate_banding(bits, bands, "embedding_neardup_lsh")
     sig_schema = f"{id_col} long, embedding array<float>, lsh_sig long"
     sig = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
@@ -597,6 +773,7 @@ def lsh_knobs(
     bit_agreement: float = 0.608,
     base_rows: int = 2000,
     base_bits_per_band: int = 4,
+    clamp: bool = False,
 ) -> dict:
     """Measured-curve knob helper for the hyperplane-LSH tiers (r15 —
     VERDICT r14 item 1: the docs/SCALE.md tuning rules as API, so a
@@ -629,9 +806,16 @@ def lsh_knobs(
     bits (bits_per_band × bands > 64): at that point one signature
     word cannot buy the recall — lower the target, raise p (higher
     threshold), or OR several independently-seeded signatures at the
-    query layer. Returns {bits, bands, bits_per_band,
-    expected_recall} ready to splat into lsh_ann_topk /
-    embedding_neardup_lsh.
+    query layer. ``clamp=True`` (r16 — the auto-knob default path in
+    embedding_neardup_lsh / lsh_ann_topk) degrades gracefully
+    instead: it returns the maximum feasible bands within the 64-bit
+    budget at the rule's bits_per_band (NEVER fewer bits per band —
+    that reopens the measured spill regime) and warns loudly with
+    the achieved ``expected_recall``, because an operator that
+    refuses to run at 10× corpus is worse at 100 TB than one that
+    runs at a stated lower recall. Returns {bits, bands,
+    bits_per_band, expected_recall} ready to splat into lsh_ann_topk
+    / embedding_neardup_lsh.
     """
     import math
 
@@ -649,6 +833,28 @@ def lsh_knobs(
     x = bit_agreement**bpb
     bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - x)))
     bits = bpb * bands
+    if bits > 64 and clamp:
+        import warnings
+
+        bands = max(1, 64 // bpb)
+        bits = bpb * bands
+        achieved = 1.0 - (1.0 - x) ** bands
+        warnings.warn(
+            f"lsh_knobs: recall_target={recall_target} at n_rows={n_rows} needs "
+            f"more than the 64 packed signature bits; clamped to "
+            f"bits_per_band={bpb} x bands={bands} with expected_recall="
+            f"{achieved:.3f} — raise bit_agreement (near-dup thresholds imply "
+            "p >> the ANN default) or OR multiple independently-seeded "
+            "signatures to recover the target",
+            stacklevel=2,
+        )
+        _validate_banding(bits, bands, "lsh_knobs")
+        return {
+            "bits": bits,
+            "bands": bands,
+            "bits_per_band": bpb,
+            "expected_recall": achieved,
+        }
     if bits > 64:
         raise ValueError(
             f"lsh_knobs: recall_target={recall_target} at n_rows={n_rows} needs "
@@ -707,16 +913,29 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bits: int = 16,
-    bands: int = 4,
+    bits: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     dim: int = 64,
+    n_rows: int | None = None,
+    recall_target: float = 0.9,
+    bit_agreement: float = 0.608,
 ) -> DataFrame:
     """Approximate top-k cosine: hyperplane-LSH bucket join + exact
     re-rank of candidates. Corpus signatures are one Arrow-batched pass;
-    the candidate join shuffles on (band, band_bits) only. Size
-    (bits, bands) with :func:`lsh_knobs` — the measured recall/wall
-    curves in docs/SCALE.md as a function, anchored at this fixture."""
+    the candidate join shuffles on (band, band_bits) only. Knobs left
+    unset derive from the corpus count via :func:`lsh_knobs` (r16 —
+    the measured docs/SCALE.md curves as the DEFAULT; ``bit_agreement``
+    keeps the conservative measured ANN anchor p=0.608, and at corpus
+    sizes where 64 signature bits cannot buy ``recall_target`` the
+    clamp runs at the stated-achievable recall with a loud warning
+    instead of entering the measured spill regime). Explicit knobs
+    are honored, warned against the spill curve when ``n_rows`` is
+    known — see :func:`_resolve_lsh_knobs`."""
+    bits, bands = _resolve_lsh_knobs(
+        corpus.select(id_col), bits, bands, n_rows, bit_agreement, recall_target,
+        "lsh_ann_topk",
+    )
     bits_per_band = _validate_banding(bits, bands, "lsh_ann_topk")
 
     def with_sig(df: DataFrame) -> DataFrame:

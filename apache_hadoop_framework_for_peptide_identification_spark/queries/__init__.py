@@ -187,6 +187,13 @@ _CHANGED_THIS_ROUND = [
     # through the same checkpoint — VERDICT r15 item 3); the query body
     # changed, fresh verdict on the compaction-in-the-replay form.
     "q197_stream_dedup_ladder",
+    # r16: embedding_neardup_lsh / lsh_ann_topk bodies changed (VERDICT
+    # r15 item 5 — knobs auto-derive via the volume-aware solver when
+    # not passed; explicit-knob callers like these two get the new
+    # volume guard in their path). Fresh verdicts on the changed
+    # implementations (the r15 _cell_assign precedent).
+    "q114_embedding_neardup_verified",
+    "q118_ann_lsh_verified",
 ]
 
 

@@ -635,6 +635,82 @@ def test_lsh_knobs_encodes_measured_curve():
         lsh_knobs(0)
 
 
+def test_auto_lsh_knobs_default_path(spark):
+    """r16 (VERDICT r15 item 5): the knob rule is the DEFAULT, not an
+    opt-in. (1) embedding_neardup_lsh with NO knobs on q114's
+    twin-planted corpus recovers exactly the pairs the oracle-verified
+    explicit (64, 8) configuration finds (recall_target high enough
+    that the auto banding's twin-miss probability is ~1e-12);
+    (2) lsh_knobs clamp mode warns and stays within 64 bits instead of
+    raising; (3) explicit knobs below the measured spill curve warn
+    when the corpus count is known; (4) half a knob pair raises."""
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import lsh_knobs
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter(F.col("vec_id") < 200)
+    from apache_hadoop_framework_for_peptide_identification_spark.queries.llm import (
+        _plant_embedding_twins,
+    )
+
+    corpus = _plant_embedding_twins(emb)
+    explicit = sorted(
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_lsh(
+            corpus, "vec_id", "embedding", threshold=0.9, bits=64, bands=8
+        ).collect()
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the default path must be warning-free here
+        auto = sorted(
+            (r["id_a"], r["id_b"])
+            for r in S.embedding_neardup_lsh(
+                corpus, "vec_id", "embedding", threshold=0.9, recall_target=0.999
+            ).collect()
+        )
+    assert auto == explicit and len(auto) >= 200
+
+    # lsh_knobs clamp: infeasible target degrades to <=64 bits, warned
+    with pytest.warns(UserWarning, match="clamped"):
+        k = lsh_knobs(20000, recall_target=0.9, clamp=True)
+    assert k["bits"] <= 64 and k["bits_per_band"] == 8 and 0 < k["expected_recall"] < 0.9
+
+    # lsh_knobs_volume reproduces BOTH r15 measured anchors: the ANN
+    # sweep's (64, 16) at p=0.608/2000 rows, and the x10 knob-rule row
+    # (64, 4) at the near-identical sizing p/40k rows (1.01 MB shuffled,
+    # zero spill, all twins recovered)
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import (
+        lsh_knobs_volume,
+    )
+
+    ann = lsh_knobs_volume(2000, recall_target=0.9, bit_agreement=0.608)
+    assert (ann["bits"], ann["bands"]) == (64, 16)
+    nd = lsh_knobs_volume(40000, recall_target=0.9, bit_agreement=0.955)
+    assert (nd["bits"], nd["bands"]) == (64, 4)
+    assert nd["expected_candidates"] < 100_000  # vs 21.9M at the curve rule
+    # unreachable target: degrade within budget + loud warning
+    with pytest.warns(UserWarning, match="degraded"):
+        deg = lsh_knobs_volume(200000, recall_target=0.99, bit_agreement=0.608)
+    assert deg["bits"] <= 64 and deg["expected_candidates"] <= 16 * 200000
+
+    # candidate-volume guard: an explicit 2-bit/band signature at a 20k
+    # corpus is the measured spill regime — must warn when n_rows known
+    with pytest.warns(UserWarning, match="candidate pairs"):
+        S.embedding_neardup_lsh(
+            corpus, "vec_id", "embedding", threshold=0.9,
+            bits=16, bands=8, n_rows=20000,
+        )
+    # half a knob pair is meaningless
+    with pytest.raises(ValueError, match="BOTH bits and bands"):
+        S.lsh_ann_topk(emb, emb, "vec_id", "embedding", bits=16)
+
+
 def test_pq_query_candidate_frac_equals_absolute(spark):
     """candidate_frac (r15 — VERDICT r14 item 1: the measured
     'n_candidates is an ABSOLUTE budget that collapses recall at 10x'
