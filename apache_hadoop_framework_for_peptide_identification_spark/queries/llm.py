@@ -2567,3 +2567,174 @@ def q199_ann_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, enc, cents, cb, emb, "vec_id", "embedding",
         k=5, n_probe=16, candidate_frac=1.0,
     ).orderBy("q_id", "rn")
+
+
+# --------------------------------------------------------------------------
+# r17 REGISTRY CANDIDATE (written + oracle-verified r16; NOT yet @query —
+# this round's window slots went to the 47-query r12 re-verification
+# cohort + q197–q199, and the self-rotating capacity math allows exactly
+# one new driver query in r17: this one). Verified today by
+# tests/test_similarity.py::test_ivfpq_recall_form_matches_oracle, which
+# runs the same compare the driver runs, at sf0.001 AND sf0.01. To
+# register: wrap with @query("q200_ann_ivfpq_recall", oracle=Q200_ORACLE).
+Q200_ORACLE = """
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 61 = 7
+            ORDER BY vec_id LIMIT 8),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+          FROM c0),
+src AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM embeddings WHERE vec_id % 31 = 2 ORDER BY vec_id LIMIT 16),
+srcn AS (SELECT code, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vh
+         FROM src),
+scell AS (SELECT code, vh, cell, c FROM (
+    SELECT srcn.code, srcn.vh, cents.cell, cents.c,
+           row_number() OVER (PARTITION BY srcn.code
+             ORDER BY list_dot_product(srcn.vh, cents.c) DESC, cents.cell) AS arn
+    FROM srcn, cents) WHERE arn = 1),
+cw AS (SELECT j, code,
+              list_transform(range(1, 9), i -> vh[j*8+i] - c[j*8+i]) AS w
+       FROM scell, unnest(range(0, 8)) t(j)),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cn AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vh
+       FROM corpus),
+casg AS (SELECT vec_id, vh, cell, c FROM (
+    SELECT cn.vec_id, cn.vh, cents.cell, cents.c,
+           row_number() OVER (PARTITION BY cn.vec_id
+             ORDER BY list_dot_product(cn.vh, cents.c) DESC, cents.cell) AS arn
+    FROM cn, cents) WHERE arn = 1),
+d AS (SELECT casg.vec_id, cw.j, cw.code,
+             list_dot_product(
+               list_transform(range(1, 9), i -> casg.vh[cw.j*8+i] - casg.c[cw.j*8+i] - cw.w[i]),
+               list_transform(range(1, 9), i -> casg.vh[cw.j*8+i] - casg.c[cw.j*8+i] - cw.w[i])) AS dist
+      FROM casg, cw),
+easg AS (SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS arn
+    FROM d) WHERE arn = 1),
+qv AS (SELECT vec_id AS q_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                             x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                            CAST(embedding AS DOUBLE[])))) AS qh,
+              CAST(embedding AS DOUBLE[]) AS qraw
+       FROM embeddings WHERE vec_id < 20),
+qprobe AS (SELECT q_id, cell, off FROM (
+    SELECT qv.q_id, cents.cell, list_dot_product(qv.qh, cents.c) AS off,
+           row_number() OVER (PARTITION BY qv.q_id
+             ORDER BY list_dot_product(qv.qh, cents.c) DESC, cents.cell) AS prn
+    FROM qv, cents) WHERE prn <= 2),
+sc AS (SELECT qp.q_id, ca.vec_id AS n_id,
+              any_value(qp.off) + sum(list_dot_product(
+                  list_transform(range(1, 9), i -> qv.qh[easg.j*8+i]), cw.w)) AS s
+       FROM qprobe qp
+       JOIN casg ca ON ca.cell = qp.cell
+       JOIN qv ON qv.q_id = qp.q_id
+       JOIN easg ON easg.vec_id = ca.vec_id
+       JOIN cw ON cw.j = easg.j AND cw.code = easg.code
+       GROUP BY qp.q_id, ca.vec_id),
+cand AS (SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY s DESC, n_id) AS crn
+    FROM sc) WHERE crn <= 25 AND q_id <> n_id),
+rer AS (SELECT c.q_id, c.n_id,
+               list_cosine_similarity(qv.qraw, corpus.v) AS cos_sim
+        FROM cand c JOIN qv ON c.q_id = qv.q_id
+        JOIN corpus ON c.n_id = corpus.vec_id),
+capp AS (SELECT q_id, n_id, rn FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rn
+    FROM rer) WHERE rn <= 10),
+truth AS (SELECT q_id, n_id, rn FROM (
+    SELECT qv.q_id, c2.vec_id AS n_id,
+           row_number() OVER (PARTITION BY qv.q_id
+             ORDER BY list_cosine_similarity(qv.qraw, c2.v) DESC, c2.vec_id) AS rn
+    FROM corpus c2, qv WHERE c2.vec_id <> qv.q_id) WHERE rn <= 10),
+m AS (SELECT t.q_id, count(c.n_id) AS n_overlap, count(*) AS n_truth,
+             coalesce(max(CASE WHEN t.rn = 1 THEN 1.0 / c.rn END), 0.0) AS rr
+      FROM truth t LEFT JOIN capp c ON t.q_id = c.q_id AND t.n_id = c.n_id
+      GROUP BY t.q_id)
+SELECT q_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / CAST(n_truth AS DOUBLE) AS recall_at_k,
+       rr AS reciprocal_rank
+FROM m ORDER BY q_id
+"""
+
+
+def q200_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ in its genuinely APPROXIMATE configuration
+    (q194's treatment for the composed tier): 20 query vectors run
+    ivfpq_append + ivfpq_query at n_probe=2 of 8 cells with a tight
+    25-candidate ADC budget, against exact cosine_topk truth, reduced
+    through retrieval_eval. The coarse quantizer is q194's closed-form
+    rule (vec_id % 61 == 7, first 8, L2-normalized) and the RESIDUAL
+    codebook is q196's closed-form rule lifted to residual space
+    (16 source vectors by vec_id % 31 == 2; codeword[j][c] =
+    subspace-j slice of v̂_c − centroid(cell(v̂_c)) — assignment itself
+    closed-form) so DuckDB replays training, encoding, probing, ADC
+    offsets + gathers, the candidate cut, the re-rank, and the metric
+    arithmetic end to end. Everything under test is the production
+    _ivfpq_encode / ivfpq_query kernel path. ADC-score tie-freedom
+    per query verified at sf0.001/sf0.01 before the pytest pinned the
+    hash (the q196 pre-registration discipline)."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand0 = (
+        emb.filter(F.col("vec_id") % 61 == 7)
+        .orderBy("vec_id")
+        .limit(8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    norm = similarity.l2_norm(F.col("v"))
+    cent = cand0.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+        F.transform("v", lambda x: x / norm).alias("centroid"),
+    )
+    src = (
+        emb.filter(F.col("vec_id") % 31 == 2)
+        .orderBy("vec_id")
+        .limit(16)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    srcn = src.select(
+        (F.row_number().over(W.orderBy("vec_id")) - 1).alias("code"),
+        F.transform("v", lambda x: x / norm).alias("vh"),
+    )
+    dotc = similarity._dot(F.col("vh"), F.col("centroid"))
+    scell = (
+        srcn.crossJoin(cent)
+        .withColumn(
+            "arn",
+            F.row_number().over(
+                W.partitionBy("code").orderBy(dotc.desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("arn") == 1)
+        .select("code", F.zip_with("vh", "centroid", lambda a, b: a - b).alias("resid"))
+    )
+    cb = scell.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("resid", j * 8 + 1, 8).alias("centroid"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.subspace").alias("subspace"), "code", F.col("s.centroid").alias("centroid")
+    )
+    enc = similarity.ivfpq_append(emb, cent, cb, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = similarity.ivfpq_query(
+        queries, enc, cent, cb, emb, "vec_id", "embedding",
+        k=10, n_probe=2, n_candidates=25,
+    )
+    truth = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    return similarity.retrieval_eval(truth, approx, k=10).orderBy("q_id")

@@ -853,3 +853,32 @@ def test_ivfpq_roundtrip_append_and_exactness(spark, tmp_path):
     with pytest.raises(ValueError, match="corpus_rows only"):
         S.ivfpq_query(q, enc, cents, cb, emb, "vec_id", "embedding",
                       n_candidates=10, corpus_rows=n)
+
+
+def test_ivfpq_recall_form_matches_oracle(spark):
+    """The r17 registry candidate verified the way the driver will
+    verify it (queries/llm.py q200_ann_ivfpq_recall + Q200_ORACLE):
+    closed-form centroids (q194 rule) + closed-form RESIDUAL codebook
+    (q196 rule lifted to residual space), production ivfpq_append /
+    ivfpq_query kernels at genuinely approximate knobs (n_probe=2 of
+    8 cells, 25-candidate ADC budget), retrieval_eval reduction —
+    hash-compared against the full SQL replay at sf0.001 AND sf0.01
+    (the q196 pre-registration discipline, incl. its ADC tie-freedom
+    check)."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries.llm import (
+        Q200_ORACLE,
+        q200_ann_ivfpq_recall,
+    )
+    from tests.oracle import compare, duck_connection
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        spdf = q200_ann_ivfpq_recall(spark, sf_dir).toPandas()
+        con = duck_connection(sf_dir)
+        rep = compare(spdf, con.execute(Q200_ORACLE).df())
+        con.close()
+        assert rep["match"], (sf_dir, rep)
+        assert len(spdf) == 20
+        # genuinely approximate: recall must sit strictly inside (0, 1)
+        # on average or the knobs stopped measuring anything
+        mean_recall = float(spdf["recall_at_k"].mean())
+        assert 0.0 < mean_recall < 1.0, mean_recall
