@@ -2086,3 +2086,333 @@ def q192_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "url", "slot", "fetch_offset_s")
         .orderBy("url")
     )
+
+
+# --- corpus-build capstone composition (written + oracle-verified r16) -------
+# VERDICT r15 item 8: q189's crawl ladder feeding q195's dedup ladder
+# feeding temperature mixing + sequence packing — the FULL corpus-build
+# product pipeline under one closed-form oracle. NOT yet @query: the r16
+# window seated the 47-query r12 re-verification cohort + q197–q199
+# exactly, and r17's one free slot is committed to q200 (llm.py); this
+# is the r18 registry candidate, verified today by
+# tests/test_pipeline_ops.py::test_corpus_build_e2e_matches_oracle with
+# the same compare the driver runs, at sf0.001 AND sf0.01, plus an
+# exchange-payload plan pin. To register: wrap with
+# @query("q201_corpus_build_e2e", oracle=Q201_ORACLE).
+
+_Q201_BODY_SQL = (
+    "'<html><head><title>T' || v || ' page</title></head>"
+    "<body><h1>P' || v || '</h1><p>' || btxt || '</p></body></html>'"
+)
+
+Q201_ORACLE = (
+    """
+WITH bases AS (SELECT doc_id AS b_id, text AS base FROM documents WHERE doc_id < 100),
+recs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 200 THEN doc_id // 2 ELSE doc_id - 200 END AS v,
+         CASE WHEN doc_id < 200 THEN doc_id % 2 ELSE 2 END AS m,
+         (doc_id * 37) % 101 AS qual
+  FROM documents WHERE doc_id < 220),
+g AS (
+  SELECT recs.doc_id AS rec_id, v, m, qual, base,
+         CASE v % 3 WHEN 0 THEN 'news' WHEN 1 THEN 'blog' ELSE 'wiki' END AS topic,
+         v % 4 AS c
+  FROM recs JOIN bases ON recs.v = bases.b_id
+  WHERE NOT (m = 1 AND v % 10 = 7)),
+b AS (
+  SELECT rec_id, v, m, qual, topic,
+         CASE WHEN m <> 1 OR c = 0 THEN base || ' caf' || chr(233) || ' Z.'
+              WHEN c = 1 THEN base || ' cafe' || chr(769) || ' Z.'
+              WHEN c = 2 THEN base || ' caf' || chr(233) || ' z'
+              ELSE regexp_replace(base, ' \\S+$', '') || ' caf' || chr(233) || ' Z.'
+         END AS btxt,
+         'https://m' || CASE WHEN m = 2 THEN 0 ELSE m END ||
+         '.example.com/' ||
+         CASE v % 3 WHEN 0 THEN 'news' WHEN 1 THEN 'blog' ELSE 'wiki' END ||
+         '/' || v || '?a=1&b=' || v AS canon_url
+  FROM g),
+x AS (SELECT rec_id, v, qual, topic, canon_url, {clean} AS clean_text
+      FROM (SELECT rec_id, v, qual, topic, canon_url, {body} AS body FROM b)),
+ku AS (SELECT rec_id, v, topic, clean_text, row_number() OVER (
+         PARTITION BY canon_url ORDER BY qual DESC, rec_id) AS urn
+       FROM x),
+surv AS (SELECT rec_id, topic, clean_text FROM ku WHERE urn = 1),
+n1 AS (SELECT rec_id, topic, clean_text AS raw,
+              nfc_normalize(clean_text) AS nfc FROM surv),
+n2 AS (SELECT rec_id, topic, md5(raw) AS k_r, md5(nfc) AS k_u,
+              trim(regexp_replace(regexp_replace(lower(nfc),
+                   '[^\\p{{L}}\\p{{N}} ]', '', 'g'), ' +', ' ', 'g')) AS norm
+       FROM n1),
+n3 AS (SELECT rec_id, topic, k_r, k_u, norm, md5(norm) AS k_n FROM n2),
+kp AS (SELECT rec_id, topic, k_r, k_u, k_n, norm,
+              first_value(rec_id) OVER w AS keeper_id,
+              first_value(k_r) OVER w AS keeper_kr
+       FROM n3 WINDOW w AS (PARTITION BY k_n ORDER BY rec_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+keep AS (SELECT rec_id AS kid, topic, norm FROM kp WHERE rec_id = keeper_id),
+toks AS (SELECT kid, string_split(norm, ' ') AS t FROM keep),
+sh AS (SELECT DISTINCT kid, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+       FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+       UNION
+       SELECT kid, array_to_string(t, ' ') FROM toks WHERE len(t) < 3),
+sizes AS (SELECT kid, count(*) AS n_sh FROM sh GROUP BY kid),
+inter AS (SELECT a.kid AS id_a, b.kid AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.kid < b.kid GROUP BY 1, 2),
+nd AS (SELECT DISTINCT id_b FROM inter
+       JOIN sizes sa ON sa.kid = id_a JOIN sizes sb ON sb.kid = id_b
+       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+corpus AS (
+  SELECT k.kid AS rec_id, k.topic,
+         CAST(len(string_split(s.clean_text, ' ')) AS BIGINT) AS n_tok
+  FROM keep k
+  JOIN surv s ON s.rec_id = k.kid
+  LEFT JOIN nd ON k.kid = nd.id_b
+  WHERE nd.id_b IS NULL),
+counts AS (SELECT topic, count(*) AS n FROM corpus GROUP BY topic),
+weighted AS (SELECT topic,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w
+  FROM counts),
+quotas AS (SELECT topic,
+         CAST((30 * w) // (SELECT sum(w) FROM weighted) AS BIGINT) AS quota
+  FROM weighted),
+ranked AS (SELECT rec_id, topic, n_tok,
+         row_number() OVER (PARTITION BY topic ORDER BY rec_id) AS rn
+  FROM corpus),
+mixed AS (SELECT r.rec_id, r.topic, r.n_tok, q.quota,
+                 row_number() OVER (PARTITION BY r.topic ORDER BY r.rec_id) AS prn
+          FROM ranked r JOIN quotas q USING (topic) WHERE r.rn <= q.quota),
+packed AS (
+  WITH RECURSIVE rec AS (
+    SELECT topic, rec_id, n_tok, quota, prn,
+           n_tok AS fill, CAST(0 AS BIGINT) AS seq_id
+    FROM mixed WHERE prn = 1
+    UNION ALL
+    SELECT s.topic, s.rec_id, s.n_tok, s.quota, s.prn,
+           CASE WHEN r.fill + s.n_tok > 128 THEN s.n_tok
+                ELSE r.fill + s.n_tok END,
+           CASE WHEN r.fill + s.n_tok > 128 THEN r.seq_id + 1
+                ELSE r.seq_id END
+    FROM rec r JOIN mixed s ON s.topic = r.topic AND s.prn = r.prn + 1)
+  SELECT topic, rec_id, n_tok, quota, seq_id FROM rec)
+SELECT rec_id, topic, n_tok, quota, seq_id FROM packed ORDER BY rec_id
+""".format(
+        body=_Q201_BODY_SQL,
+        clean=_H.sql_extract_text("body"),
+    )
+)
+
+
+def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-BUILD capstone composition (written r16 — VERDICT r15
+    item 8): raw planted WARC bytes through the ENTIRE product
+    pipeline in one run — WARC parse → HTTP status/MIME gate → HTML
+    text extraction → URL canonicalization → canonical-URL keeper
+    dedup → the FULL q195 dedup ladder (NFC → casefold/punct →
+    exact-hash keepers → MinHash-LSH near-dup verify) → temperature
+    mixing over topics → greedy sequence packing — landing the packed
+    training mix under ONE closed-form DuckDB oracle.
+
+    The planted web: 100 pages (v), each served by two MIRROR hosts
+    (m0/m1 — SAME content, different canonical URLs: the duplication
+    URL dedup cannot see and the text ladder must catch) plus 20
+    re-crawls of m0 pages reaching the SAME canonical URL the hard
+    way (uppercase host, :443, tracking param — folded by URL keeper
+    dedup, quality-decorrelated winner). Mirror classes by v%4 pin
+    each ladder tier IN the composed path: byte-exact ('exact'),
+    decomposed-NFC ('unicode'), case/punct ('casefold'),
+    drop-last-word ('neardup'); m1 404s on v%10==7 die at the gate
+    before extraction. The ladder's keeper identity interacts with
+    URL dedup (when a re-crawl outranks its m0 original, the ladder's
+    min-id keeper for that page flips to the m1 mirror) — exactly the
+    cross-layer drift surface composition proofs exist for. Survivors
+    ('kept' tier) mix over topic strata (news/blog/wiki, integer-exact
+    count^0.5 quotas, smallest-id keeps) and pack greedily into
+    128-token bins per topic (capacity-reset grouped-Pandas op).
+
+    Scale shape: one corpus pass to the ladder checkpoint (every
+    crawl stage a projection; the URL keeper window is the first
+    corpus exchange, on the canonical key), hash-only ladder
+    exchanges (the q195 discipline), keeper-sized near-dup stage,
+    strata-sized mixing aggregates, shard-parallel packing. Document
+    text crosses NO exchange (plan-pinned by type in the pytest).
+    Fixture write is a bounded 220-row collect (the q184/q189
+    pattern); production reads existing WARC files."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W2
+
+    from ..operators import dedup as D
+    from ..operators import html as H
+    from ..operators import text as T
+    from ..operators import warc as W
+
+    crlf = "\r\n"
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 220)
+    bases = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("b_id"), F.col("text").alias("base"))
+    )
+    v = F.when(F.col("doc_id") < 200, F.expr("doc_id div 2")).otherwise(
+        F.col("doc_id") - 200
+    )
+    m = F.when(F.col("doc_id") < 200, F.col("doc_id") % 2).otherwise(F.lit(2))
+    g = d.select("doc_id", v.alias("v"), m.alias("m")).join(
+        F.broadcast(bases), F.col("v") == F.col("b_id")
+    )
+    vs = F.col("v").cast("string")
+    topic = (
+        F.when(F.col("v") % 3 == 0, F.lit("news"))
+        .when(F.col("v") % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("wiki"))
+    )
+    c = F.col("v") % 4
+    # explicit escapes — an editor/VCS layer must never be able to
+    # NFC-fold the planted byte-distinct variants into one (q191 rule)
+    btxt = (
+        F.when(
+            (F.col("m") != 1) | (c == 0),
+            F.concat(F.col("base"), F.lit(" caf\u00e9 Z.")),  # precomposed
+        )
+        .when(c == 1, F.concat(F.col("base"), F.lit(" cafe\u0301 Z.")))  # decomposed
+        .when(c == 2, F.concat(F.col("base"), F.lit(" caf\u00e9 z")))  # case/punct
+        .otherwise(
+            F.concat(
+                F.regexp_replace(F.col("base"), " \\S+\\z", ""),
+                F.lit(" caf\u00e9 Z."),  # precomposed
+            )
+        )
+    )
+    raw_url = (
+        F.when(
+            F.col("m") == 0,
+            F.concat(F.lit("https://m0.example.com/"), topic, F.lit("/"), vs,
+                     F.lit("?b="), vs, F.lit("&a=1")),
+        )
+        .when(
+            F.col("m") == 1,
+            F.concat(F.lit("HTTPS://M1.EXAMPLE.COM/"), topic, F.lit("/"), vs,
+                     F.lit("?a=1&utm_source=x&b="), vs, F.lit("#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://M0.example.com:443/"), topic, F.lit("/"), vs,
+                     F.lit("?b="), vs, F.lit("&a=1&utm_source=y")),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>T"), vs, F.lit(" page</title></head>"),
+        F.lit("<body><h1>P"), vs, F.lit("</h1><p>"), btxt,
+        F.lit("</p></body></html>"),
+    )
+    is_404 = (F.col("m") == 1) & (F.col("v") % 10 == 7)
+    payload = F.when(
+        is_404,
+        F.lit("HTTP/1.1 404 Not Found" + crlf + "Content-Type: text/html"
+              + crlf + crlf + "<html><body>gone</body></html>"),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP/1.1 200 OK" + crlf
+                  + "Content-Type: text/html; charset=utf-8" + crlf + crlf),
+            html,
+        )
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Record-ID: <urn:doc:"), F.col("doc_id").cast("string"),
+        F.lit(">" + crlf),
+        F.lit("WARC-Target-URI: "), raw_url, F.lit(crlf),
+        F.lit("WARC-Date: 2026-03-01T00:00:00Z" + crlf),
+        F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
+        F.lit(crlf), F.lit(crlf), payload, F.lit(crlf + crlf),
+    )
+    rows = g.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
+    wdir = tempfile.mkdtemp(prefix="q201_warc_")
+    # newline="" so Python never translates the spec-mandated CRLFs.
+    with open(os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline="") as fh:
+        fh.write("".join(r["rec"] for r in rows))
+
+    # ---- crawl ladder: everything below derives from the file
+    raw = W.read_warc(spark, wdir)
+    rid = W.warc_header(F.col("record"), "WARC-Record-ID")
+    parsed = W.parse_warc(
+        raw.select(
+            F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long").alias("rec_id"),
+            "record",
+        )
+    )
+    pay = F.col("payload")
+    status = W.http_status(pay)
+    mime = F.trim(F.element_at(F.split(W.http_header(pay, "Content-Type"), ";"), 1))
+    body = W.http_body(pay)
+    rv = F.when(F.col("rec_id") < 200, F.expr("rec_id div 2")).otherwise(
+        F.col("rec_id") - 200
+    )
+    rtopic = (
+        F.when(rv % 3 == 0, F.lit("news"))
+        .when(rv % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("wiki"))
+    )
+    gated = parsed.filter((status == 200) & mime.startswith("text/")).select(
+        "rec_id",
+        "target_uri",
+        rtopic.alias("topic"),
+        ((F.col("rec_id") * 37) % 101).alias("qual"),
+        H.extract_html_text(body).alias("clean_text"),
+    )
+    canon = gated.withColumn("canon_url", _U.canonicalize_url(F.col("target_uri")))
+    surv = _U.url_keeper_dedup(canon, "canon_url", "rec_id", "qual").select(
+        "rec_id", "topic", "clean_text"
+    )
+
+    # ---- dedup ladder (the q195 tiers over the crawled corpus)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("nfc")), "[^\\p{L}\\p{N} ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = (
+        surv.withColumn("nfc", T.unicode_normalize(F.col("clean_text")))
+        .select(
+            "rec_id",
+            "topic",
+            F.size(F.split(F.col("clean_text"), " ")).cast("long").alias("n_tok"),
+            norm.alias("norm"),
+            F.md5(norm).alias("k_n"),
+        )
+        .localCheckpoint()  # one pandas-UDF execution (the q195 rule)
+    )
+    wfull = (
+        W2.partitionBy("k_n")
+        .orderBy("rec_id")
+        .rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
+    )
+    kp = keyed.select(
+        "rec_id", "topic", "n_tok", "norm",
+        F.first("rec_id").over(wfull).alias("keeper_id"),
+    )
+    keep = kp.filter(F.col("rec_id") == F.col("keeper_id")).select(
+        "rec_id", "topic", "n_tok", "norm"
+    )
+    pairs = D.minhash_jaccard_pairs(
+        keep, "rec_id", "norm", threshold=0.5, num_hashes=64, bands=16, shingle_n=3
+    )
+    losers = pairs.select(F.col("id_b").alias("rec_id")).distinct()
+    corpus = keep.join(losers, "rec_id", "left_anti").select(
+        "rec_id", "topic", "n_tok"
+    )
+
+    # ---- temperature mixing over topics + greedy packing
+    mixed = P.temperature_mixing(
+        corpus, strata_col="topic", id_col="rec_id", target_total=30, temperature=0.5
+    ).join(corpus.select("rec_id", "n_tok"), "rec_id")
+    packed = P.pack_sequences(mixed, "topic", "rec_id", "n_tok", budget=128)
+    return (
+        mixed.join(packed.select("topic", "rec_id", "seq_id"), ["topic", "rec_id"])
+        .select("rec_id", "topic", "n_tok", "quota", "seq_id")
+        .orderBy("rec_id")
+    )
