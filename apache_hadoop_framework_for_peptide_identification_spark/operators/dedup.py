@@ -248,9 +248,15 @@ def prefix_jaccard_pairs(
     the hash bounds every posting row at 16 B regardless of n or
     token length (measured on a random-hex corpus: 116.5 → 73.3 MB
     shuffled — a 37% cut, the predicted figure — and 0.57× wall at
-    identical output; BASELINE.md r16). ``hash_postings=False`` keeps the raw
-    string payload for exactly that A/B measurement on a user's own
-    corpus; results are identical either way.
+    identical output; BASELINE.md r16). The wall trade runs BOTH ways
+    with entropy: on the low-entropy synthetic x10 fixture md5 is
+    1.35× wall (compute + incompressible binary exchange vs short
+    compressible strings) — priced and recorded; the default stays
+    md5 because the 100 TB target is real text and the bounded
+    exchange width is what survives a scale-up. ``hash_postings=False``
+    keeps the raw string payload for exactly that A/B measurement on a
+    user's own corpus (switch it for a corpus measured into the
+    penalty regime); results are identical either way.
 
     Shuffles: shingle-frequency groupBy, per-doc position window,
     prefix self-join, pair-verify join — all equi-keyed, never
