@@ -103,6 +103,15 @@ def embedding_neardup_pairs(
     )
 
 
+def _lsh_nospill_budget(n_rows: int) -> int:
+    """The ONE definition of the no-spill candidate-volume budget
+    (max(2M, 16·n): the measured sf0.1 ANN anchor (64, 16) sits
+    exactly at 2M volume and does not spill) — shared by
+    lsh_knobs_volume's default and _resolve_lsh_knobs' explicit-knob
+    warning so the two sites cannot drift (r16 review finding)."""
+    return max(2_000_000, 16 * n_rows)
+
+
 def lsh_knobs_volume(
     n_rows: int,
     recall_target: float = 0.9,
@@ -150,7 +159,7 @@ def lsh_knobs_volume(
         raise ValueError(
             f"lsh_knobs_volume: bit_agreement must be in (0, 1), got {bit_agreement}"
         )
-    budget = max_candidates if max_candidates is not None else max(2_000_000, 16 * n_rows)
+    budget = max_candidates if max_candidates is not None else _lsh_nospill_budget(n_rows)
     all_pairs = n_rows * (n_rows - 1) / 2.0
     best_feasible = None  # (volume, bpb, bands, recall)
     best_degraded = None  # (-recall, volume, bpb, bands)
@@ -191,8 +200,12 @@ def lsh_knobs_volume(
         f"not reachable within {bit_budget} signature bits and "
         f"~{int(budget):,} candidate pairs; degraded to bits_per_band={bpb} x "
         f"bands={bands} with expected_recall={-negrec:.3f} — raise "
-        "bit_agreement (near-dup thresholds imply p >> the ANN default), raise "
-        "max_candidates, or OR multiple independently-seeded signatures",
+        "bit_agreement (near-dup thresholds imply p >> the ANN default), "
+        "raise max_candidates, OR multiple independently-seeded signatures, "
+        "or switch tiers: at this corpus size a 64-bit hyperplane signature "
+        "is the wrong ANN tool — ivf_topk / pq_query / ivfpq_query hold "
+        "their recall with persisted indexes (the measured scale-invariance "
+        "classes, docs/SCALE.md)",
         stacklevel=2,
     )
     out = {"bits": bpb * bands, "bands": bands, "bits_per_band": bpb,
@@ -241,7 +254,7 @@ def _resolve_lsh_knobs(
     if n_rows is not None and bands >= 1:
         bpb = bits // max(bands, 1)
         volume = bands * (n_rows * (n_rows - 1) / 2.0) / (2.0 ** max(bpb, 1))
-        budget = max(2_000_000, 16 * n_rows)
+        budget = _lsh_nospill_budget(n_rows)
         if volume > budget:
             warnings.warn(
                 f"{caller}: explicit (bits={bits}, bands={bands}) expects "
@@ -806,14 +819,15 @@ def lsh_knobs(
     bits (bits_per_band × bands > 64): at that point one signature
     word cannot buy the recall — lower the target, raise p (higher
     threshold), or OR several independently-seeded signatures at the
-    query layer. ``clamp=True`` (r16 — the auto-knob default path in
-    embedding_neardup_lsh / lsh_ann_topk) degrades gracefully
-    instead: it returns the maximum feasible bands within the 64-bit
-    budget at the rule's bits_per_band (NEVER fewer bits per band —
-    that reopens the measured spill regime) and warns loudly with
-    the achieved ``expected_recall``, because an operator that
-    refuses to run at 10× corpus is worse at 100 TB than one that
-    runs at a stated lower recall. Returns {bits, bands,
+    query layer. ``clamp=True`` degrades gracefully instead: it
+    returns the maximum feasible bands within the 64-bit budget at
+    the rule's bits_per_band (NEVER fewer bits per band) and warns
+    loudly with the achieved ``expected_recall``. NOTE (r16): this
+    function is the measured-CURVE api (per-row collision rule); the
+    operators' auto-knob DEFAULT path is :func:`lsh_knobs_volume`,
+    which additionally bounds total candidate volume — the x10 probe
+    measured this curve's growth rule into a 7.4 GB spill, so tune
+    auto behavior THERE, not here. Returns {bits, bands,
     bits_per_band, expected_recall} ready to splat into lsh_ann_topk
     / embedding_neardup_lsh.
     """
@@ -924,14 +938,21 @@ def lsh_ann_topk(
     """Approximate top-k cosine: hyperplane-LSH bucket join + exact
     re-rank of candidates. Corpus signatures are one Arrow-batched pass;
     the candidate join shuffles on (band, band_bits) only. Knobs left
-    unset derive from the corpus count via :func:`lsh_knobs` (r16 —
-    the measured docs/SCALE.md curves as the DEFAULT; ``bit_agreement``
-    keeps the conservative measured ANN anchor p=0.608, and at corpus
-    sizes where 64 signature bits cannot buy ``recall_target`` the
-    clamp runs at the stated-achievable recall with a loud warning
-    instead of entering the measured spill regime). Explicit knobs
-    are honored, warned against the spill curve when ``n_rows`` is
-    known — see :func:`_resolve_lsh_knobs`."""
+    unset derive from the corpus count via :func:`lsh_knobs_volume`
+    (r16 — volume-minimal at ``recall_target`` within the no-spill
+    budget; ``bit_agreement`` keeps the conservative measured ANN
+    anchor p=0.608; the sizing count is one extra job, skipped by
+    passing ``n_rows``). TIER BOUNDARY, stated plainly: at p≈0.608 a
+    single 64-bit signature buys 0.9 recall only up to roughly the
+    2k-row anchor — beyond that the auto path degrades to the
+    achievable recall WITH A LOUD WARNING naming the number, because
+    the alternative (the r15-measured fixed-knob path) is a 3.9 GiB
+    spill at equal recall. For high-recall ANN at larger corpus
+    sizes use the quantizer tiers instead — ivf_topk / pq_query /
+    ivfpq_query hold recall with persisted indexes (docs/SCALE.md
+    scale-invariance classes). Explicit knobs are honored, warned
+    against the volume budget when ``n_rows`` is known — see
+    :func:`_resolve_lsh_knobs`."""
     bits, bands = _resolve_lsh_knobs(
         corpus.select(id_col), bits, bands, n_rows, bit_agreement, recall_target,
         "lsh_ann_topk",
@@ -1411,13 +1432,17 @@ def _ivfpq_encode(
             if len(pdf) == 0:
                 yield pd.DataFrame({"n_id": [], "cell": [], "codes": []})
                 continue
-            lens = pdf["v"].map(len).to_numpy()
+            # None-aware: len(None) would surface as an opaque executor
+            # TypeError with no document id — exactly the failure mode
+            # this guard exists to prevent (r16 review finding).
+            lens = pdf["v"].map(lambda x: -1 if x is None else len(x)).to_numpy()
             bad = np.nonzero(lens != m * d_sub)[0]
             if bad.size:
                 i = int(bad[0])
+                what = "is NULL" if lens[i] < 0 else f"has dim {int(lens[i])}"
                 raise ValueError(
-                    f"IVF-PQ encode: vector for id {pdf['id'].iloc[i]!r} has dim "
-                    f"{int(lens[i])} but the index encodes dim {m * d_sub} "
+                    f"IVF-PQ encode: vector for id {pdf['id'].iloc[i]!r} {what} "
+                    f"but the index encodes dim {m * d_sub} "
                     f"(m={m} × d_sub={d_sub})"
                 )
             mat = _normalize_rows(

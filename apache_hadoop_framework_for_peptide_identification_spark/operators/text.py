@@ -212,15 +212,18 @@ def char_ngram_lid(
     ``('und', 0)`` — a silent drop would exempt exactly the documents
     a language gate most needs to flag.
 
-    Scale shape: the corpus reduces to (id, bucket) occurrence rows
-    scan-side, joins the BROADCAST model (≤ buckets × n_langs rows),
-    and partially aggregates map-side — one shuffle of
-    (id, lang, partial sum) rows, document text never leaves its
-    scan. ``n`` and ``buckets`` must match the model's training
-    values (the bucket space IS the feature space)."""
+    Scale shape (stated exactly — r16 review finding): TWO scans of
+    the source (a column-pruned id scan for the output universe and
+    the n-gram occurrence scan) and ONE data shuffle — the
+    (id, lang, partial-sum) aggregate after the broadcast-model join;
+    the closing restore join is metrics-sized per id. Document text
+    never leaves its scan. Ids are assumed unique per row (the
+    registry-wide contract) — no distinct pass is spent re-proving
+    it. ``n`` and ``buckets`` must match the model's training values
+    (the bucket space IS the feature space)."""
     from pyspark.sql import Window
 
-    ids = df.select(F.col(id_col).alias("id")).distinct()
+    ids = df.select(F.col(id_col).alias("id"))
     occ = df.select(
         F.col(id_col).alias("id"),
         F.explode(_char_ngram_buckets(F.col(text_col), n, buckets)).alias("bucket"),

@@ -2563,9 +2563,14 @@ def q199_ann_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", n_cells=16, m=8, n_codes=16
     )
     queries = emb.filter(F.col("vec_id") < 5)
+    # corpus_rows from the parquet-backed source (metadata-cheap) — a
+    # bare candidate_frac would size via encoded.count(), executing the
+    # whole uncached Arrow encode pass a second time (r16 review
+    # finding); this is exactly the index-manifest path the parameter
+    # exists for.
     return similarity.ivfpq_query(
         queries, enc, cents, cb, emb, "vec_id", "embedding",
-        k=5, n_probe=16, candidate_frac=1.0,
+        k=5, n_probe=16, candidate_frac=1.0, corpus_rows=emb.count(),
     ).orderBy("q_id", "rn")
 
 

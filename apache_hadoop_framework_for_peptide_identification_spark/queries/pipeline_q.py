@@ -2362,8 +2362,11 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("rec_id") * 37) % 101).alias("qual"),
         H.extract_html_text(body).alias("clean_text"),
     )
-    canon = gated.withColumn("canon_url", _U.canonicalize_url(F.col("target_uri")))
-    surv = _U.url_keeper_dedup(canon, "canon_url", "rec_id", "qual").select(
+    # url_keeper_dedup canonicalizes url_col itself (projection + one
+    # keeper shuffle) — feeding it target_uri directly avoids running
+    # the full canonicalization twice and avoids silently leaning on
+    # its idempotence (r16 review finding).
+    surv = _U.url_keeper_dedup(gated, "target_uri", "rec_id", "qual").select(
         "rec_id", "topic", "clean_text"
     )
 

@@ -382,12 +382,13 @@ def test_corpus_build_e2e_matches_oracle(spark):
         con.close()
         assert rep["match"], (sf_dir, rep)
         assert len(spdf) >= 20  # the 30-target mix modulo integer quotas
-        # every topic stratum present and every bin within budget
+        # every topic stratum present; every bin within budget OR a
+        # legitimate single-doc over-budget bin (pack_sequences'
+        # bigger-than-budget contract) — per BIN, not globally
         assert set(spdf["topic"]) == {"news", "blog", "wiki"}
-        fill = spdf.groupby(["topic", "seq_id"])["n_tok"].sum()
-        assert (fill[fill.index.map(lambda i: True)] <= 128).all() or (
-            spdf.groupby(["topic", "seq_id"])["rec_id"].count().max() == 1
-        )
+        grp = spdf.groupby(["topic", "seq_id"])["n_tok"]
+        fill, counts = grp.sum(), grp.count()
+        assert ((fill <= 128) | (counts == 1)).all(), fill[fill > 128]
 
     # Exchange-payload pin, walker shared with the prefix-filter test
     # (AdaptiveSparkPlanExec exposes the exchanged tree via inputPlan
