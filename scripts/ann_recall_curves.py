@@ -127,6 +127,40 @@ def main() -> None:
                 ("PQ", "frac=0.025 (m=8)", recall, mrr, time.monotonic() - t0)
             )
 
+    # -------------------------------------------------------- IVF-PQ
+    # The composed tier (r16): recall@10 vs n_probe at a fixed 2.5%
+    # candidate fraction, plus a fraction sweep at n_probe=4 — the two
+    # budgets an IVFPQ deployment tunes (cells scanned × re-rank).
+    t0 = time.monotonic()
+    enc3, cents3, cb3 = S.build_ivfpq_index(
+        emb, "vec_id", "embedding", n_cells=16, m=8, n_codes=16
+    )
+    enc3 = enc3.localCheckpoint()
+    builds.append(("IVFPQ", "n_cells=16,m=8,n_codes=16", time.monotonic() - t0))
+    n_corpus = emb.count()
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.monotonic()
+        cand = S.ivfpq_query(
+            queries, enc3, cents3, cb3, emb, "vec_id", "embedding",
+            k=K, n_probe=n_probe, candidate_frac=0.025, corpus_rows=n_corpus,
+        )
+        recall, mrr = _eval(spark, truth_df, cand)
+        rows.append(
+            ("IVFPQ", f"n_probe={n_probe} (frac=0.025)", recall, mrr,
+             time.monotonic() - t0)
+        )
+    for frac in (0.01, 0.05, 0.1):
+        t0 = time.monotonic()
+        cand = S.ivfpq_query(
+            queries, enc3, cents3, cb3, emb, "vec_id", "embedding",
+            k=K, n_probe=4, candidate_frac=frac, corpus_rows=n_corpus,
+        )
+        recall, mrr = _eval(spark, truth_df, cand)
+        rows.append(
+            ("IVFPQ", f"frac={frac} (n_probe=4)", recall, mrr,
+             time.monotonic() - t0)
+        )
+
     # ---------------------------------------------------------- LSH
     for bits, bands in ((16, 4), (32, 4), (32, 8), (64, 8), (64, 16), (16, 16)):
         t0 = time.monotonic()
