@@ -172,32 +172,26 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 16
+_CHANGED_IN_ROUND = 17
 _CHANGED_THIS_ROUND = [
-    # r16: prefix_jaccard_pairs / containment_prefix_pairs posting
-    # payload hashed to 16-byte md5 (VERDICT r15 item 1 — the q177
-    # discipline; exactness class unchanged, results identical, but
-    # every exchange in these paths changed). Each carrier query
-    # takes a fresh verdict on the changed implementation.
-    "q107_prefix_jaccard",
-    "q121_prefix_jaccard_corpus",
-    "q165_containment_prefix_corpus",
-    # r16: q197's staged replay now runs FOUR phases with a mid-stream
-    # stop-compact-resume (compact_ingest_store between phases C and D
-    # through the same checkpoint — VERDICT r15 item 3); the query body
-    # changed, fresh verdict on the compaction-in-the-replay form.
-    "q197_stream_dedup_ladder",
-    # r16, deliberately NOT pinned: q114/q118 (embedding_neardup_lsh /
-    # lsh_ann_topk gained auto-knob resolution this round). Pinning them
-    # would cost the r12 cohort its last two slots (47 age-4 queries +
-    # 2 never-verified + the q197 pin fill the window exactly — the
-    # capacity crunch VERDICT r15 item 2 predicted). The change in
-    # THEIR graded path is a pass-through (explicit knobs honored
-    # verbatim, no n_rows -> no guard): output-identical, proven this
-    # round by the local oracle sweep, a foreign-CWD driver sim (both
-    # MATCH), and the new auto-knob pytest; the genuinely new code (the
-    # volume solver) is not on their path at all. Both are r13-cohort,
-    # so the oldest-first rotation grades them next round regardless.
+    # r17 window = q200 (the round's single never-verified registrant,
+    # VERDICT r16 item 1) + the 49-query r13 cohort, seated by the
+    # oldest-first rule with ZERO pins — the capacity math is exact and
+    # a single pin of an r14+-verdict query would push an r13-cohort
+    # query past the age bound (the forward-simulation test enforces
+    # this). q114/q118's deferred auto-knob verdicts land here
+    # automatically (both r13-cohort).
+    #
+    # r17, deliberately NOT pinned (the recorded q114/q118 precedent):
+    # q196/q199 sit on pq_query/ivfpq_query, whose per-partition ADC
+    # pre-cut gained a deterministic tie-break this round (ADVICE r16
+    # item 1). Neither graded configuration EXERCISES the cut: q196 and
+    # q199 run keep-everything budgets (candidate_frac=1.0 / budget ≥
+    # partition size ⇒ the cut is a no-op), so their outputs are
+    # bit-identical — proven by the local oracle sweep this round — and
+    # q196 is r15-cohort (graded r18 window regardless), q199 r16-cohort.
+    # q200, whose budget DOES engage the cut, is never-verified and takes
+    # its first driver verdict on the fixed implementation this round.
 ]
 
 

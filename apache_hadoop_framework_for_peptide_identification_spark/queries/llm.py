@@ -2575,13 +2575,12 @@ def q199_ann_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# r17 REGISTRY CANDIDATE (written + oracle-verified r16; NOT yet @query —
-# this round's window slots went to the 47-query r12 re-verification
-# cohort + q197–q199, and the self-rotating capacity math allows exactly
-# one new driver query in r17: this one). Verified today by
-# tests/test_similarity.py::test_ivfpq_recall_form_matches_oracle, which
-# runs the same compare the driver runs, at sf0.001 AND sf0.01. To
-# register: wrap with @query("q200_ann_ivfpq_recall", oracle=Q200_ORACLE).
+# Registered r17 (staged + oracle-verified in r16: the r16 window's slots
+# went to the 47-query r12 re-verification cohort + q197–q199, and the
+# self-rotating capacity math allowed exactly one new driver query this
+# round — this one). tests/test_similarity.py::
+# test_ivfpq_recall_form_matches_oracle keeps running the driver's own
+# compare at sf0.001 AND sf0.01 beside the driver verdict.
 Q200_ORACLE = """
 WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings WHERE vec_id % 61 = 7
@@ -2667,6 +2666,7 @@ FROM m ORDER BY q_id
 """
 
 
+@query("q200_ann_ivfpq_recall", oracle=Q200_ORACLE)
 def q200_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ in its genuinely APPROXIMATE configuration
     (q194's treatment for the composed tier): 20 query vectors run
