@@ -845,11 +845,29 @@ def lsh_knobs(
         )
     bpb = base_bits_per_band + max(0, math.ceil(math.log2(max(n_rows, 1) / base_rows)))
     x = bit_agreement**bpb
-    bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - x)))
+    # log1p, not log(1-x): past ~bpb=64 the per-band collision x is so
+    # small that 1.0-x rounds to 1.0 and log() returns an exact 0 —
+    # a ZeroDivisionError on the way to the very branch (clamp / the
+    # 64-bit refusal) that handles this regime. x can even underflow to
+    # 0.0 outright at absurd n_rows; both cases mean "one signature
+    # word cannot buy the target", i.e. bands → the >64-bit path.
+    if x <= 0.0:
+        bands = 1 << 62
+    else:
+        bands = max(1, math.ceil(math.log(1.0 - recall_target) / math.log1p(-x)))
     bits = bpb * bands
     if bits > 64 and clamp:
         import warnings
 
+        # The growth rule itself can exceed the word (ADVICE r16 item 2:
+        # at huge n_rows bpb alone passes 63, bands=1 still leaves
+        # bits=bpb > 64 and the validator below would raise — the clamp
+        # path must never throw). Cap bits_per_band at 63 so at least
+        # one band always fits the packed 64-bit signature; the recall
+        # x recomputes against the capped bpb.
+        if bpb > 63:
+            bpb = 63
+            x = bit_agreement**bpb
         bands = max(1, 64 // bpb)
         bits = bpb * bands
         achieved = 1.0 - (1.0 - x) ** bands
@@ -1250,8 +1268,14 @@ def pq_query(
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 scores = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                # Deterministic pre-cut (ADVICE r16): the cut order must
+                # agree with the global (approx_ip desc, n_id asc) window
+                # or boundary TIES (twin vectors encode to identical
+                # codes ⇒ identical ADC scores) make the survivor depend
+                # on the physical partitioning. lexsort's last key is
+                # primary: (-scores) desc-by-score, n_ids breaks ties.
                 top = (
-                    np.argpartition(-scores, n_candidates)[:n_candidates]
+                    np.lexsort((n_ids, -scores))[:n_candidates]
                     if len(scores) > n_candidates
                     else np.arange(len(scores))
                 )
@@ -1710,8 +1734,12 @@ def ivfpq_query(
                     + tables[qi][np.arange(m)[None, :], codes[sel]].sum(axis=1)
                 )
                 ids_sel = n_ids[sel]
+                # Deterministic pre-cut (ADVICE r16): agree with the
+                # global (approx_ip desc, n_id asc) window under ADC
+                # score ties, or the kept candidate depends on the
+                # physical layout of `encoded` (same fix as pq_query).
                 top = (
-                    np.argpartition(-sc, n_candidates)[:n_candidates]
+                    np.lexsort((ids_sel, -sc))[:n_candidates]
                     if len(sc) > n_candidates
                     else np.arange(len(sc))
                 )

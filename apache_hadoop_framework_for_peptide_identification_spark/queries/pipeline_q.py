@@ -2202,6 +2202,10 @@ SELECT rec_id, topic, n_tok, quota, seq_id FROM packed ORDER BY rec_id
     )
 )
 
+# q201's planted-WARC fixture dirs, one per sf_dir, cleaned at exit
+# (ADVICE r16 item 4 — see the body comment).
+_Q201_WARC_DIRS: dict[str, str] = {}
+
 
 def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-BUILD capstone composition (written r16 — VERDICT r15
@@ -2328,11 +2332,28 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
         F.lit(crlf), F.lit(crlf), payload, F.lit(crlf + crlf),
     )
-    rows = g.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
-    wdir = tempfile.mkdtemp(prefix="q201_warc_")
-    # newline="" so Python never translates the spec-mandated CRLFs.
-    with open(os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline="") as fh:
-        fh.write("".join(r["rec"] for r in rows))
+    # One fixture dir per (process, sf_dir), torn down at interpreter
+    # exit (ADVICE r16 item 4): the dir must OUTLIVE this function —
+    # the returned DataFrame reads it lazily — so a with-scoped
+    # TemporaryDirectory is wrong, but bare mkdtemp leaked a
+    # q201_warc_* dir per invocation (three per pytest, one per
+    # driver/bench sweep once registered). The fixture is
+    # deterministic per sf_dir, so repeat invocations also reuse the
+    # first write instead of re-materializing it.
+    wdir = _Q201_WARC_DIRS.get(sf_dir)
+    if wdir is None or not os.path.isdir(wdir):
+        wdir = tempfile.mkdtemp(prefix="q201_warc_")
+        _Q201_WARC_DIRS[sf_dir] = wdir
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, wdir, ignore_errors=True)
+        rows = g.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
+        # newline="" so Python never translates the spec-mandated CRLFs.
+        with open(
+            os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline=""
+        ) as fh:
+            fh.write("".join(r["rec"] for r in rows))
 
     # ---- crawl ladder: everything below derives from the file
     raw = W.read_warc(spark, wdir)

@@ -420,6 +420,7 @@ def test_prefix_filter_exchanges_carry_hashed_shingles_only(spark):
     from apache_hadoop_framework_for_peptide_identification_spark.operators import dedup
 
     d = load_table(spark, SF, "documents").repartition(8)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for fn in (dedup.prefix_jaccard_pairs, dedup.containment_prefix_pairs):
@@ -445,9 +446,12 @@ def test_prefix_filter_exchanges_carry_hashed_shingles_only(spark):
                     if attr.name() in ("sh", "s_a", "s_b") and t == "binary":
                         binary_sh += 1
             assert not bad, f"raw strings riding exchanges: {bad}"
-            assert binary_sh >= 5, f"{fn.__name__}: expected hashed shingle "
+            assert binary_sh >= 5, (
+                f"{fn.__name__}: expected >= 5 binary sh/s_a/s_b columns on "
+                f"exchange outputs (the hashed-shingle payload), got {binary_sh}"
+            )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def test_q165_has_no_nested_loop_join(spark):

@@ -633,6 +633,18 @@ def test_lsh_knobs_encodes_measured_curve():
             lsh_knobs(2000, recall_target=bad)
     with pytest.raises(ValueError, match="n_rows"):
         lsh_knobs(0)
+    # ADVICE r16 item 2: clamp=True must NEVER throw, even when the
+    # growth rule's bits_per_band alone exceeds the 64-bit word (huge
+    # n_rows) — bpb caps at 63 so one band always fits the signature.
+    import warnings as _warnings
+
+    for huge in (2000 * 2**60, 2000 * 2**62, 10**30):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            kc = lsh_knobs(huge, recall_target=0.9, clamp=True)
+        assert kc["bits"] <= 64 and kc["bits_per_band"] <= 63
+        assert kc["bands"] >= 1
+        assert _validate_banding(kc["bits"], kc["bands"], "t") == kc["bits_per_band"]
 
 
 def test_auto_lsh_knobs_default_path(spark):
@@ -882,3 +894,78 @@ def test_ivfpq_recall_form_matches_oracle(spark):
         # on average or the knobs stopped measuring anything
         mean_recall = float(spdf["recall_at_k"].mean())
         assert 0.0 < mean_recall < 1.0, mean_recall
+
+
+def test_adc_precut_deterministic_under_ties(spark):
+    """ADVICE r16 item 1: twin vectors encode to identical codes (same
+    cell, same ADC score for every query), so when the candidate-budget
+    boundary lands inside a tie group the per-partition pre-cut used to
+    keep an ARBITRARY member — the survivor depended on the physical
+    partitioning of ``encoded``. The cut now tie-breaks exactly like
+    the global candidate window, (approx_ip desc, n_id asc), which is
+    the necessary-and-sufficient condition for layout invariance: any
+    element of the global top-N has < N elements ahead of it in the
+    total order, hence < N in its own partition, so every local cut
+    retains it. Doubles the fixture corpus (vec_id and vec_id+100000
+    share an embedding), runs pq_query AND ivfpq_query over four
+    physical layouts of the same encoded frame at a budget far below
+    the tie-pair count, and asserts bit-identical results plus the
+    lowest-n_id-wins rule inside surviving tie pairs."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import similarity as S
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    twin = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twin)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    layouts = [
+        lambda df: df.repartition(1),
+        lambda df: df.repartition(13, "n_id"),
+        lambda df: df.orderBy(F.col("n_id").desc()).coalesce(2),
+        lambda df: df.repartition(7, "codes"),
+    ]
+
+    def check(results):
+        assert all(r == results[0] for r in results[1:]), (
+            "pre-cut survivors depend on the physical layout of encoded"
+        )
+        rows = results[0]
+        assert rows, "empty result defeats the test"
+        # lowest-n_id-wins inside a surviving tie pair: a +100000 twin in
+        # the output implies its base sibling ranks strictly ahead of it
+        # (the base can only be absent when it IS the query, which the
+        # q_id != n_id filter removes while its twin scores cos=1.0).
+        by_q: dict[int, dict[int, int]] = {}
+        for q_id, n_id, rn in rows:
+            by_q.setdefault(q_id, {})[n_id] = rn
+        twins_seen = 0
+        for q_id, ranks in by_q.items():
+            for n_id, rn in ranks.items():
+                if n_id >= 100000 and n_id - 100000 != q_id:
+                    twins_seen += 1
+                    assert ranks.get(n_id - 100000, 10**9) < rn, (q_id, n_id)
+        assert twins_seen > 0, "no tie pair reached the output — weak fixture"
+
+    enc_pq, cb_pq = S.build_pq_index(corpus, "vec_id", "embedding", m=8, n_codes=16)
+    check([
+        sorted(map(tuple, S.pq_query(
+            q, lay(enc_pq), cb_pq, corpus, "vec_id", "embedding",
+            k=8, n_candidates=20,
+        ).select("q_id", "n_id", "rn").collect()))
+        for lay in layouts
+    ])
+
+    enc_iv, cents, cb_iv = S.build_ivfpq_index(
+        corpus, "vec_id", "embedding", n_cells=4, m=8, n_codes=16
+    )
+    check([
+        sorted(map(tuple, S.ivfpq_query(
+            q, lay(enc_iv), cents, cb_iv, corpus, "vec_id", "embedding",
+            k=8, n_probe=2, n_candidates=20,
+        ).select("q_id", "n_id", "rn").collect()))
+        for lay in layouts
+    ])
