@@ -2743,3 +2743,97 @@ def q200_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=10)
     return similarity.retrieval_eval(truth, approx, k=10).orderBy("q_id")
+
+
+# --------------------------------------------------------------------------
+# r18/r19 REGISTRY CANDIDATE (written + staged r17 — VERDICT r16 item 3:
+# the trained KEEP/DROP quality gate above the heuristic tier, q198's
+# integer-exact machinery with binary labels). NOT yet @query: the r17
+# window had exactly one free slot (q200 took it, per the capacity math)
+# and r18's three spare slots are planned as q201 + this + headroom.
+# Verified by tests/test_corpus_ops.py::test_quality_gate_form_matches_oracle,
+# which runs the driver's own compare at sf0.001 AND sf0.01 (the
+# q200/q201 pre-registration discipline). To register: wrap with
+# @query("q202_trained_quality_gate", oracle=Q202_ORACLE).
+_Q202_BOILER = (
+    "click here to subscribe now accept all cookies terms of "
+    "service privacy policy all rights reserved "
+)
+
+Q202_ORACLE = """
+WITH train AS (
+  SELECT 'keep' AS lang, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT 'drop' AS lang,
+         '{boiler}' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 30),
+tf AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(substr(text, i, 3)), 1, 15))::UBIGINT % 4096
+              AS BIGINT) AS bucket
+  FROM train, unnest(range(1, length(text) - 1)) AS u(i)
+  WHERE length(text) >= 3),
+cts AS (SELECT lang, bucket, count(*) AS ct FROM tf GROUP BY 1, 2),
+tot AS (SELECT lang, count(*) AS total FROM tf GROUP BY 1),
+model AS (SELECT bucket, cts.lang, CAST((ct * 1000000) // total AS BIGINT) AS w
+          FROM cts JOIN tot USING (lang)),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text
+              ELSE '{boiler}' || substr(text, 1, 40) END AS text
+  FROM documents WHERE doc_id >= 30 AND doc_id < 230),
+occ AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(substr(text, i, 3)), 1, 15))::UBIGINT % 4096
+              AS BIGINT) AS bucket
+  FROM docs, unnest(range(1, length(text) - 1)) AS u(i)
+  WHERE length(text) >= 3),
+sc AS (SELECT doc_id,
+              CAST(sum(CASE WHEN lang = 'keep' THEN w ELSE 0 END)
+                   - sum(CASE WHEN lang = 'drop' THEN w ELSE 0 END)
+                   AS BIGINT) AS margin
+       FROM occ JOIN model USING (bucket) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(s.margin, 0) AS BIGINT) AS margin,
+       coalesce(s.margin, 0) > 0 AS keep
+FROM docs d LEFT JOIN sc s USING (doc_id)
+ORDER BY d.doc_id
+""".format(boiler=_Q202_BOILER)
+
+
+def q202_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (r17 — VERDICT r16 item 3: the
+    CCNet/RefinedWeb-style trained keep/drop gate above the heuristic
+    quality_score tier): q198's integer-exact machinery with a BINARY
+    label set. train_char_ngram_lid learns per-class per-million
+    BIGINT trigram frequencies from 30 planted keep docs (fixture
+    text) and 30 planted drop docs (a constant boilerplate string —
+    the subscribe/cookie/rights web chrome every public recipe
+    filters — plus the doc_id so the rows are distinct);
+    operators/text.quality_gate scores 200 held-out docs (even
+    doc_id = clean text, odd = the same boilerplate prepended to a
+    40-char text stub) as one broadcast-model join + ONE map-side-
+    combinable conditional-sum aggregate, margin = keep_w - drop_w
+    exact BIGINT, keep = margin > 0; docs with nothing to score fail
+    closed at margin 0. The oracle RETRAINS the whole model in SQL
+    and re-scores every doc (the q198 replay discipline), so a
+    drifted feature hash, biased quantization, or a silently-kept
+    unseen doc all hash-mismatch. Scale shape: the model is a
+    ≤8192-row broadcast; the corpus reduces to (id, bucket) at the
+    scan and aggregates map-side — document text never enters an
+    exchange."""
+    d = _t(spark, sf_dir, "documents")
+    tb = d.filter(F.col("doc_id") < 30)
+    train = tb.select(F.lit("keep").alias("lang"), F.col("text")).unionByName(
+        tb.select(
+            F.lit("drop").alias("lang"),
+            F.concat(F.lit(_Q202_BOILER), F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    model = T.train_char_ngram_lid(train, "text", "lang", n=3, buckets=4096)
+    docs = d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 230)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.lit(_Q202_BOILER), F.substring("text", 1, 40)))
+        .alias("text"),
+    )
+    return T.quality_gate(docs, "doc_id", "text", model).orderBy("doc_id")

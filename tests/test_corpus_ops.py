@@ -249,3 +249,96 @@ def test_trained_lid_edges_ties_and_partition_histogram(spark):
         assert parts == ["lang=en", "lang=und", "lang=xx"]
         back = spark.read.parquet(f"{d}/out")
         assert back.filter(F.col("lang") == "en").count() == 6
+
+
+def test_quality_gate_edges_and_threshold(spark):
+    """r17 trained quality gate (operators/text.quality_gate — VERDICT
+    r16 item 3): (1) clearly-keep and clearly-drop texts separate with
+    the right margin signs; (2) NULL / shorter-than-n / fully-unseen
+    docs FAIL CLOSED (margin 0, keep=false at the default threshold)
+    and fail OPEN at threshold=-1; (3) the margin is the exact BIGINT
+    keep-minus-drop weight sum (hand-checked against the collected
+    model); (4) identical labels raise."""
+    import pytest
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [("keep", "the cat sat on the mat with the hat"),
+         ("keep", "the dog and the log on the bog"),
+         ("drop", "click here subscribe now cookie policy"),
+         ("drop", "subscribe now click here rights reserved")],
+        "lang string, text string",
+    )
+    model = T.train_char_ngram_lid(train, "text", "lang", n=3, buckets=512)
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog sat on the mat"),
+         (2, "click here subscribe now rights reserved"),
+         (3, None),
+         (4, "ab"),
+         (5, "ÿþýü")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["margin"], r["keep"])
+           for r in T.quality_gate(docs, "doc_id", "text", model,
+                                   n=3, buckets=512).collect()}
+    assert out[1][0] > 0 and out[1][1] is True
+    assert out[2][0] < 0 and out[2][1] is False
+    for d in (3, 4, 5):
+        assert out[d] == (0, False), (d, out[d])
+    # fail open at threshold=-1: the unjudgeable docs flip to keep
+    open_out = {r["doc_id"]: r["keep"]
+                for r in T.quality_gate(docs, "doc_id", "text", model,
+                                        threshold=-1, n=3, buckets=512).collect()}
+    assert open_out[3] is True and open_out[4] is True and open_out[5] is True
+    assert open_out[2] is False  # a real negative margin stays dropped
+
+    # (3) margin equals the hand-computed sum over the collected model
+    w = {}
+    for r in model.collect():
+        w.setdefault(r["bucket"], {})[r["lang"]] = r["w"]
+    import hashlib
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 512
+
+    text1 = "the cat and the dog sat on the mat"
+    hand = 0
+    for i in range(len(text1) - 2):
+        bw = w.get(bucket(text1[i:i + 3]), {})
+        hand += bw.get("keep", 0) - bw.get("drop", 0)
+    assert out[1][0] == hand
+
+    with pytest.raises(ValueError, match="must differ"):
+        T.quality_gate(docs, "doc_id", "text", model,
+                       keep_label="keep", drop_label="keep")
+
+
+def test_quality_gate_form_matches_oracle(spark):
+    """The r18/r19 registry candidate verified the way the driver will
+    verify it (queries/llm.py q202_trained_quality_gate + Q202_ORACLE):
+    full SQL retrain + re-score replay, hash-compared at sf0.001 AND
+    sf0.01 (the q200/q201 pre-registration discipline), plus the
+    separation sanity check — the gate must actually split the planted
+    clean/boilerplate classes, or the fixture stopped measuring."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries.llm import (
+        Q202_ORACLE,
+        q202_trained_quality_gate,
+    )
+    from tests.oracle import compare, duck_connection
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        spdf = q202_trained_quality_gate(spark, sf_dir).toPandas()
+        con = duck_connection(sf_dir)
+        rep = compare(spdf, con.execute(Q202_ORACLE).df())
+        con.close()
+        assert rep["match"], (sf_dir, rep)
+        assert len(spdf) == 200
+        kept = int(spdf["keep"].sum())
+        assert 0 < kept < 200, kept
+        # the planted classes must land on the right side of the gate:
+        # every even (clean) doc keeps, every odd (boilerplate) drops
+        even_kept = spdf[spdf.doc_id % 2 == 0]["keep"]
+        odd_kept = spdf[spdf.doc_id % 2 == 1]["keep"]
+        assert float(even_kept.mean()) > 0.9, float(even_kept.mean())
+        assert float(odd_kept.mean()) < 0.1, float(odd_kept.mean())
