@@ -73,6 +73,8 @@ QUERIES = [
     "q100_paragraph_dedup",
     "q106_textrank_keywords",
     "q165_containment_prefix_corpus",
+    # composed-ANN tier (byte-exponent runs on the .scaledata fixtures)
+    "ivfpq_query_prod",
 ]
 # None = no stock twin exists (composition queries): engine-only row —
 # the byte shape is the claim (keeper exchange ships hashes, not text).
@@ -80,7 +82,51 @@ STOCK_NAMES = {
     "q67_embedding_neardup_lsh": "q67_embedding_neardup",
     "q42_dedup_minhash_lsh": "q42_minhash_lsh",
     "q195_dedup_ladder_e2e": None,
+    "ivfpq_query_prod": None,
 }
+
+
+def _ivfpq_prod_form(spark):
+    """Composed-tier audit form (r17 — VERDICT r16 item 4: ivfpq_query
+    joins the byte-exponent table the way the other ANN tiers did):
+    the PRODUCTION ivfpq_query path at the recall-curve knobs (16
+    cells, m=8, n_probe=4, candidate_frac=0.025 — docs/SCALE.md's
+    IVFPQ sweep row), 50 query vectors. Index build + corpus encode
+    run OUTSIDE the measured window (localCheckpoint materializes the
+    postings first, exactly how a production index is read back from
+    parquet) — the byte claim under audit is the QUERY path's
+    candidate shuffle, which the candidate_frac rule holds linear in
+    the corpus. Returns the measured-window run callable."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import (
+        load_table,
+    )
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    enc, cents, cb = S.build_ivfpq_index(
+        emb, "vec_id", "embedding", n_cells=16, m=8, n_codes=16
+    )
+    enc = enc.localCheckpoint()
+    q = emb.filter(F.col("vec_id") < 50)
+
+    def run():
+        S.ivfpq_query(
+            q, enc, cents, cb, emb, "vec_id", "embedding",
+            k=10, n_probe=4, candidate_frac=0.025, corpus_rows=n,
+        ).collect()
+        return False
+
+    return run
+
+
+# Non-registry audit forms: name -> fn(spark) doing any un-audited
+# setup (index builds) and returning the measured-window callable.
+CUSTOM_FORMS = {"ivfpq_query_prod": _ivfpq_prod_form}
 
 FIELDS = (
     "inputBytes",
@@ -256,6 +302,12 @@ def main() -> None:
     # the audit set; bytes attribution starts from the next snapshot.
     REGISTRY["q40_dedup_exact"].fn(spark, SF_DIR).collect()
     for q in queries:
+        if q in CUSTOM_FORMS:
+            # setup (index build/encode) runs BEFORE _audit_one's
+            # snapshot, so its stages never enter the measured window
+            run = CUSTOM_FORMS[q](spark)
+            _audit_one(reader, "engine", q, run, results)
+            continue
         qd = REGISTRY.get(q) or BENCH_REGISTRY[q]
         _audit_one(
             reader, "engine", q,
