@@ -609,6 +609,78 @@ def compact_ingest_store(
     return out
 
 
+def ingest_store_fragmentation(
+    spark,
+    store_dir: str,
+    substores: tuple[str, ...] = ("postings", "texts", "pairs", "keepers", "tiers"),
+) -> dict:
+    """Fragmentation signal for a stream-ingest store (r17 — VERDICT
+    r16 item 5: q197 proved the stop-compact-resume CADENCE; this is
+    the sensor that decides WHEN, so a production loop triggers
+    compaction on a threshold instead of a guess). Pure filesystem
+    listing — one listStatus per substore, no Spark job, no parquet
+    footer reads — cheap enough to call between micro-batches.
+
+    Returns::
+
+        {"max_batch_id": M,            # -1 on an empty/absent store
+         "compactable_partitions": C,  # max over substores — THE signal
+         "substores": {sub: {"partitions": n, "compactable": c}}}
+
+    where ``compactable`` counts a substore's ``batch_id=`` partitions
+    at or below the default horizon (``max_batch_id - 1`` — exactly
+    what ``compact_ingest_store()`` with no ``through_batch`` would
+    fold), and a substore only reports ``compactable`` ≥ 2 as gain
+    (one partition compacts to itself). The production loop the q197
+    replay models::
+
+        frag = ingest_store_fragmentation(spark, store)
+        if frag["compactable_partitions"] >= max_store_partitions:
+            query.stop()
+            compact_ingest_store(spark, store)
+            ...restart from the same checkpoint...
+
+    The threshold prices the measured trade (BASELINE.md
+    "Streaming-ingest throughput"): every micro-batch re-reads the
+    whole store, so N uncompacted batches cost O(N) extra partition
+    opens per batch — O(N²) cumulative — against one stop-the-stream
+    rewrite. Never raises on an empty or half-written store: a
+    monitoring probe must stay readable mid-crash (contrast
+    compact_ingest_store, which raises — mutation needs the guard,
+    observation doesn't)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    per_sub: dict[str, list[int]] = {}
+    for sub in substores:
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{sub}")
+        fs = p.getFileSystem(hconf)
+        if not fs.exists(p):
+            continue
+        batches: list[int] = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                try:
+                    batches.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue  # foreign layout dir — same tolerance as compaction
+        per_sub[sub] = batches
+    max_b = max((max(b) for b in per_sub.values() if b), default=-1)
+    horizon = max_b - 1
+    subs = {}
+    for sub, batches in per_sub.items():
+        in_scope = [b for b in batches if b <= horizon]
+        subs[sub] = {
+            "partitions": len(batches),
+            "compactable": len(in_scope) if len(in_scope) >= 2 else 0,
+        }
+    return {
+        "max_batch_id": max_b,
+        "compactable_partitions": max((s["compactable"] for s in subs.values()), default=0),
+        "substores": subs,
+    }
+
+
 def stream_dedup_ladder(
     stream: DataFrame,
     store_dir: str,

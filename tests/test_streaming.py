@@ -1224,3 +1224,73 @@ def test_compact_ingest_store_foreign_tmp_prescan_is_noop(spark, tmp_path):
     assert rep["texts"]["rows"] == 2
     assert sorted(os.listdir(f"{store}/postings")) == ["batch_id=1", "batch_id=2"]
     assert not os.path.exists(poison)
+
+
+def test_ingest_store_fragmentation_signal(spark, tmp_path):
+    """r17 fragmentation sensor (VERDICT r16 item 5 — q197 proved the
+    stop-compact-resume cadence, this decides WHEN): the probe must
+    (1) stay readable on an empty/absent store instead of raising like
+    the mutator does; (2) count partitions and the default-horizon
+    compactable set exactly as compact_ingest_store() would fold them;
+    (3) drop back to zero after the compaction it triggered — the
+    production threshold loop's full cycle."""
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        compact_ingest_store,
+        ingest_store_fragmentation,
+        seed_neardup_store,
+        stream_neardup_ingest,
+    )
+
+    store = str(tmp_path / "fstore")
+    src = str(tmp_path / "fsrc")
+    ckpt = str(tmp_path / "fck")
+
+    # (1) absent store: a monitoring probe never raises
+    empty = ingest_store_fragmentation(spark, store)
+    assert empty == {"max_batch_id": -1, "compactable_partitions": 0, "substores": {}}
+
+    history = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    seed_neardup_store(history, store, "doc_id", "text")
+    # seed-only store: one batch_id=-1 partition per substore — max is
+    # the seed batch, nothing below the horizon, no signal yet
+    seeded = ingest_store_fragmentation(spark, store)
+    assert seeded["max_batch_id"] == -1
+    assert seeded["compactable_partitions"] == 0
+    assert seeded["substores"]["postings"]["partitions"] == 1
+
+    batches = [
+        [(10, "alpha beta gamma delta epsilon")],
+        [(15, "eight nine ten eleven twelve thirteen")],
+        [(20, "one two three four five six")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        stream_neardup_ingest(stream, store, ckpt, "doc_id", "text", threshold=0.5)
+
+    # (2) batches -1 (seed), 0, 1, 2 on disk: default horizon = 1, so
+    # {-1, 0, 1} is what a parameterless compaction folds
+    frag = ingest_store_fragmentation(spark, store)
+    assert frag["max_batch_id"] == 2
+    assert frag["substores"]["postings"] == {"partitions": 4, "compactable": 3}
+    assert frag["substores"]["texts"]["compactable"] == 3
+    assert frag["compactable_partitions"] == 3
+    # a plain near-dup store has no ladder substores — absent, not zero
+    assert "keepers" not in frag["substores"]
+    assert "tiers" not in frag["substores"]
+
+    # (3) the production loop: threshold crossed -> compact -> signal off
+    threshold = 3
+    if frag["compactable_partitions"] >= threshold:
+        rep = compact_ingest_store(spark, store)
+        assert rep["postings"]["partitions_before"] == 3
+    after = ingest_store_fragmentation(spark, store)
+    assert after["max_batch_id"] == 2
+    assert after["compactable_partitions"] == 0
+    assert after["substores"]["postings"]["partitions"] == 2
