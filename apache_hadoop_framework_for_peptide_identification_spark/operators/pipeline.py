@@ -740,3 +740,94 @@ def pack_sequences(
         .groupBy(group_col)
         .applyInPandas(pack, schema)
     )
+
+
+def dedup_mix_pack(
+    surv: DataFrame,
+    id_col: str = "rec_id",
+    topic_col: str = "topic",
+    text_col: str = "clean_text",
+    neardup_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    target_total: int = 30,
+    temperature: float = 0.5,
+    budget: int = 128,
+) -> DataFrame:
+    """The corpus-build DOWNSTREAM as one reusable composition (r17 —
+    factored verbatim out of q201 so its batch form and the streaming
+    crawl store's finalization run literally the same code): crawl
+    survivors (id, topic, text) through the q195 dedup-ladder tiers —
+    Unicode NFC → casefold/punct/whitespace normalization → exact-hash
+    min-id keeper → MinHash-LSH near-dup keeper pruning — then
+    temperature mixing over the topic strata and greedy sequence
+    packing. Returns (id_col, topic_col, n_tok, quota, seq_id).
+
+    Scale shape (unchanged from q201's inline form): one corpus pass
+    to the ladder checkpoint (the localCheckpoint pins the pandas-UDF
+    NFC pass to a single execution), hash-only ladder exchanges
+    (k_n = md5(norm) carries the keeper window), keeper-sized near-dup
+    stage, strata-sized mixing aggregates, shard-parallel packing —
+    document text crosses no exchange past the checkpoint."""
+    from . import dedup as D
+    from . import text as T
+
+    w_full = (
+        Window.partitionBy("k_n")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("nfc")), "[^\\p{L}\\p{N} ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = (
+        surv.select(
+            F.col(id_col).alias("__id"),
+            F.col(topic_col).alias("__topic"),
+            F.col(text_col).alias("__text"),
+        )
+        .withColumn("nfc", T.unicode_normalize(F.col("__text")))
+        .select(
+            "__id",
+            "__topic",
+            F.size(F.split(F.col("__text"), " ")).cast("long").alias("n_tok"),
+            norm.alias("norm"),
+            F.md5(norm).alias("k_n"),
+        )
+        .localCheckpoint()  # one pandas-UDF execution (the q195 rule)
+    )
+    kp = keyed.select(
+        "__id", "__topic", "n_tok", "norm",
+        F.first("__id").over(w_full).alias("keeper_id"),
+    )
+    keep = kp.filter(F.col("__id") == F.col("keeper_id")).select(
+        "__id", "__topic", "n_tok", "norm"
+    )
+    pairs = D.minhash_jaccard_pairs(
+        keep, "__id", "norm", threshold=neardup_threshold,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    )
+    losers = pairs.select(F.col("id_b").alias("__id")).distinct()
+    corpus = keep.join(losers, "__id", "left_anti").select(
+        "__id", "__topic", "n_tok"
+    )
+    mixed = temperature_mixing(
+        corpus, strata_col="__topic", id_col="__id",
+        target_total=target_total, temperature=temperature,
+    ).join(corpus.select("__id", "n_tok"), "__id")
+    packed = pack_sequences(mixed, "__topic", "__id", "n_tok", budget=budget)
+    return (
+        mixed.join(packed.select("__topic", "__id", "seq_id"), ["__topic", "__id"])
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__topic").alias(topic_col),
+            "n_tok",
+            "quota",
+            "seq_id",
+        )
+    )

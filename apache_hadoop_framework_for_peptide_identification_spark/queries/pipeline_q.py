@@ -2207,51 +2207,11 @@ SELECT rec_id, topic, n_tok, quota, seq_id FROM packed ORDER BY rec_id
 _Q201_WARC_DIRS: dict[str, str] = {}
 
 
-def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CORPUS-BUILD capstone composition (written r16 — VERDICT r15
-    item 8): raw planted WARC bytes through the ENTIRE product
-    pipeline in one run — WARC parse → HTTP status/MIME gate → HTML
-    text extraction → URL canonicalization → canonical-URL keeper
-    dedup → the FULL q195 dedup ladder (NFC → casefold/punct →
-    exact-hash keepers → MinHash-LSH near-dup verify) → temperature
-    mixing over topics → greedy sequence packing — landing the packed
-    training mix under ONE closed-form DuckDB oracle.
-
-    The planted web: 100 pages (v), each served by two MIRROR hosts
-    (m0/m1 — SAME content, different canonical URLs: the duplication
-    URL dedup cannot see and the text ladder must catch) plus 20
-    re-crawls of m0 pages reaching the SAME canonical URL the hard
-    way (uppercase host, :443, tracking param — folded by URL keeper
-    dedup, quality-decorrelated winner). Mirror classes by v%4 pin
-    each ladder tier IN the composed path: byte-exact ('exact'),
-    decomposed-NFC ('unicode'), case/punct ('casefold'),
-    drop-last-word ('neardup'); m1 404s on v%10==7 die at the gate
-    before extraction. The ladder's keeper identity interacts with
-    URL dedup (when a re-crawl outranks its m0 original, the ladder's
-    min-id keeper for that page flips to the m1 mirror) — exactly the
-    cross-layer drift surface composition proofs exist for. Survivors
-    ('kept' tier) mix over topic strata (news/blog/wiki, integer-exact
-    count^0.5 quotas, smallest-id keeps) and pack greedily into
-    128-token bins per topic (capacity-reset grouped-Pandas op).
-
-    Scale shape: one corpus pass to the ladder checkpoint (every
-    crawl stage a projection; the URL keeper window is the first
-    corpus exchange, on the canonical key), hash-only ladder
-    exchanges (the q195 discipline), keeper-sized near-dup stage,
-    strata-sized mixing aggregates, shard-parallel packing. Document
-    text crosses NO exchange (plan-pinned by type in the pytest).
-    Fixture write is a bounded 220-row collect (the q184/q189
-    pattern); production reads existing WARC files."""
-    import os
-    import tempfile
-
-    from pyspark.sql import Window as W2
-
-    from ..operators import dedup as D
-    from ..operators import html as H
-    from ..operators import text as T
-    from ..operators import warc as W
-
+def _planted_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rec) rows of the capstone's 220-record planted web —
+    shared by the one-shot form (q201 writes one WARC file) and its
+    staged streaming twin (q203 writes arrival-phase files). The
+    planted structure is documented on q201_corpus_build_e2e."""
     crlf = "\r\n"
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 220)
     bases = (
@@ -2332,6 +2292,66 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Content-Length: "), F.octet_length(payload).cast("string"),
         F.lit(crlf), F.lit(crlf), payload, F.lit(crlf + crlf),
     )
+    return g.select("doc_id", record.alias("rec"))
+
+
+def _planted_crawl_meta() -> tuple:
+    """(topic_expr, qual_expr) over the parsed ``rec_id`` — the
+    planted fixture's provenance derivations, shared by q201 and the
+    streaming twin (both gate/keeper layers must see identical quality
+    and topic values or the keeper argmax diverges)."""
+    rv = F.when(F.col("rec_id") < 200, F.expr("rec_id div 2")).otherwise(
+        F.col("rec_id") - 200
+    )
+    rtopic = (
+        F.when(rv % 3 == 0, F.lit("news"))
+        .when(rv % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("wiki"))
+    )
+    return rtopic, (F.col("rec_id") * 37) % 101
+
+
+def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-BUILD capstone composition (written r16 — VERDICT r15
+    item 8): raw planted WARC bytes through the ENTIRE product
+    pipeline in one run — WARC parse → HTTP status/MIME gate → HTML
+    text extraction → URL canonicalization → canonical-URL keeper
+    dedup → the FULL q195 dedup ladder (NFC → casefold/punct →
+    exact-hash keepers → MinHash-LSH near-dup verify) → temperature
+    mixing over topics → greedy sequence packing — landing the packed
+    training mix under ONE closed-form DuckDB oracle.
+
+    The planted web: 100 pages (v), each served by two MIRROR hosts
+    (m0/m1 — SAME content, different canonical URLs: the duplication
+    URL dedup cannot see and the text ladder must catch) plus 20
+    re-crawls of m0 pages reaching the SAME canonical URL the hard
+    way (uppercase host, :443, tracking param — folded by URL keeper
+    dedup, quality-decorrelated winner). Mirror classes by v%4 pin
+    each ladder tier IN the composed path: byte-exact ('exact'),
+    decomposed-NFC ('unicode'), case/punct ('casefold'),
+    drop-last-word ('neardup'); m1 404s on v%10==7 die at the gate
+    before extraction. The ladder's keeper identity interacts with
+    URL dedup (when a re-crawl outranks its m0 original, the ladder's
+    min-id keeper for that page flips to the m1 mirror) — exactly the
+    cross-layer drift surface composition proofs exist for. Survivors
+    ('kept' tier) mix over topic strata (news/blog/wiki, integer-exact
+    count^0.5 quotas, smallest-id keeps) and pack greedily into
+    128-token bins per topic (capacity-reset grouped-Pandas op).
+
+    Scale shape: one corpus pass to the ladder checkpoint (every
+    crawl stage a projection; the URL keeper window is the first
+    corpus exchange, on the canonical key), hash-only ladder
+    exchanges (the q195 discipline), keeper-sized near-dup stage,
+    strata-sized mixing aggregates, shard-parallel packing. Document
+    text crosses NO exchange (plan-pinned by type in the pytest).
+    Fixture write is a bounded 220-row collect (the q184/q189
+    pattern); production reads existing WARC files."""
+    import os
+    import tempfile
+
+    from ..operators import html as H
+    from ..operators import warc as W
+
     # One fixture dir per (process, sf_dir), torn down at interpreter
     # exit (ADVICE r16 item 4): the dir must OUTLIVE this function —
     # the returned DataFrame reads it lazily — so a with-scoped
@@ -2348,7 +2368,7 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         atexit.register(shutil.rmtree, wdir, ignore_errors=True)
-        rows = g.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
+        rows = _planted_warc_records(spark, sf_dir).orderBy("doc_id").collect()
         # newline="" so Python never translates the spec-mandated CRLFs.
         with open(
             os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline=""
@@ -2368,19 +2388,12 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = W.http_status(pay)
     mime = F.trim(F.element_at(F.split(W.http_header(pay, "Content-Type"), ";"), 1))
     body = W.http_body(pay)
-    rv = F.when(F.col("rec_id") < 200, F.expr("rec_id div 2")).otherwise(
-        F.col("rec_id") - 200
-    )
-    rtopic = (
-        F.when(rv % 3 == 0, F.lit("news"))
-        .when(rv % 3 == 1, F.lit("blog"))
-        .otherwise(F.lit("wiki"))
-    )
+    rtopic, rqual = _planted_crawl_meta()
     gated = parsed.filter((status == 200) & mime.startswith("text/")).select(
         "rec_id",
         "target_uri",
         rtopic.alias("topic"),
-        ((F.col("rec_id") * 37) % 101).alias("qual"),
+        rqual.alias("qual"),
         H.extract_html_text(body).alias("clean_text"),
     )
     # url_keeper_dedup canonicalizes url_col itself (projection + one
@@ -2391,52 +2404,13 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_id", "topic", "clean_text"
     )
 
-    # ---- dedup ladder (the q195 tiers over the crawled corpus)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("nfc")), "[^\\p{L}\\p{N} ]", ""),
-            " +",
-            " ",
-        )
-    )
-    keyed = (
-        surv.withColumn("nfc", T.unicode_normalize(F.col("clean_text")))
-        .select(
-            "rec_id",
-            "topic",
-            F.size(F.split(F.col("clean_text"), " ")).cast("long").alias("n_tok"),
-            norm.alias("norm"),
-            F.md5(norm).alias("k_n"),
-        )
-        .localCheckpoint()  # one pandas-UDF execution (the q195 rule)
-    )
-    wfull = (
-        W2.partitionBy("k_n")
-        .orderBy("rec_id")
-        .rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
-    )
-    kp = keyed.select(
-        "rec_id", "topic", "n_tok", "norm",
-        F.first("rec_id").over(wfull).alias("keeper_id"),
-    )
-    keep = kp.filter(F.col("rec_id") == F.col("keeper_id")).select(
-        "rec_id", "topic", "n_tok", "norm"
-    )
-    pairs = D.minhash_jaccard_pairs(
-        keep, "rec_id", "norm", threshold=0.5, num_hashes=64, bands=16, shingle_n=3
-    )
-    losers = pairs.select(F.col("id_b").alias("rec_id")).distinct()
-    corpus = keep.join(losers, "rec_id", "left_anti").select(
-        "rec_id", "topic", "n_tok"
-    )
-
-    # ---- temperature mixing over topics + greedy packing
-    mixed = P.temperature_mixing(
-        corpus, strata_col="topic", id_col="rec_id", target_total=30, temperature=0.5
-    ).join(corpus.select("rec_id", "n_tok"), "rec_id")
-    packed = P.pack_sequences(mixed, "topic", "rec_id", "n_tok", budget=128)
-    return (
-        mixed.join(packed.select("topic", "rec_id", "seq_id"), ["topic", "rec_id"])
-        .select("rec_id", "topic", "n_tok", "quota", "seq_id")
-        .orderBy("rec_id")
-    )
+    # ---- dedup ladder → mixing → packing (r17: the downstream is the
+    # shared operators/pipeline.dedup_mix_pack composition — factored
+    # out verbatim so this one-shot form and the streaming crawl
+    # store's finalization run literally the same code; this query's
+    # sf0.001/sf0.01 oracle compare is the factoring's identity proof)
+    return P.dedup_mix_pack(
+        surv, id_col="rec_id", topic_col="topic", text_col="clean_text",
+        neardup_threshold=0.5, num_hashes=64, bands=16, shingle_n=3,
+        target_total=30, temperature=0.5, budget=128,
+    ).orderBy("rec_id")
