@@ -2414,3 +2414,91 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_threshold=0.5, num_hashes=64, bands=16, shingle_n=3,
         target_total=30, temperature=0.5, budget=128,
     ).orderBy("rec_id")
+
+
+# --------------------------------------------------------------------------
+# r19 REGISTRY CANDIDATE (written r17 — VERDICT r16 item 7: the
+# streaming twin of the q201 capstone, the q195→q197 treatment applied
+# to the crawl→pack pipeline). NOT yet @query: the registration plan of
+# record (docs/COVERAGE.md) seats q201 + q202 in r18; this targets
+# r19's window. The oracle IS q201's — every keeper rule in the
+# composition is an arrival-order-independent argmax, so the staged
+# streaming build provably equals the one-shot build of the same
+# records (see streaming/crawl.py's module docstring for the
+# contract). Verified by tests/test_pipeline_ops.py::
+# test_stream_corpus_build_matches_oneshot_oracle at sf0.001 AND
+# sf0.01 (the q200/q201/q202 pre-registration discipline).
+Q203_ORACLE = Q201_ORACLE
+
+
+def q203_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus-build capstone (r17 — VERDICT r16 item 7):
+    q201's 220 planted WARC records arrive in FOUR staged phases
+    ([0,60) → [60,120) → [120,200) → [200,220) — every re-crawl
+    arrives a phase AFTER its original, so the cross-layer keeper
+    flip happens as a genuine streaming REPLACEMENT in the
+    url_keepers store, not a within-batch window decision) through
+    streaming/crawl.stream_crawl_ingest: per micro-batch WARC parse →
+    status/MIME gate → HTML extraction → URL canonicalization → the
+    incremental keep-best-per-canonical-URL store, exactly-once per
+    batch partition through one checkpoint. Between phases 3 and 4
+    the keeper store is stop-compact-resumed (compact_ingest_store
+    over url_keepers — the q197 maintenance cadence), so phase 4's
+    replacements land against keeper rows the compaction REWROTE.
+    Finalization (build_corpus_from_crawl_store) then runs literally
+    the same dedup_mix_pack composition as q201 over the store's
+    current keepers. The oracle is Q201_ORACLE VERBATIM — the
+    one-shot SQL replay — which is the point: URL keeper =
+    (qual desc, id) argmax, ladder keeper = min-id, near-dup losers =
+    id-ordered pairs are all arrival-order-independent, so ANY batch
+    split must land the identical packed mix, and the hash match
+    proves the streaming store machinery (changed-only writes,
+    argmax read-back, replay pruning, compaction) preserved it.
+
+    Scale shape: per-batch work = batch-sized projections + one
+    keeper-window shuffle over (current keepers ∪ arrivals); the
+    corpus-global mixing/packing runs once at finalization — the
+    continuous-ingest / periodic-build split every production corpus
+    pipeline runs. Fixture cost: one bounded 220-row collect, fresh
+    per invocation (tempdir torn down at exit, the ADVICE r16
+    discipline — a staged stream cannot reuse a half-drained store)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import warc as W
+    from ..streaming import crawl as C
+    from ..streaming.windows import compact_ingest_store
+
+    root = tempfile.mkdtemp(prefix="q203_stream_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    ckpt = os.path.join(root, "ck")
+    os.makedirs(src)
+
+    rows = _planted_warc_records(spark, sf_dir).orderBy("doc_id").collect()
+    rtopic, rqual = _planted_crawl_meta()
+    rid = W.warc_header(F.col("record"), "WARC-Record-ID")
+    id_expr = F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long")
+    phases = [(0, 60), (60, 120), (120, 200), (200, 220)]
+    for i, (lo, hi) in enumerate(phases):
+        if i == 3:
+            # batches 0..2 on disk: fold {0,1} through the default
+            # horizon while the stream is stopped, resume through the
+            # SAME checkpoint (the q197 cadence; the url_keepers read
+            # is an argmax over rows, so the fold is invisible by the
+            # store's monotone-improvement invariant)
+            compact_ingest_store(spark, store, substores=("url_keepers",))
+        with open(
+            os.path.join(src, f"phase{i}.warc"), "w", encoding="utf-8", newline=""
+        ) as fh:
+            fh.write("".join(r["rec"] for r in rows if lo <= r["doc_id"] < hi))
+        C.stream_crawl_ingest(
+            W.read_warc_stream(spark, src), store, ckpt,
+            id_expr=id_expr, quality_expr=rqual, extra_cols={"topic": rtopic},
+        )
+    return C.build_corpus_from_crawl_store(spark, store, topic_col="topic").orderBy(
+        "rec_id"
+    )

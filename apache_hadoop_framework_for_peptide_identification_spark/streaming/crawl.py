@@ -1,0 +1,205 @@
+"""Streaming crawl ingest — the corpus-build capstone's streaming twin
+(r17, VERDICT r16 item 7: the q195→q197 treatment applied to the
+crawl→pack pipeline).
+
+Production shape, stated honestly: crawl INGEST is the streaming part
+(WARC records arrive in micro-batches; parse → gate → extract →
+canonicalize are per-row projections, and keep-best-per-canonical-URL
+is an incrementally maintained store), while the corpus BUILD —
+dedup ladder, temperature mixing, sequence packing — is a corpus-GLOBAL
+computation that runs as a finalization pass over the accumulated
+store (mixing quotas and packing bins depend on totals no per-batch
+view can know). That split is exactly how public pipeline recipes run:
+continuous crawl ingestion, periodic corpus builds.
+
+Equality contract (what makes the one-shot oracle apply verbatim):
+every keeper rule in the composition is an arrival-order-independent
+ARGMAX — URL keeper = (quality desc, id asc) per canonical URL, ladder
+keeper = min id per normalized hash, near-dup losers = id-ordered pair
+direction — so the finalized corpus equals q201's one-shot form for
+ANY batch split of the same records. Contrast stream_dedup_ladder's
+FIRST-ARRIVAL keeper identity, which equals the one-shot form only
+under id-ordered arrival (the q197 contract): the url_keepers store
+keeps enough state (the quality column) to make keeper identity a
+property of the DATA, not the arrival order — a re-crawl arriving ten
+batches late still takes the keepership it would have won one-shot.
+
+Store layout: ``store_dir/url_keepers/batch_id=N`` holds one row per
+canonical URL whose keeper CHANGED in batch N (first sighting or a
+higher-quality replacement) — an SCD1-style incremental view. Because
+every written row was the best-so-far for its URL at write time, the
+CURRENT keeper is simply the global (quality desc, id asc) argmax over
+all stored rows — no batch ordering involved — which makes the read
+side compaction-proof: ``compact_ingest_store(..., substores=
+("url_keepers",))`` can fold history partitions without touching
+keeper identity. Exactly-once is the q180 discipline: the sink
+overwrites its own ``batch_id=N`` partition and the store read prunes
+batch N, so a crash-replayed batch recomputes against the pre-batch
+store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import html as H
+from ..operators import urls as U
+from ..operators import warc as W
+from .windows import _guard_fresh_checkpoint, _max_batch_id
+
+_KEEPER_SUB = "url_keepers"
+
+
+def crawl_store_keepers(
+    spark: SparkSession, store_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """Current keeper row per canonical URL from the ingest store: the
+    (qual desc, rec_id asc) argmax over every stored row — batch- and
+    compaction-independent by the store's monotone-improvement
+    invariant (each written row was best-so-far for its URL, so the
+    global argmax IS the latest keeper). ``exclude_batch`` prunes one
+    ``batch_id`` partition — the replay discipline: batch N must never
+    see its own half-written previous attempt."""
+    df = spark.read.parquet(f"{store_dir}/{_KEEPER_SUB}")
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch_id") != exclude_batch)
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("qual").desc(), F.col("rec_id")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
+
+
+def _crawl_ingest_batch(
+    spark: SparkSession,
+    bdf: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    id_expr: Column,
+    quality_expr: Column,
+    extra_cols: Mapping[str, Column],
+    extra_tracking: tuple[str, ...],
+) -> None:
+    """One micro-batch of the crawl ladder against the keeper store —
+    shared so a batch backfill can reuse it exactly (the
+    _neardup_ingest_batch pattern)."""
+    parsed = W.parse_warc(bdf.select(id_expr.alias("rec_id"), "record"))
+    pay = F.col("payload")
+    status = W.http_status(pay)
+    mime = F.trim(F.element_at(F.split(W.http_header(pay, "Content-Type"), ";"), 1))
+    gated = parsed.filter((status == 200) & mime.startswith("text/")).select(
+        "rec_id",
+        U.canonicalize_url(F.col("target_uri"), extra_tracking).alias("canon_url"),
+        quality_expr.alias("qual"),
+        *[c.alias(n) for n, c in extra_cols.items()],
+        H.extract_html_text(W.http_body(pay)).alias("clean_text"),
+    )
+    cols = ["canon_url", "rec_id", "qual", *extra_cols, "clean_text"]
+    arriving = gated.select(*cols)
+    if _max_batch_id(spark, f"{store_dir}/{_KEEPER_SUB}") >= 0:
+        current = crawl_store_keepers(spark, store_dir, exclude_batch=batch_id).select(
+            *cols
+        )
+    else:
+        current = spark.createDataFrame([], arriving.schema)
+    # __new orders stored-before-arriving on an exact (qual, rec_id)
+    # tie so an identical re-sighting never reports a spurious change.
+    merged = current.withColumn("__new", F.lit(False)).unionByName(
+        arriving.withColumn("__new", F.lit(True))
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("qual").desc(), F.col("rec_id"), F.col("__new")
+    )
+    changed = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("__new"))
+        .drop("__rn", "__new")
+    )
+    changed.write.mode("overwrite").parquet(
+        f"{store_dir}/{_KEEPER_SUB}/batch_id={batch_id}"
+    )
+
+
+def stream_crawl_ingest(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_expr: Column,
+    quality_expr: Column,
+    extra_cols: Mapping[str, Column] | None = None,
+    extra_tracking: tuple[str, ...] = (),
+) -> None:
+    """STREAMING crawl ingest: drain a ``record``-column stream (from
+    :func:`~..operators.warc.read_warc_stream`) through the crawl
+    ladder — WARC parse → HTTP status/MIME gate → HTML text extraction
+    → URL canonicalization — into the incremental keep-best-per-
+    canonical-URL store described in the module docstring.
+
+    ``id_expr`` derives the unique record id from the RAW record
+    column (e.g. a regexp over ``warc_header(record,
+    "WARC-Record-ID")``); ``quality_expr`` and each ``extra_cols``
+    value are evaluated on the gated/parsed frame (``rec_id`` is in
+    scope) — quality drives keeper selection, extras ride the store as
+    provenance (topic, crawl tag, ...). Per-batch cost: projections on
+    the batch + ONE keeper-window shuffle over (current keepers ∪
+    batch arrivals) — the current-keeper read is keeper-set-sized, and
+    at 100 TB the store compacts via ``compact_ingest_store(...,
+    substores=("url_keepers",))`` on the
+    ``ingest_store_fragmentation`` threshold loop. Run the corpus
+    build over the store with :func:`build_corpus_from_crawl_store`.
+
+    Exactly-once + fresh-checkpoint guard: the q180 discipline (see
+    stream_neardup_ingest) — sink overwrites its own partition, reads
+    prune the current batch, a fresh checkpoint over an existing store
+    fails fast."""
+    spark = stream.sparkSession
+    _guard_fresh_checkpoint(
+        spark, f"{store_dir}/{_KEEPER_SUB}", checkpoint_dir, "stream_crawl_ingest"
+    )
+    extras = dict(extra_cols or {})
+
+    def fb(bdf: DataFrame, batch_id: int) -> None:
+        _crawl_ingest_batch(
+            spark, bdf, store_dir, batch_id, id_expr, quality_expr,
+            extras, extra_tracking,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def build_corpus_from_crawl_store(
+    spark: SparkSession,
+    store_dir: str,
+    topic_col: str = "topic",
+    **dedup_mix_pack_knobs,
+) -> DataFrame:
+    """Finalization pass: the corpus-build downstream over the crawl
+    store's CURRENT keepers — literally the same
+    ``operators/pipeline.dedup_mix_pack`` composition the one-shot
+    q201 form runs (dedup ladder → temperature mixing → sequence
+    packing), so a drained stream followed by this call equals the
+    one-shot build of the same records under q201's own oracle.
+    ``topic_col`` must be one of the ingest's ``extra_cols``;
+    remaining kwargs pass through to :func:`dedup_mix_pack`."""
+    from ..operators import pipeline as P
+
+    surv = crawl_store_keepers(spark, store_dir).select(
+        "rec_id", topic_col, "clean_text"
+    )
+    return P.dedup_mix_pack(
+        surv, id_col="rec_id", topic_col=topic_col, text_col="clean_text",
+        **dedup_mix_pack_knobs,
+    )

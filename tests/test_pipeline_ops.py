@@ -425,3 +425,116 @@ def test_corpus_build_e2e_matches_oracle(spark):
         for i in range(ch.size()):
             stack.append(ch.apply(i))
     assert not bad, f"heavy strings riding exchanges: {bad}"
+
+
+def test_stream_corpus_build_matches_oneshot_oracle(spark):
+    """q203_stream_corpus_build — VERDICT r16 item 7; r19 registry
+    candidate, verified the way the driver will verify it: the FOUR-
+    phase staged streaming build (incremental URL-keeper store with
+    genuine cross-phase quality replacements + a mid-stream
+    stop-compact-resume of the store) hash-matches q201's one-shot
+    Q201_ORACLE at sf0.001 AND sf0.01 — the arrival-order-independence
+    contract streaming/crawl.py states, proven end to end."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries.pipeline_q import (
+        Q203_ORACLE,
+        q203_stream_corpus_build,
+    )
+    from tests.oracle import compare, duck_connection
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        spdf = q203_stream_corpus_build(spark, sf_dir).toPandas()
+        con = duck_connection(sf_dir)
+        rep = compare(spdf, con.execute(Q203_ORACLE).df())
+        con.close()
+        assert rep["match"], (sf_dir, rep)
+        assert len(spdf) > 0
+
+
+def test_stream_crawl_ingest_store_semantics(spark, tmp_path):
+    """The url_keepers store's own contract, unit-level: (1) changed-
+    only writes — a later batch writes ONLY new URLs and genuine
+    quality replacements, never re-sightings that lost; (2) the
+    current-keeper read is the (qual desc, id asc) argmax, so a
+    replacement actually flips keepership; (3) replaying a batch
+    (crash before checkpoint commit) leaves the store state
+    byte-identical — reads prune the replayed batch's own partition;
+    (4) a fresh checkpoint over an existing store fails fast."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import warc as W
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming import crawl as C
+
+    store = str(tmp_path / "cstore")
+    src = str(tmp_path / "csrc")
+    ckpt = str(tmp_path / "cck")
+    os.makedirs(src)
+    crlf = "\r\n"
+
+    def rec(rid: int, url: str, body: str) -> str:
+        payload = (
+            "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf
+            + f"<html><body><p>{body}</p></body></html>"
+        )
+        return (
+            "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+            + f"WARC-Record-ID: <urn:doc:{rid}>" + crlf
+            + f"WARC-Target-URI: {url}" + crlf
+            + f"Content-Length: {len(payload.encode())}" + crlf + crlf
+            + payload + crlf + crlf
+        )
+
+    rid_col = W.warc_header(F.col("record"), "WARC-Record-ID")
+    id_expr = F.regexp_extract(rid_col, r"urn:doc:(\d+)", 1).cast("long")
+    qual = (F.col("rec_id") * 7) % 10  # 1->7, 2->4, 3->1, 12->4
+
+    def drain(recs: list[str], name: str) -> None:
+        with open(os.path.join(src, name), "w", newline="") as fh:
+            fh.write("".join(recs))
+        C.stream_crawl_ingest(
+            W.read_warc_stream(spark, src), store, ckpt,
+            id_expr=id_expr, quality_expr=qual,
+        )
+
+    # batch 0: two URLs — keeper(u1)=1 (qual 7), keeper(u2)=2 (qual 4)
+    drain([rec(1, "https://a.example.com/u1", "one"),
+           rec(2, "https://a.example.com/u2", "two")], "b0.warc")
+    # batch 1: rid 3 re-sights u1 with qual 1 (LOSES — must not write);
+    # rid 12 re-sights u2 with qual 4, tie -> lower id 2 keeps (no
+    # write); rid 5 is a new URL (writes)
+    drain([rec(3, "https://a.example.com/u1", "one-again"),
+           rec(12, "https://a.example.com/u2", "two-again"),
+           rec(5, "https://a.example.com/u5", "five")], "b1.warc")
+    # batch 2: rid 13 replaces u2's keeper (qual 13*7%10=1... pick 9)
+    # -> use rid 7: 7*7%10=9 > 4, genuine replacement
+    drain([rec(7, "https://a.example.com/u2", "two-better")], "b2.warc")
+
+    b1 = {r["rec_id"] for r in spark.read.parquet(f"{store}/url_keepers/batch_id=1").collect()}
+    assert b1 == {5}, b1  # changed-only: the losing re-sightings never landed
+    cur = {r["canon_url"]: r["rec_id"]
+           for r in C.crawl_store_keepers(spark, store).collect()}
+    assert cur == {
+        "https://a.example.com/u1": 1,
+        "https://a.example.com/u2": 7,   # the batch-2 replacement flipped it
+        "https://a.example.com/u5": 5,
+    }, cur
+
+    # (3) replay batch 2 (same batch_id, same rows — a crash between
+    # the partition overwrite and the checkpoint commit)
+    bdf = spark.createDataFrame([(rec(7, "https://a.example.com/u2", "two-better"),)],
+                                "record string")
+    C._crawl_ingest_batch(spark, bdf, store, 2, id_expr, qual, {}, ())
+    cur2 = {r["canon_url"]: r["rec_id"]
+            for r in C.crawl_store_keepers(spark, store).collect()}
+    assert cur2 == cur
+
+    # (4) fresh checkpoint over the existing store refuses
+    with open(os.path.join(src, "b3.warc"), "w", newline="") as fh:
+        fh.write(rec(9, "https://a.example.com/u9", "nine"))
+    with pytest.raises(ValueError, match="fresh checkpoint|no committed offsets"):
+        C.stream_crawl_ingest(
+            W.read_warc_stream(spark, src), store, str(tmp_path / "freshck"),
+            id_expr=id_expr, quality_expr=qual,
+        )
