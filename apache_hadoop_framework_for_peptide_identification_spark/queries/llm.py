@@ -592,14 +592,16 @@ def q196_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     which DuckDB cannot recompute, so as in q194 the training rule is
     the one substitution) — while everything under test is the
     production path: _pq_encode's argmin kernel via pq_append, the
-    per-partition ADC gather + argpartition pre-cut, the global
-    (score, id) candidate window, the exact re-rank join, and the
-    metric reduction. DETERMINISM of the pre-cut was verified before
+    per-partition ADC gather + pre-cut, the global (score, id)
+    candidate window, the exact re-rank join, and the metric
+    reduction. DETERMINISM of the pre-cut was verified before
     registration: with all ADC scores distinct per query (checked at
     sf0.001/0.01/0.1 — no two corpus vectors share all 8 codes), the
     per-partition top-N is an exact superset of the global top-N for
-    ANY partition layout, so argpartition's tie-arbitrariness never
-    reaches the output. The oracle independently recomputes every
+    ANY partition layout. (r17 removed the need for that fixture
+    argument entirely: the cut now tie-breaks (score desc, n_id asc)
+    — the global window's order — so layout invariance holds even
+    UNDER ties, ADVICE r16.) The oracle independently recomputes every
     subspace assignment (argmin distance, tie -> min code), the ADC
     scores, both rankings, and the metrics — a drifted encode kernel,
     a wrong gather, a candidate-cut slip, or a metric slip all

@@ -53,6 +53,39 @@ from .windows import _guard_fresh_checkpoint, _max_batch_id
 _KEEPER_SUB = "url_keepers"
 
 
+def _store_df(
+    spark: SparkSession, store_dir: str, exclude_batch: int | None
+) -> DataFrame:
+    df = spark.read.parquet(f"{store_dir}/{_KEEPER_SUB}")
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch_id") != exclude_batch)
+    return df
+
+
+def _keeper_window() -> Window:
+    return Window.partitionBy("canon_url").orderBy(
+        F.col("qual").desc(), F.col("rec_id")
+    )
+
+
+def _current_slim(
+    spark: SparkSession, store_dir: str, exclude_batch: int | None
+) -> DataFrame:
+    """Current (canon_url, rec_id, qual) per canonical URL — the SLIM
+    argmax the per-batch compare runs on: the parquet scan prunes to
+    three narrow columns (clean_text and the provenance extras never
+    leave their files), so the window exchange stays bytes-cheap no
+    matter how large the accumulated keeper set grows."""
+    slim = _store_df(spark, store_dir, exclude_batch).select(
+        "canon_url", "rec_id", "qual"
+    )
+    return (
+        slim.withColumn("__rn", F.row_number().over(_keeper_window()))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def crawl_store_keepers(
     spark: SparkSession, store_dir: str, exclude_batch: int | None = None
 ) -> DataFrame:
@@ -62,17 +95,19 @@ def crawl_store_keepers(
     invariant (each written row was best-so-far for its URL, so the
     global argmax IS the latest keeper). ``exclude_batch`` prunes one
     ``batch_id`` partition — the replay discipline: batch N must never
-    see its own half-written previous attempt."""
-    df = spark.read.parquet(f"{store_dir}/{_KEEPER_SUB}")
-    if exclude_batch is not None:
-        df = df.filter(F.col("batch_id") != exclude_batch)
-    w = Window.partitionBy("canon_url").orderBy(
-        F.col("qual").desc(), F.col("rec_id")
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "batch_id")
+    see its own half-written previous attempt.
+
+    Payload discipline (the corpus-scale point): the argmax window
+    runs on the column-pruned (canon_url, rec_id, qual) scan, and the
+    winners fetch their full rows back through an output-proportional
+    join on ``rec_id`` — UNIQUE in the store, because a record wins
+    keepership at most once (it is either stored on arrival or lost
+    and can never re-arrive) — so document text moves exactly once,
+    through the join, never through the window exchange (the q176/
+    q182 text-moves-once rule)."""
+    winners = _current_slim(spark, store_dir, exclude_batch).select("rec_id")
+    return _store_df(spark, store_dir, exclude_batch).join(winners, "rec_id").drop(
+        "batch_id"
     )
 
 
@@ -101,30 +136,37 @@ def _crawl_ingest_batch(
         H.extract_html_text(W.http_body(pay)).alias("clean_text"),
     )
     cols = ["canon_url", "rec_id", "qual", *extra_cols, "clean_text"]
-    arriving = gated.select(*cols)
+    # The batch frame is consumed twice (slim compare + payload fetch);
+    # localCheckpoint pins the parse/extract projections to one
+    # execution per batch (the stream_dedup_ladder rule).
+    arriving = gated.select(*cols).localCheckpoint()
+    slim_arr = arriving.select("canon_url", "rec_id", "qual")
     if _max_batch_id(spark, f"{store_dir}/{_KEEPER_SUB}") >= 0:
-        current = crawl_store_keepers(spark, store_dir, exclude_batch=batch_id).select(
-            *cols
-        )
+        current = _current_slim(spark, store_dir, exclude_batch=batch_id)
     else:
-        current = spark.createDataFrame([], arriving.schema)
-    # __new orders stored-before-arriving on an exact (qual, rec_id)
-    # tie so an identical re-sighting never reports a spurious change.
+        current = spark.createDataFrame([], slim_arr.schema)
+    # The compare runs SLIM — (canon_url, rec_id, qual) only: the
+    # stored keeper set is re-read every batch, so its text must never
+    # re-enter an exchange; winners that are genuinely new fetch their
+    # payload from the ARRIVING frame (changed ⊆ arriving always — a
+    # stored keeper that wins again is not a change). __new orders
+    # stored-before-arriving on an exact (qual, rec_id) tie so an
+    # identical re-sighting never reports a spurious change.
     merged = current.withColumn("__new", F.lit(False)).unionByName(
-        arriving.withColumn("__new", F.lit(True))
+        slim_arr.withColumn("__new", F.lit(True))
     )
     w = Window.partitionBy("canon_url").orderBy(
         F.col("qual").desc(), F.col("rec_id"), F.col("__new")
     )
-    changed = (
+    changed_ids = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .filter(F.col("__new"))
-        .drop("__rn", "__new")
+        .select("rec_id")
     )
-    changed.write.mode("overwrite").parquet(
-        f"{store_dir}/{_KEEPER_SUB}/batch_id={batch_id}"
-    )
+    arriving.join(changed_ids, "rec_id").select(*cols).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/{_KEEPER_SUB}/batch_id={batch_id}")
 
 
 def stream_crawl_ingest(
@@ -149,9 +191,12 @@ def stream_crawl_ingest(
     scope) — quality drives keeper selection, extras ride the store as
     provenance (topic, crawl tag, ...). Per-batch cost: projections on
     the batch + ONE keeper-window shuffle over (current keepers ∪
-    batch arrivals) — the current-keeper read is keeper-set-sized, and
-    at 100 TB the store compacts via ``compact_ingest_store(...,
-    substores=("url_keepers",))`` on the
+    batch arrivals) carrying ONLY (canon_url, rec_id, qual) — the
+    stored keeper set is re-read every batch, so its scan is
+    column-pruned to those three and document text NEVER re-enters an
+    exchange (changed rows fetch payload from the arriving frame,
+    which always contains them); at 100 TB the store compacts via
+    ``compact_ingest_store(..., substores=("url_keepers",))`` on the
     ``ingest_store_fragmentation`` threshold loop. Run the corpus
     build over the store with :func:`build_corpus_from_crawl_store`.
 

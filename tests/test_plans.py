@@ -550,3 +550,91 @@ def test_q194_q196_recall_eval_plan_contracts(spark):
             if "Join" in ln and "LeftOuter" in ln
         ]
         assert len(left_outer) == 1, (name, left_outer)
+
+
+def test_crawl_keeper_window_exchanges_are_slim(spark, tmp_path):
+    """streaming/crawl.py's corpus-scale contract (r17): the stored
+    keeper set is re-read EVERY micro-batch, so the keeper-window
+    exchange must carry only (canon_url, rec_id, qual) — document text
+    and provenance extras stay in their parquet files (column-pruned
+    scan) and move exactly once, through the winners' rec_id join.
+    Builds a real two-batch store, then walks _current_slim's executed
+    plan (AQE off so EnsureRequirements' exchanges are visible) and
+    asserts no exchange output carries a string column beyond the
+    canonical-URL key itself; the full crawl_store_keepers read is
+    then checked to still return payload columns (the join did its
+    job) with clean_text absent from every WINDOW exchange."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import warc as W
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming import crawl as C
+
+    crlf = "\r\n"
+
+    def rec(rid: int, url: str, body: str) -> str:
+        payload = (
+            "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf
+            + f"<html><body><p>{body}</p></body></html>"
+        )
+        return (
+            "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+            + f"WARC-Record-ID: <urn:doc:{rid}>" + crlf
+            + f"WARC-Target-URI: {url}" + crlf
+            + f"Content-Length: {len(payload.encode())}" + crlf + crlf
+            + payload + crlf + crlf
+        )
+
+    store = str(tmp_path / "pstore")
+    rid_col = W.warc_header(F.col("record"), "WARC-Record-ID")
+    id_expr = F.regexp_extract(rid_col, r"urn:doc:(\d+)", 1).cast("long")
+    qual = (F.col("rec_id") * 7) % 10
+    topic = F.when(F.col("rec_id") % 2 == 0, F.lit("news")).otherwise(F.lit("blog"))
+    for i, rows in enumerate([[1, 2, 3], [4, 5]]):
+        bdf = spark.createDataFrame(
+            [(rec(r, f"https://p.example.com/u{r}", f"body {r} words"),) for r in rows],
+            "record string",
+        ).repartition(4)
+        C._crawl_ingest_batch(spark, bdf, store, i, id_expr, qual, {"topic": topic}, ())
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def exchange_strings(df):
+            stack, found = [df._jdf.queryExecution().executedPlan()], []
+            while stack:
+                node = stack.pop()
+                if "Exchange" in node.getClass().getSimpleName():
+                    out = node.output()
+                    for j in range(out.size()):
+                        a = out.apply(j)
+                        if a.dataType().typeName() == "string":
+                            found.append(a.name())
+                ch = node.children()
+                for j in range(ch.size()):
+                    stack.append(ch.apply(j))
+            return found
+
+        slim_strings = set(exchange_strings(C._current_slim(spark, store, None)))
+        assert slim_strings <= {"canon_url"}, slim_strings
+
+        full = C.crawl_store_keepers(spark, store)
+        # payload present in the result, absent from the window side:
+        # clean_text may cross ONCE in the rec_id payload join, so
+        # assert on the WINDOW exchange only — it is the hash exchange
+        # keyed on canon_url; text must never appear beside that key.
+        stack, bad = [full._jdf.queryExecution().executedPlan()], []
+        while stack:
+            node = stack.pop()
+            if "Exchange" in node.getClass().getSimpleName():
+                out = node.output()
+                names = {out.apply(j).name() for j in range(out.size())}
+                if "canon_url" in names and "clean_text" in names:
+                    bad.append(sorted(names))
+            ch = node.children()
+            for j in range(ch.size()):
+                stack.append(ch.apply(j))
+        assert not bad, f"text riding the keeper-window exchange: {bad}"
+        got = {r["rec_id"]: (r["topic"], r["clean_text"]) for r in full.collect()}
+        assert set(got) == {1, 2, 3, 4, 5} and got[1][1] == "body 1 words"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
