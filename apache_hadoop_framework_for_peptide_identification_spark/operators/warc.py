@@ -111,7 +111,10 @@ def read_warc(spark: SparkSession, path: str, marker: str = RECORD_MARKER) -> Da
 
 
 def read_warc_stream(
-    spark: SparkSession, path: str, marker: str = RECORD_MARKER
+    spark: SparkSession,
+    path: str,
+    marker: str = RECORD_MARKER,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """STREAMING twin of :func:`read_warc` (r12): watch a directory
     for arriving WARC/WET files and emit one ``record`` row per
@@ -123,10 +126,16 @@ def read_warc_stream(
     semantics: each file is processed exactly once per checkpoint,
     records never span files (the write_warc layout guarantees it),
     and framing tolerates nothing extra — same marker rules as the
-    batch reader. Verified end-to-end in tests/test_warc.py via an
-    availableNow foreachBatch drain."""
+    batch reader. ``max_files_per_trigger`` caps files per micro-batch
+    (r17 — the batch-sizing knob the throughput instrument sweeps; one
+    crawl segment per batch is the production cadence). Verified
+    end-to-end in tests/test_warc.py via an availableNow foreachBatch
+    drain."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.text(path, lineSep=marker)
+        reader.text(path, lineSep=marker)
         .select(F.col("value").alias("record"))
         .filter(F.col("record").rlike(r"\S"))
     )

@@ -56,13 +56,131 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _crawl_mode(args, batch_counts: list[int]) -> None:
+    """stream_crawl_ingest throughput (r17 — the crawl store's own
+    per-batch floor and fragmentation reading, the treatment the
+    neardup/ladder operators got in r15): N 200-OK WARC records (one
+    per sf0.1 document) plus one higher-quality RE-CRAWL of the same
+    canonical URL per 10 docs — so every batch performs genuine keeper
+    REPLACEMENTS against the accumulated store, not just inserts —
+    split into B source files, drained availableNow with one file per
+    micro-batch through one checkpoint. Wall is the full drain; the
+    per-batch cost is the keeper-store slim re-read + window + the
+    changed-rows write."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import warc as W
+    from apache_hadoop_framework_for_peptide_identification_spark.session import get_spark
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming import crawl as C
+
+    spark = get_spark("stream-throughput-crawl")
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < args.docs)
+    )
+    crlf = "\r\n"
+    recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.col("text"),
+    )
+    both = docs.unionByName(recrawl)
+    url_id = F.when(
+        F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000
+    ).otherwise(F.col("doc_id"))
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf
+              + "<html><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Record-ID: <urn:doc:"),
+        F.col("doc_id").cast("string"),
+        F.lit(">" + crlf + "WARC-Target-URI: https://t.example.com/u"),
+        url_id.cast("string"),
+        F.lit(crlf + "Content-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit(crlf + crlf),
+        payload,
+        F.lit(crlf + crlf),
+    )
+    corpus = both.select("doc_id", rec.alias("rec")).cache()
+    n_rows = corpus.count()
+
+    rid = W.warc_header(F.col("record"), "WARC-Record-ID")
+    id_expr = F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long")
+    # re-crawls always outrank their original: genuine replacements
+    qual = F.when(F.col("rec_id") >= 1_000_000, F.lit(1000)).otherwise(
+        F.col("rec_id") % 100
+    )
+
+    def drain(n_batches: int) -> float:
+        root = tempfile.mkdtemp(prefix="stream_tp_crawl_")
+        src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
+        os.makedirs(src)
+        for i in range(n_batches):
+            rows = corpus.filter(F.col("doc_id") % n_batches == i).collect()
+            with open(os.path.join(src, f"b{i}.warc"), "w", encoding="utf-8",
+                      newline="") as fh:
+                fh.write("".join(r["rec"] for r in rows))
+        t0 = time.perf_counter()
+        C.stream_crawl_ingest(
+            W.read_warc_stream(spark, src, max_files_per_trigger=1),
+            store, ckpt, id_expr=id_expr, quality_expr=qual,
+        )
+        wall = time.perf_counter() - t0
+        n_parts = len(
+            [d for d in os.listdir(os.path.join(store, "url_keepers"))
+             if d.startswith("batch_id=")]
+        )
+        if n_parts != n_batches:
+            print(f"WARNING: {n_parts} store partitions for {n_batches} files",
+                  flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+        return wall
+
+    drain(batch_counts[0])  # session warm-up, untimed
+    results: dict[int, float] = {}
+    for b in batch_counts:
+        wall = drain(b)
+        results[b] = round(wall, 2)
+        print(
+            f"crawl_ingest B={b}: {wall:.2f} s total, "
+            f"{n_rows / wall:.0f} recs/s, {wall / b:.2f} s/batch",
+            flush=True,
+        )
+    spark.stop()
+    print(f"\ncorpus: {n_rows} WARC records ({args.docs} pages + re-crawls), "
+          f"sf_dir {SF_DIR}")
+    print("\n| operator | batches | wall (s) | recs/s | s/batch |")
+    print("|---|---|---|---|---|")
+    for b, wall in results.items():
+        print(f"| crawl_ingest | {b} | {wall:.2f} | {n_rows / wall:.0f} | "
+              f"{wall / b:.2f} |")
+    print(json.dumps({
+        "metric": "stream_crawl_throughput", "sf_dir": SF_DIR, "docs": n_rows,
+        "results": {str(b): w for b, w in results.items()},
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument("--batches", default="1,4,16,64")
     ap.add_argument("--compact-probe", type=int, default=None)
+    ap.add_argument("--crawl", action="store_true",
+                    help="measure stream_crawl_ingest (r17): WARC records "
+                         "through the incremental URL-keeper store, one "
+                         "source file per micro-batch; one re-crawl per 10 "
+                         "docs forces genuine keeper replacements each batch")
     args = ap.parse_args()
     batch_counts = [int(b) for b in args.batches.split(",")]
+
+    if args.crawl:
+        _crawl_mode(args, batch_counts)
+        return
 
     from pyspark.sql import functions as F
 
