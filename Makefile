@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -58,3 +58,9 @@ shuffle-audit:
 # stream_dedup_ladder (fixed corpus, batch-count sweep).
 stream-throughput:
 	$(PY) scripts/stream_throughput.py
+
+# The BASELINE.md r17 crawl-ingest row: stream_crawl_ingest's
+# per-batch floor + keeper-replacement workload (WARC records, one
+# file per micro-batch, re-crawls forcing genuine replacements).
+crawl-throughput:
+	$(PY) scripts/stream_throughput.py --crawl
