@@ -209,6 +209,16 @@ def stream_crawl_ingest(
         spark, f"{store_dir}/{_KEEPER_SUB}", checkpoint_dir, "stream_crawl_ingest"
     )
     extras = dict(extra_cols or {})
+    reserved = {"canon_url", "rec_id", "qual", "clean_text", "batch_id"}
+    clash = sorted(reserved & extras.keys())
+    if clash:
+        # the parse_warc passthrough-collision rule applied here: a
+        # silent duplicate would only surface later as an ambiguous
+        # reference inside the keeper window or the store read-back
+        raise ValueError(
+            f"stream_crawl_ingest: extra_cols name(s) {clash} collide with "
+            "the keeper store's own columns — rename the provenance columns"
+        )
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
         _crawl_ingest_batch(

@@ -538,3 +538,23 @@ def test_stream_crawl_ingest_store_semantics(spark, tmp_path):
             W.read_warc_stream(spark, src), store, str(tmp_path / "freshck"),
             id_expr=id_expr, quality_expr=qual,
         )
+
+
+def test_stream_crawl_ingest_rejects_reserved_extra_cols(spark, tmp_path):
+    """extra_cols provenance names must not shadow the keeper store's
+    own columns (the parse_warc passthrough-collision rule): the clash
+    raises at start, before any store mutation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming import crawl as C
+
+    stream = spark.readStream.format("rate").load().select(
+        F.lit("x").alias("record")
+    )
+    with pytest.raises(ValueError, match="collide"):
+        C.stream_crawl_ingest(
+            stream, str(tmp_path / "s"), str(tmp_path / "c"),
+            id_expr=F.lit(1), quality_expr=F.lit(1),
+            extra_cols={"qual": F.lit(2)},
+        )
