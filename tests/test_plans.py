@@ -638,3 +638,58 @@ def test_crawl_keeper_window_exchanges_are_slim(spark, tmp_path):
         assert set(got) == {1, 2, 3, 4, 5} and got[1][1] == "body 1 words"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def test_trained_model_scorers_never_shuffle_text(spark):
+    """The q198/q202 scale claim pinned structurally (r17): both
+    trained-model scorers — char_ngram_lid and quality_gate — reduce
+    the corpus to (id, bucket) AT THE SCAN and aggregate map-side, so
+    no exchange in either plan may carry the document text column.
+    The model side is a broadcast; the only strings allowed on any
+    exchange are the tiny categorical label."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [("keep", "the cat sat on the mat"), ("drop", "click here subscribe now")],
+        "lang string, text string",
+    )
+    model = T.train_char_ngram_lid(train, "text", "lang", n=3, buckets=512)
+    docs = spark.createDataFrame(
+        [(i, "the cat and the dog sat on the mat today") for i in range(50)],
+        "doc_id long, text string",
+    ).repartition(8)
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for label, df in (
+            ("char_ngram_lid",
+             T.char_ngram_lid(docs, "doc_id", "text", model, n=3, buckets=512)),
+            ("quality_gate",
+             T.quality_gate(docs, "doc_id", "text", model, n=3, buckets=512)),
+        ):
+            stack = [df._jdf.queryExecution().executedPlan()]
+            exchanges, bad = 0, []
+            while stack:
+                node = stack.pop()
+                if "Exchange" in node.getClass().getSimpleName():
+                    # the test harness's own .repartition(8) is a
+                    # RoundRobin move and legitimately carries text;
+                    # the pin targets KEYED exchanges (the q201 rule)
+                    part = node.outputPartitioning().toString()
+                    if "RoundRobin" not in part:
+                        exchanges += 1
+                        out = node.output()
+                        for j in range(out.size()):
+                            a = out.apply(j)
+                            if a.dataType().typeName() == "string" and a.name() != "lang":
+                                bad.append((label, a.name()))
+                ch = node.children()
+                for j in range(ch.size()):
+                    stack.append(ch.apply(j))
+            assert exchanges > 0, f"{label}: walker went blind"
+            assert not bad, f"document text riding keyed exchanges: {bad}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
