@@ -111,6 +111,49 @@ def crawl_store_keepers(
     )
 
 
+def _checked_extras(
+    extra_cols: Mapping[str, Column] | None, caller: str
+) -> dict[str, Column]:
+    extras = dict(extra_cols or {})
+    reserved = {"canon_url", "rec_id", "qual", "clean_text", "batch_id"}
+    clash = sorted(reserved & extras.keys())
+    if clash:
+        # the parse_warc passthrough-collision rule applied here: a
+        # silent duplicate would only surface later as an ambiguous
+        # reference inside the keeper window or the store read-back
+        raise ValueError(
+            f"{caller}: extra_cols name(s) {clash} collide with the keeper "
+            "store's own columns — rename the provenance columns"
+        )
+    return extras
+
+
+def seed_crawl_store(
+    corpus: DataFrame,
+    store_dir: str,
+    id_expr: Column,
+    quality_expr: Column,
+    extra_cols: Mapping[str, Column] | None = None,
+    extra_tracking: tuple[str, ...] = (),
+) -> None:
+    """Batch-BACKFILL the url_keepers store from existing WARC records
+    (a ``record``-column batch frame, e.g. ``read_warc`` over an
+    archived crawl) before streaming begins — the seed_neardup_store
+    convention: seeded keepers land under ``batch_id=-1``, sharing the
+    ingest sink's partition layout, so the fresh-checkpoint guard
+    still lets a NEW stream start over the seeded store (ids -1 vs
+    the checkpoint's 0..N never collide) and arriving batches resolve
+    replacements against the backfilled history exactly as against
+    streamed history. Runs the SAME per-batch kernel as the stream
+    (one slim keeper window + changed-rows write), so a seed of the
+    same records is bit-identical to having streamed them."""
+    spark = corpus.sparkSession
+    _crawl_ingest_batch(
+        spark, corpus, store_dir, -1, id_expr, quality_expr,
+        _checked_extras(extra_cols, "seed_crawl_store"), extra_tracking,
+    )
+
+
 def _crawl_ingest_batch(
     spark: SparkSession,
     bdf: DataFrame,
@@ -208,17 +251,7 @@ def stream_crawl_ingest(
     _guard_fresh_checkpoint(
         spark, f"{store_dir}/{_KEEPER_SUB}", checkpoint_dir, "stream_crawl_ingest"
     )
-    extras = dict(extra_cols or {})
-    reserved = {"canon_url", "rec_id", "qual", "clean_text", "batch_id"}
-    clash = sorted(reserved & extras.keys())
-    if clash:
-        # the parse_warc passthrough-collision rule applied here: a
-        # silent duplicate would only surface later as an ambiguous
-        # reference inside the keeper window or the store read-back
-        raise ValueError(
-            f"stream_crawl_ingest: extra_cols name(s) {clash} collide with "
-            "the keeper store's own columns — rename the provenance columns"
-        )
+    extras = _checked_extras(extra_cols, "stream_crawl_ingest")
 
     def fb(bdf: DataFrame, batch_id: int) -> None:
         _crawl_ingest_batch(

@@ -558,3 +558,80 @@ def test_stream_crawl_ingest_rejects_reserved_extra_cols(spark, tmp_path):
             id_expr=F.lit(1), quality_expr=F.lit(1),
             extra_cols={"qual": F.lit(2)},
         )
+
+
+def test_seed_crawl_store_backfill(spark, tmp_path):
+    """seed_crawl_store (r17): a batch backfill under batch_id=-1 must
+    (1) leave the store startable by a FRESH-checkpoint stream (the
+    seed_neardup_store convention — ids -1 vs 0..N never collide);
+    (2) resolve later streamed replacements against the seeded
+    history; (3) equal the streamed ingest of the same records
+    row-for-row (same kernel, the docstring's bit-identical claim)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import warc as W
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming import crawl as C
+
+    crlf = "\r\n"
+
+    def rec(rid: int, url: str, body: str) -> str:
+        payload = (
+            "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf
+            + f"<html><body><p>{body}</p></body></html>"
+        )
+        return (
+            "WARC/1.0" + crlf + "WARC-Type: response" + crlf
+            + f"WARC-Record-ID: <urn:doc:{rid}>" + crlf
+            + f"WARC-Target-URI: {url}" + crlf
+            + f"Content-Length: {len(payload.encode())}" + crlf + crlf
+            + payload + crlf + crlf
+        )
+
+    rid_col = W.warc_header(F.col("record"), "WARC-Record-ID")
+    id_expr = F.regexp_extract(rid_col, r"urn:doc:(\d+)", 1).cast("long")
+    qual = (F.col("rec_id") * 7) % 10
+    hist = [rec(1, "https://s.example.com/u1", "one"),
+            rec(2, "https://s.example.com/u2", "two")]
+    arriving = [rec(7, "https://s.example.com/u2", "two-better"),  # 9 > 4
+                rec(5, "https://s.example.com/u5", "five")]
+
+    # seeded store + fresh-checkpoint stream over it
+    store = str(tmp_path / "sstore")
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    C.seed_crawl_store(
+        spark.createDataFrame([(r,) for r in hist], "record string"),
+        store, id_expr=id_expr, quality_expr=qual,
+    )
+    parts = {d for d in os.listdir(f"{store}/url_keepers") if d.startswith("batch_id=")}
+    assert parts == {"batch_id=-1"}
+    with open(os.path.join(src, "b0.warc"), "w", newline="") as fh:
+        fh.write("".join(arriving))
+    C.stream_crawl_ingest(
+        W.read_warc_stream(spark, src), store, str(tmp_path / "sck"),
+        id_expr=id_expr, quality_expr=qual,
+    )
+    seeded = sorted(map(tuple, C.crawl_store_keepers(spark, store)
+                        .select("canon_url", "rec_id", "qual", "clean_text").collect()))
+    assert {(u, r) for u, r, _, _ in seeded} == {
+        ("https://s.example.com/u1", 1),
+        ("https://s.example.com/u2", 7),
+        ("https://s.example.com/u5", 5),
+    }
+
+    # streamed-everything twin: two micro-batches, same records
+    store2 = str(tmp_path / "tstore")
+    src2 = str(tmp_path / "tsrc")
+    os.makedirs(src2)
+    for i, batch in enumerate([hist, arriving]):
+        with open(os.path.join(src2, f"b{i}.warc"), "w", newline="") as fh:
+            fh.write("".join(batch))
+        C.stream_crawl_ingest(
+            W.read_warc_stream(spark, src2), store2, str(tmp_path / "tck"),
+            id_expr=id_expr, quality_expr=qual,
+        )
+    streamed = sorted(map(tuple, C.crawl_store_keepers(spark, store2)
+                          .select("canon_url", "rec_id", "qual", "clean_text").collect()))
+    assert streamed == seeded
