@@ -2462,6 +2462,26 @@ def q203_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs. Fixture cost: one bounded 220-row collect, fresh
     per invocation (tempdir torn down at exit, the ADVICE r16
     discipline — a staged stream cannot reuse a half-drained store)."""
+    return _staged_stream_corpus_build(
+        spark, sf_dir, phases=[(0, 60), (60, 120), (120, 200), (200, 220)],
+        compact_before_phase=3,
+    )
+
+
+def _staged_stream_corpus_build(
+    spark: SparkSession,
+    sf_dir: str,
+    phases: list[tuple[int, int]],
+    compact_before_phase: int | None = None,
+) -> DataFrame:
+    """q203's machinery with the arrival SCHEDULE as a parameter — the
+    arrival-order-independence contract is a universal claim ("ANY
+    batch split lands the identical packed mix"), so the pytest runs
+    this under ADVERSARIAL schedules too (re-crawls FIRST, so the
+    later-arriving lower-quality originals must LOSE keepership —
+    replacement suppression, the flip's mirror image) against the same
+    one-shot oracle. ``compact_before_phase`` stop-compact-resumes the
+    keeper store before that phase index (None = never)."""
     import atexit
     import os
     import shutil
@@ -2482,14 +2502,13 @@ def q203_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     rtopic, rqual = _planted_crawl_meta()
     rid = W.warc_header(F.col("record"), "WARC-Record-ID")
     id_expr = F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long")
-    phases = [(0, 60), (60, 120), (120, 200), (200, 220)]
     for i, (lo, hi) in enumerate(phases):
-        if i == 3:
-            # batches 0..2 on disk: fold {0,1} through the default
-            # horizon while the stream is stopped, resume through the
-            # SAME checkpoint (the q197 cadence; the url_keepers read
-            # is an argmax over rows, so the fold is invisible by the
-            # store's monotone-improvement invariant)
+        if compact_before_phase is not None and i == compact_before_phase:
+            # earlier batches on disk: fold all but the latest through
+            # the default horizon while the stream is stopped, resume
+            # through the SAME checkpoint (the q197 cadence; the
+            # url_keepers read is an argmax over rows, so the fold is
+            # invisible by the store's monotone-improvement invariant)
             compact_ingest_store(spark, store, substores=("url_keepers",))
         with open(
             os.path.join(src, f"phase{i}.warc"), "w", encoding="utf-8", newline=""

@@ -635,3 +635,32 @@ def test_seed_crawl_store_backfill(spark, tmp_path):
     streamed = sorted(map(tuple, C.crawl_store_keepers(spark, store2)
                           .select("canon_url", "rec_id", "qual", "clean_text").collect()))
     assert streamed == seeded
+
+
+def test_stream_corpus_build_order_independent_adversarial(spark):
+    """The q203 contract is UNIVERSAL ("any batch split lands the
+    identical packed mix"), so probe it beyond the driver form's
+    schedule: (a) re-crawls arrive FIRST and every original arrives
+    later with lower quality — keepership must NOT flip to the
+    later arrival (replacement suppression, the mirror image of the
+    staged flip); (b) a single-phase everything-at-once stream.
+    Both must hash-match the same one-shot oracle."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries.pipeline_q import (
+        Q203_ORACLE,
+        _staged_stream_corpus_build,
+    )
+    from tests.oracle import compare, duck_connection
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duck_connection(sf_dir)
+    want = con.execute(Q203_ORACLE).df()
+    for phases, compact in (
+        ([(200, 220), (0, 100), (100, 200)], None),   # re-crawls first
+        ([(0, 220)], None),                           # one shot as a stream
+    ):
+        spdf = _staged_stream_corpus_build(
+            spark, sf_dir, phases=phases, compact_before_phase=compact
+        ).toPandas()
+        rep = compare(spdf, want)
+        assert rep["match"], (phases, rep)
+    con.close()
