@@ -106,8 +106,11 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         payload,
         F.lit(crlf + crlf),
     )
-    corpus = both.select("doc_id", rec.alias("rec")).cache()
-    n_rows = corpus.count()
+    # one collect for the whole fixture (bounded by --docs): the
+    # per-file writes below are plain python, not one Spark job per
+    # source file (B jobs per drain at B=256 otherwise)
+    all_rows = both.select("doc_id", rec.alias("rec")).collect()
+    n_rows = len(all_rows)
 
     rid = W.warc_header(F.col("record"), "WARC-Record-ID")
     id_expr = F.regexp_extract(rid, r"urn:doc:(\d+)", 1).cast("long")
@@ -121,10 +124,11 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
         os.makedirs(src)
         for i in range(n_batches):
-            rows = corpus.filter(F.col("doc_id") % n_batches == i).collect()
             with open(os.path.join(src, f"b{i}.warc"), "w", encoding="utf-8",
                       newline="") as fh:
-                fh.write("".join(r["rec"] for r in rows))
+                fh.write("".join(
+                    r["rec"] for r in all_rows if r["doc_id"] % n_batches == i
+                ))
         t0 = time.perf_counter()
         C.stream_crawl_ingest(
             W.read_warc_stream(spark, src, max_files_per_trigger=1),
