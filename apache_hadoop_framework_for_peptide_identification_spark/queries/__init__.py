@@ -188,8 +188,10 @@ _CHANGED_THIS_ROUND = [
     # item 1). Neither graded configuration EXERCISES the cut: q196 and
     # q199 run keep-everything budgets (candidate_frac=1.0 / budget ≥
     # partition size ⇒ the cut is a no-op), so their outputs are
-    # bit-identical — proven by the local oracle sweep this round — and
-    # q196 is r15-cohort (graded r18 window regardless), q199 r16-cohort.
+    # bit-identical — proven by the local oracle sweep this round (at
+    # sf0.001/0.01 suite-wide and re-checked at sf0.1) — and the
+    # oldest-first rotation re-grades q196 (r15 verdict) by r19 and
+    # q199 (r16) by r20 at the latest, inside the age bound.
     # q200, whose budget DOES engage the cut, is never-verified and takes
     # its first driver verdict on the fixed implementation this round.
 ]
