@@ -1101,6 +1101,30 @@ def _codebook_array(codebook: DataFrame):
     return cb
 
 
+def _topk_deterministic(scores, ids, k: int):
+    """Indices of the top-``k`` rows in the TOTAL order (score desc,
+    id asc) — the per-partition ADC pre-cut (ADVICE r16): the cut must
+    agree with the global candidate window's order, or boundary TIES
+    (twin vectors encode to identical codes ⇒ identical ADC scores)
+    make the survivor depend on the physical partitioning of the
+    encoded frame. O(n) where a full lexsort is O(n log n) — the cut
+    runs once per (query × partition), so it is hot at scale:
+    argpartition finds the k-th score, everything strictly above it is
+    in by definition, and the boundary tie group alone is sorted by id
+    to fill the remaining slots (O(t log t), t = tie-group size).
+    Returned order is arbitrary — the global window re-sorts.
+    Requires k < len(scores); callers branch to take-all below that."""
+    import numpy as np
+
+    thr_idx = np.argpartition(-scores, k - 1)[:k]
+    thr = scores[thr_idx].min()  # the k-th largest score
+    above = np.nonzero(scores > thr)[0]
+    at = np.nonzero(scores == thr)[0]
+    need = k - len(above)
+    at_sel = at[np.argsort(ids[at], kind="stable")[:need]]
+    return np.concatenate([above, at_sel])
+
+
 def build_pq_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1268,14 +1292,8 @@ def pq_query(
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 scores = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
-                # Deterministic pre-cut (ADVICE r16): the cut order must
-                # agree with the global (approx_ip desc, n_id asc) window
-                # or boundary TIES (twin vectors encode to identical
-                # codes ⇒ identical ADC scores) make the survivor depend
-                # on the physical partitioning. lexsort's last key is
-                # primary: (-scores) desc-by-score, n_ids breaks ties.
                 top = (
-                    np.lexsort((n_ids, -scores))[:n_candidates]
+                    _topk_deterministic(scores, n_ids, n_candidates)
                     if len(scores) > n_candidates
                     else np.arange(len(scores))
                 )
@@ -1736,12 +1754,8 @@ def ivfpq_query(
                     + tables[qi][np.arange(m)[None, :], codes[sel]].sum(axis=1)
                 )
                 ids_sel = n_ids[sel]
-                # Deterministic pre-cut (ADVICE r16): agree with the
-                # global (approx_ip desc, n_id asc) window under ADC
-                # score ties, or the kept candidate depends on the
-                # physical layout of `encoded` (same fix as pq_query).
                 top = (
-                    np.lexsort((ids_sel, -sc))[:n_candidates]
+                    _topk_deterministic(sc, ids_sel, n_candidates)
                     if len(sc) > n_candidates
                     else np.arange(len(sc))
                 )
