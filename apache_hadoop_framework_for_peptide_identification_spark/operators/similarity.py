@@ -1418,9 +1418,10 @@ def pq_ann_topk(
     - ADC scoring: per query, an (m x n_codes) inner-product table;
       a corpus row's approximate score is m table lookups — numpy
       gather over the batch, no vector math per row. Each partition
-      emits only its top n_candidates per query (lexsort tie-broken
-      (score desc, n_id asc) — the global window's order, so the cut
-      is layout-invariant even under ADC ties; ADVICE r16), and the
+      emits only its top n_candidates per query (_topk_deterministic:
+      O(n) cut tie-broken (score desc, n_id asc) — the global window's
+      order, so the cut is layout-invariant even under ADC ties;
+      ADVICE r16), and the
       shuffle after scoring is O(partitions x queries x n_candidates).
     - Exact re-rank: candidates join their true vectors once; final
       top-k by exact cosine.
