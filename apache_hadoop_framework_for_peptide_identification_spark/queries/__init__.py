@@ -185,11 +185,15 @@ _CHANGED_THIS_ROUND = [
     # r17, deliberately NOT pinned (the recorded q114/q118 precedent):
     # q196/q199 sit on pq_query/ivfpq_query, whose per-partition ADC
     # pre-cut gained a deterministic tie-break this round (ADVICE r16
-    # item 1). Neither graded configuration EXERCISES the cut: q196 and
-    # q199 run keep-everything budgets (candidate_frac=1.0 / budget ≥
-    # partition size ⇒ the cut is a no-op), so their outputs are
-    # bit-identical — proven by the local oracle sweep this round (at
-    # sf0.001/0.01 suite-wide and re-checked at sf0.1) — and the
+    # item 1). Output identity on their graded paths holds for
+    # different reasons, both proven: q199 runs the keep-everything
+    # budget (candidate_frac=1.0 ⇒ the cut is a no-op); q196 DOES
+    # engage the cut (n_candidates=25), but its pre-registration
+    # tie-freedom property (all ADC scores distinct per query, checked
+    # at sf0.001/0.01/0.1 — its docstring's registration record) means
+    # every order-agreeing cut selects the identical set. Both outputs
+    # re-proven bit-identical by this round's local oracle sweep (at
+    # sf0.001/0.01 suite-wide, re-checked at sf0.1), and the
     # oldest-first rotation re-grades q196 (r15 verdict) by r19 and
     # q199 (r16) by r20 at the latest, inside the age bound.
     # q200, whose budget DOES engage the cut, is never-verified and takes

@@ -2363,7 +2363,6 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdir = _Q201_WARC_DIRS.get(sf_dir)
     if wdir is None or not os.path.isdir(wdir):
         wdir = tempfile.mkdtemp(prefix="q201_warc_")
-        _Q201_WARC_DIRS[sf_dir] = wdir
         import atexit
         import shutil
 
@@ -2374,6 +2373,12 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline=""
         ) as fh:
             fh.write("".join(r["rec"] for r in rows))
+        # Cache only AFTER the write succeeded (r17 review finding): a
+        # collect/interrupt failure above must not leave an empty dir
+        # registered as the fixture — the next invocation would read
+        # zero records and silently mismatch the oracle. The orphan
+        # dir from a failed attempt is still cleaned at exit.
+        _Q201_WARC_DIRS[sf_dir] = wdir
 
     # ---- crawl ladder: everything below derives from the file
     raw = W.read_warc(spark, wdir)

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..operators import html as H
 from ..operators import urls as U
 from ..operators import warc as W
-from .windows import _guard_fresh_checkpoint, _max_batch_id
+from .windows import _guard_fresh_checkpoint
 
 _KEEPER_SUB = "url_keepers"
 
@@ -60,6 +60,30 @@ def _store_df(
     if exclude_batch is not None:
         df = df.filter(F.col("batch_id") != exclude_batch)
     return df
+
+
+def _has_keeper_partitions(
+    spark: SparkSession, store_dir: str, exclude_batch: int | None = None
+) -> bool:
+    """True when the store holds ANY batch_id partition other than the
+    excluded one — INCLUDING the batch_id=-1 seed, which max-based
+    probes miss."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{_KEEPER_SUB}")
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if exclude_batch is None or b != exclude_batch:
+                return True
+    return False
 
 
 def _keeper_window() -> Window:
@@ -184,7 +208,12 @@ def _crawl_ingest_batch(
     # execution per batch (the stream_dedup_ladder rule).
     arriving = gated.select(*cols).localCheckpoint()
     slim_arr = arriving.select("canon_url", "rec_id", "qual")
-    if _max_batch_id(spark, f"{store_dir}/{_KEEPER_SUB}") >= 0:
+    # Existence probe must see the batch_id=-1 SEED partition too —
+    # _max_batch_id(...) >= 0 here ignored a seed-only store, so the
+    # FIRST streamed batch compared against nothing and wrote losing
+    # re-sightings of seeded keepers, breaking the changed-only
+    # invariant and replay byte-idempotence (r17 review finding).
+    if _has_keeper_partitions(spark, store_dir, exclude_batch=batch_id):
         current = _current_slim(spark, store_dir, exclude_batch=batch_id)
     else:
         current = spark.createDataFrame([], slim_arr.schema)

@@ -417,7 +417,14 @@ def compact_ingest_store(
     spark: SparkSession,
     store_dir: str,
     through_batch: int | None = None,
-    substores: tuple[str, ...] = ("postings", "texts", "pairs", "keepers", "tiers"),
+    substores: tuple[str, ...] = (
+        # absent substores are skipped, so the default covers every
+        # ingest-store layout: the neardup/ladder substores AND the
+        # r17 crawl store (url_keepers) — omitting the latter made the
+        # documented parameterless threshold loop read compactable=0
+        # forever on a crawl store (r17 review finding)
+        "postings", "texts", "pairs", "keepers", "tiers", "url_keepers",
+    ),
     target_partitions: int = 1,
     assume_atomic_rename: bool = False,
 ) -> dict:
@@ -612,7 +619,14 @@ def compact_ingest_store(
 def ingest_store_fragmentation(
     spark,
     store_dir: str,
-    substores: tuple[str, ...] = ("postings", "texts", "pairs", "keepers", "tiers"),
+    substores: tuple[str, ...] = (
+        # absent substores are skipped, so the default covers every
+        # ingest-store layout: the neardup/ladder substores AND the
+        # r17 crawl store (url_keepers) — omitting the latter made the
+        # documented parameterless threshold loop read compactable=0
+        # forever on a crawl store (r17 review finding)
+        "postings", "texts", "pairs", "keepers", "tiers", "url_keepers",
+    ),
 ) -> dict:
     """Fragmentation signal for a stream-ingest store (r17 — VERDICT
     r16 item 5: q197 proved the stop-compact-resume CADENCE; this is

@@ -80,13 +80,20 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         .filter(F.col("doc_id") < args.docs)
     )
     crlf = "\r\n"
+    # offset 1_000_001, NOT 1_000_000: source files split on
+    # doc_id % B, and 1e6 ≡ 0 (mod 1/4/16/64/256), so a 1e6 offset put
+    # every re-crawl in the SAME micro-batch as its original — the
+    # replacements never crossed batches and the benchmark measured
+    # inserts only (r17 review finding). 1_000_001 ≡ 1 (mod all swept
+    # B), so each re-crawl arrives one batch AFTER its original and
+    # replaces it against the accumulated store, as claimed.
     recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_001).alias("doc_id"),
         F.col("text"),
     )
     both = docs.unionByName(recrawl)
     url_id = F.when(
-        F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000
+        F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_001
     ).otherwise(F.col("doc_id"))
     payload = F.concat(
         F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf

@@ -521,6 +521,17 @@ def test_stream_crawl_ingest_store_semantics(spark, tmp_path):
         "https://a.example.com/u5": 5,
     }, cur
 
+    # the parameterless fragmentation sensor sees the crawl store (r17
+    # review finding: url_keepers joined the default substores tuple)
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+        ingest_store_fragmentation,
+    )
+
+    frag = ingest_store_fragmentation(spark, store)
+    assert frag["max_batch_id"] == 2
+    assert frag["substores"]["url_keepers"] == {"partitions": 3, "compactable": 2}
+    assert frag["compactable_partitions"] == 2
+
     # (3) replay batch 2 (same batch_id, same rows — a crash between
     # the partition overwrite and the checkpoint commit)
     bdf = spark.createDataFrame([(rec(7, "https://a.example.com/u2", "two-better"),)],
@@ -594,7 +605,13 @@ def test_seed_crawl_store_backfill(spark, tmp_path):
     qual = (F.col("rec_id") * 7) % 10
     hist = [rec(1, "https://s.example.com/u1", "one"),
             rec(2, "https://s.example.com/u2", "two")]
+    # rid 3 re-sights the SEEDED u1 with qual 1 < 7 — it must LOSE
+    # against the backfilled history and never be written (the r17
+    # review bug: the first streamed batch used to ignore a seed-only
+    # store and write losing re-sightings, breaking the changed-only
+    # invariant and replay byte-idempotence)
     arriving = [rec(7, "https://s.example.com/u2", "two-better"),  # 9 > 4
+                rec(3, "https://s.example.com/u1", "one-again"),   # 1 < 7
                 rec(5, "https://s.example.com/u5", "five")]
 
     # seeded store + fresh-checkpoint stream over it
@@ -620,6 +637,11 @@ def test_seed_crawl_store_backfill(spark, tmp_path):
         ("https://s.example.com/u2", 7),
         ("https://s.example.com/u5", 5),
     }
+    # changed-only against the SEED: the losing re-sight (rid 3) must
+    # not appear anywhere in the streamed batch partition
+    b0 = {r["rec_id"]
+          for r in spark.read.parquet(f"{store}/url_keepers/batch_id=0").collect()}
+    assert b0 == {7, 5}, b0
 
     # streamed-everything twin: two micro-batches, same records
     store2 = str(tmp_path / "tstore")
