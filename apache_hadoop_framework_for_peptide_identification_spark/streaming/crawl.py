@@ -56,6 +56,14 @@ _KEEPER_SUB = "url_keepers"
 def _store_df(
     spark: SparkSession, store_dir: str, exclude_batch: int | None
 ) -> DataFrame:
+    if not _has_keeper_partitions(spark, store_dir, exclude_batch=None):
+        # name the store instead of surfacing a raw PATH_NOT_FOUND from
+        # deep inside the parquet reader (the compact_ingest_store
+        # empty-store rule)
+        raise ValueError(
+            f"crawl store {store_dir!r} has no {_KEEPER_SUB} batch_id "
+            "partitions — ingest or seed it before reading keepers"
+        )
     df = spark.read.parquet(f"{store_dir}/{_KEEPER_SUB}")
     if exclude_batch is not None:
         df = df.filter(F.col("batch_id") != exclude_batch)

@@ -686,3 +686,17 @@ def test_stream_corpus_build_order_independent_adversarial(spark):
         rep = compare(spdf, want)
         assert rep["match"], (phases, rep)
     con.close()
+
+
+def test_crawl_store_keepers_names_empty_store(spark, tmp_path):
+    """Reading keepers from an absent/empty store raises a NAMED error
+    (the compact_ingest_store empty-store rule), not a raw parquet
+    PATH_NOT_FOUND from inside the reader."""
+    import pytest
+
+    from apache_hadoop_framework_for_peptide_identification_spark.streaming import crawl as C
+
+    with pytest.raises(ValueError, match="no url_keepers"):
+        C.crawl_store_keepers(spark, str(tmp_path / "nostore"))
+    with pytest.raises(ValueError, match="no url_keepers"):
+        C.build_corpus_from_crawl_store(spark, str(tmp_path / "nostore"))
