@@ -969,3 +969,30 @@ def test_adc_precut_deterministic_under_ties(spark):
         ).select("q_id", "n_id", "rn").collect()))
         for lay in layouts
     ])
+
+
+def test_topk_deterministic_equals_lexsort_reference():
+    """_topk_deterministic (the O(n) ADC pre-cut) must select exactly
+    the lexsort((ids, -scores))[:k] set — the (score desc, id asc)
+    total order — on tie-heavy inputs: 3000 randomized trials over
+    small integer score spaces (maximal tie pressure), every k. The
+    O(n) shape is argpartition for the k-th score + boundary-tie fill
+    by smallest id; this is the reference equivalence that makes the
+    layout-invariance test above a property of the ORDER, not of one
+    sort implementation."""
+    import numpy as np
+
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.similarity import (
+        _topk_deterministic,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(3000):
+        n = int(rng.integers(2, 60))
+        k = int(rng.integers(1, n))
+        scores = rng.integers(0, 6, size=n).astype(float)  # heavy ties
+        ids = rng.permutation(n * 3)[:n]
+        got = set(_topk_deterministic(scores, ids, k).tolist())
+        ref = set(np.lexsort((ids, -scores))[:k].tolist())
+        assert got == ref, (trial, scores.tolist(), ids.tolist(), k)
+        assert len(got) == k
