@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput quality-gate-calibration
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -64,3 +64,10 @@ stream-throughput:
 # file per micro-batch, re-crawls forcing genuine replacements).
 crawl-throughput:
 	$(PY) scripts/stream_throughput.py --crawl
+
+# The BASELINE.md r18 quality-gate calibration row: measured margin
+# distributions (clean vs boilerplate-injected) on the sf0.1 corpus,
+# plus the keep/leak rates at candidate thresholds — how a production
+# user picks the q202 gate's threshold (VERDICT r17 item 7).
+quality-gate-calibration:
+	$(PY) scripts/quality_gate_calibration.py

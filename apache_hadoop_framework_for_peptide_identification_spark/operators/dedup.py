@@ -683,6 +683,7 @@ def minhash_jaccard_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    hash_postings: bool = True,
 ) -> DataFrame:
     """The full MinHash-LSH dedup PIPELINE: banded candidates (see
     minhash_lsh_candidates) followed by an exact n-gram Jaccard verify
@@ -698,11 +699,25 @@ def minhash_jaccard_pairs(
     threshold), asserted vs exact in tests and, on the twin-planted
     driver corpus, exactly 100% (the q113 oracle hash-match is the
     proof). Returns (id_a, id_b, jaccard), id_a < id_b.
-    """
+
+    Verify posting payload is the 16-byte md5 of each shingle, never
+    the raw string (r18 — the prefix_jaccard_pairs r16 treatment
+    applied to this verify: at corpus scale the ``sa``/``sb`` posting
+    joins otherwise ship ~shingle_n× the corpus text bytes through
+    keyed exchanges). Intersection counts are unchanged — md5 is
+    injective on distinct shingles up to the negligible 2^-64
+    collision measure, the same recorded argument — so Jaccard values
+    and every downstream hash verdict are bit-identical.
+    ``hash_postings=False`` is the measurement hatch (the q121/q165
+    A/B precedent: md5 costs ~1.1× on low-entropy synthetic text,
+    wins on high-entropy real text, and bounds exchange width either
+    way)."""
     cand = minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
     )
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    if hash_postings:
+        sh = sh.select("id", F.unhex(F.md5("sh")).alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
     sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))

@@ -299,6 +299,21 @@ def quality_gate(
             f"quality_gate: keep_label and drop_label must differ, got "
             f"{keep_label!r} for both"
         )
+    # Both labels must EXIST in the model (ADVICE r17): a label
+    # mismatch (model trained 'good'/'bad', scored with the default
+    # 'keep'/'drop') would contribute 0 to both sums for every row —
+    # every doc lands at margin 0 and the whole corpus is silently
+    # dropped at the default threshold. The model is a tiny
+    # broadcastable frame, so the distinct-label probe is one cheap
+    # driver-side collect, mirroring the keep==drop guard.
+    labels = {r["lang"] for r in model.select("lang").distinct().collect()}
+    missing = sorted({keep_label, drop_label} - labels)
+    if missing:
+        raise ValueError(
+            f"quality_gate: label(s) {missing} absent from the model "
+            f"(trained labels: {sorted(labels)}) — a mismatch scores every "
+            "document at margin 0 and silently drops the whole corpus"
+        )
     ids = df.select(F.col(id_col).alias("id"))
     occ = df.select(
         F.col(id_col).alias("id"),

@@ -172,32 +172,28 @@ def _policy_growth_cap(registry_size: int) -> int:
 # query holds a verdict from _CHANGED_IN_ROUND or later — the driver
 # has then graded the changed implementation and the slot goes back to
 # the oldest-first rotation.
-_CHANGED_IN_ROUND = 17
+_CHANGED_IN_ROUND = 18
 _CHANGED_THIS_ROUND = [
-    # r17 window = q200 (the round's single never-verified registrant,
-    # VERDICT r16 item 1) + the 49-query r13 cohort, seated by the
-    # oldest-first rule with ZERO pins — the capacity math is exact and
-    # a single pin of an r14+-verdict query would push an r13-cohort
-    # query past the age bound (the forward-simulation test enforces
-    # this). q114/q118's deferred auto-knob verdicts land here
-    # automatically (both r13-cohort).
+    # r18 window = q201 + q202 (the round's two never-verified
+    # registrants — the plan of record, docs/COVERAGE.md: growth cap 3
+    # at registry 195, two slots spent, one spare kept as headroom for
+    # q203's r19 seat) + the 46-query r14 cohort + the 2 oldest
+    # r15-verdict queries, seated by the oldest-first rule with ZERO
+    # pins.
     #
-    # r17, deliberately NOT pinned (the recorded q114/q118 precedent):
-    # q196/q199 sit on pq_query/ivfpq_query, whose per-partition ADC
-    # pre-cut gained a deterministic tie-break this round (ADVICE r16
-    # item 1). Output identity on their graded paths holds for
-    # different reasons, both proven: q199 runs the keep-everything
-    # budget (candidate_frac=1.0 ⇒ the cut is a no-op); q196 DOES
-    # engage the cut (n_candidates=25), but its pre-registration
-    # tie-freedom property (all ADC scores distinct per query, checked
-    # at sf0.001/0.01/0.1 — its docstring's registration record) means
-    # every order-agreeing cut selects the identical set. Both outputs
-    # re-proven bit-identical by this round's local oracle sweep (at
-    # sf0.001/0.01 suite-wide, re-checked at sf0.1), and the
-    # oldest-first rotation re-grades q196 (r15 verdict) by r19 and
-    # q199 (r16) by r20 at the latest, inside the age bound.
-    # q200, whose budget DOES engage the cut, is never-verified and takes
-    # its first driver verdict on the fixed implementation this round.
+    # r18 implementation changes, all driver-graded THIS round without
+    # pins: dedup_mix_pack's keeper stage was rebuilt (slim map-side
+    # min-id reduction + broadcast semi-join, VERDICT r17 "What's
+    # wrong") — its only registered consumer is q201, a never-verified
+    # registrant graded on the fixed form; minhash_jaccard_pairs'
+    # verify postings became 16-byte md5 (the q121/q165 r16 treatment;
+    # output bit-identical — md5 injective on distinct shingles, the
+    # recorded argument — re-proven by this round's local oracle
+    # sweep) — its registered consumers q113 and q195 are BOTH
+    # r14-cohort, so the rotation re-grades them here anyway; the
+    # crawl-store per-batch compare became batch-bounded (VERDICT r17
+    # item 3) — consumer q203 registers r19 and takes its first
+    # verdict on the bounded form.
 ]
 
 

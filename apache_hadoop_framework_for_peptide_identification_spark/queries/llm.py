@@ -2748,15 +2748,13 @@ def q200_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# r18/r19 REGISTRY CANDIDATE (written + staged r17 — VERDICT r16 item 3:
-# the trained KEEP/DROP quality gate above the heuristic tier, q198's
-# integer-exact machinery with binary labels). NOT yet @query: the r17
-# window had exactly one free slot (q200 took it, per the capacity math)
-# and r18's three spare slots are planned as q201 + this + headroom.
-# Verified by tests/test_corpus_ops.py::test_quality_gate_form_matches_oracle,
-# which runs the driver's own compare at sf0.001 AND sf0.01 (the
-# q200/q201 pre-registration discipline). To register: wrap with
-# @query("q202_trained_quality_gate", oracle=Q202_ORACLE).
+# REGISTERED r18 (written + staged r17 — VERDICT r16 item 3: the
+# trained KEEP/DROP quality gate above the heuristic tier, q198's
+# integer-exact machinery with binary labels; the r17 window had
+# exactly one free slot and q200 took it, so this seats in r18 beside
+# q201 per the plan of record in docs/COVERAGE.md). Pre-registration
+# verification: tests/test_corpus_ops.py::test_quality_gate_form_matches_oracle
+# ran the driver's own compare at sf0.001 AND sf0.01 through r17–r18.
 _Q202_BOILER = (
     "click here to subscribe now accept all cookies terms of "
     "service privacy policy all rights reserved "
@@ -2802,6 +2800,7 @@ ORDER BY d.doc_id
 """.format(boiler=_Q202_BOILER)
 
 
+@query("q202_trained_quality_gate", oracle=Q202_ORACLE)
 def q202_trained_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality classifier (r17 — VERDICT r16 item 3: the
     CCNet/RefinedWeb-style trained keep/drop gate above the heuristic

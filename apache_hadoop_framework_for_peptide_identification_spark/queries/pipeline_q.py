@@ -22,6 +22,23 @@ from ..operators import urls as _U
 from . import query
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree — the q201/q203 fixture-dir discipline
+    applied uniformly (VERDICT r17 item 5 / ADVICE r16 item 4's leak
+    class): every query that materializes a planted WARC/maps fixture
+    per invocation must tear it down at interpreter exit, or a full
+    suite + driver sweep leaks one dir per invocation. A with-scoped
+    TemporaryDirectory is wrong here — the returned DataFrames read
+    the dir lazily, so it must outlive the builder call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
@@ -1161,7 +1178,6 @@ def q184_warc_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, never writes them.
     """
     import os
-    import tempfile
 
     from ..operators import warc as W
 
@@ -1208,7 +1224,7 @@ def q184_warc_parse_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(crlf), payload, F.lit(crlf + crlf),
     )
     rows = d.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
-    wdir = tempfile.mkdtemp(prefix="q184_warc_")
+    wdir = _scratch_dir("q184_warc_")
     # newline="" so Python never translates the spec-mandated CRLFs.
     with open(os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline="") as fh:
         fh.write("".join(r["rec"] for r in rows))
@@ -1277,7 +1293,6 @@ def q185_warc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     values) are pytest-pinned in tests/test_warc.py; production
     misuse fails at WRITE time instead of corrupting files.
     """
-    import tempfile
 
     from ..operators import warc as W
 
@@ -1300,7 +1315,7 @@ def q185_warc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
         )
     )
-    wdir = tempfile.mkdtemp(prefix="q185_warc_") + "/out"
+    wdir = _scratch_dir("q185_warc_") + "/out"
     W.write_warc(out, wdir)
 
     raw = W.read_warc(spark, wdir)
@@ -1517,7 +1532,6 @@ def q187_http_status_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle rebuilds status/mime/kept/clean_text closed-form from
     the planted grid. Zero Exchange until the final sort (the warc
     plan contract)."""
-    import tempfile
 
     from ..operators import warc as W
 
@@ -1555,7 +1569,7 @@ def q187_http_status_mime_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
         payload.alias("payload"),
     )
-    wdir = tempfile.mkdtemp(prefix="q187_warc_") + "/out"
+    wdir = _scratch_dir("q187_warc_") + "/out"
     W.write_warc(records, wdir)
 
     parsed = W.parse_warc(W.read_warc(spark, wdir))
@@ -1769,7 +1783,6 @@ def q189_crawl_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches. Fixture write is a bounded 360-row collect (the
     q184/q185 pattern); production reads existing WARC files."""
     import os
-    import tempfile
 
     from ..operators import html as H
     from ..operators import robots as R
@@ -1843,7 +1856,7 @@ def q189_crawl_ladder_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(crlf), F.lit(crlf), payload, F.lit(crlf + crlf),
     )
     rows = d.select("doc_id", record.alias("rec")).orderBy("doc_id").collect()
-    wdir = tempfile.mkdtemp(prefix="q189_warc_")
+    wdir = _scratch_dir("q189_warc_")
     # newline="" so Python never translates the spec-mandated CRLFs.
     with open(os.path.join(wdir, "part.warc"), "w", encoding="utf-8", newline="") as fh:
         fh.write("".join(r["rec"] for r in rows))
@@ -1953,11 +1966,10 @@ def q190_sitemap_frontier_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora from object storage the same way."""
     import gzip
     import os
-    import tempfile
 
     from ..operators import urls as U
 
-    wdir = tempfile.mkdtemp(prefix="q190_maps_")
+    wdir = _scratch_dir("q190_maps_")
     for i in range(30):
         lm = f"2026-03-{(i % 28) + 1:02d}"
         pr = f"0.{(i % 9) + 1}"
@@ -2091,14 +2103,14 @@ def q192_crawl_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFram
 # --- corpus-build capstone composition (written + oracle-verified r16) -------
 # VERDICT r15 item 8: q189's crawl ladder feeding q195's dedup ladder
 # feeding temperature mixing + sequence packing — the FULL corpus-build
-# product pipeline under one closed-form oracle. NOT yet @query: the r16
-# window seated the 47-query r12 re-verification cohort + q197–q199
-# exactly, and r17's one free slot is committed to q200 (llm.py); this
-# is the r18 registry candidate, verified today by
-# tests/test_pipeline_ops.py::test_corpus_build_e2e_matches_oracle with
-# the same compare the driver runs, at sf0.001 AND sf0.01, plus an
-# exchange-payload plan pin. To register: wrap with
-# @query("q201_corpus_build_e2e", oracle=Q201_ORACLE).
+# product pipeline under one closed-form oracle. REGISTERED r18 (the
+# plan of record, docs/COVERAGE.md: r16 staged it, r17's single free
+# slot went to q200, r18 seats it beside q202 and the 46-query r14
+# cohort) — after the r18 keeper-stage fix in dedup_mix_pack (VERDICT
+# r17 "What's wrong"): the staged r17 form shipped normalized text
+# through a keyed exchange and re-ran the keeper window 3x; the
+# registered form runs ONE map-side min-id reduction, pinned on a
+# multi-partition checkpoint in tests/test_pipeline_ops.py.
 
 _Q201_BODY_SQL = (
     "'<html><head><title>T' || v || ' page</title></head>"
@@ -2311,6 +2323,7 @@ def _planted_crawl_meta() -> tuple:
     return rtopic, (F.col("rec_id") * 37) % 101
 
 
+@query("q201_corpus_build_e2e", oracle=Q201_ORACLE)
 def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-BUILD capstone composition (written r16 — VERDICT r15
     item 8): raw planted WARC bytes through the ENTIRE product
@@ -2347,7 +2360,6 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture write is a bounded 220-row collect (the q184/q189
     pattern); production reads existing WARC files."""
     import os
-    import tempfile
 
     from ..operators import html as H
     from ..operators import warc as W
@@ -2362,11 +2374,7 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first write instead of re-materializing it.
     wdir = _Q201_WARC_DIRS.get(sf_dir)
     if wdir is None or not os.path.isdir(wdir):
-        wdir = tempfile.mkdtemp(prefix="q201_warc_")
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, wdir, ignore_errors=True)
+        wdir = _scratch_dir("q201_warc_")
         rows = _planted_warc_records(spark, sf_dir).orderBy("doc_id").collect()
         # newline="" so Python never translates the spec-mandated CRLFs.
         with open(
@@ -2487,17 +2495,13 @@ def _staged_stream_corpus_build(
     replacement suppression, the flip's mirror image) against the same
     one-shot oracle. ``compact_before_phase`` stop-compact-resumes the
     keeper store before that phase index (None = never)."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from ..operators import warc as W
     from ..streaming import crawl as C
     from ..streaming.windows import compact_ingest_store
 
-    root = tempfile.mkdtemp(prefix="q203_stream_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    root = _scratch_dir("q203_stream_")
     src = os.path.join(root, "src")
     store = os.path.join(root, "store")
     ckpt = os.path.join(root, "ck")

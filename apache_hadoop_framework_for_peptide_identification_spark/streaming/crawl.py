@@ -101,16 +101,31 @@ def _keeper_window() -> Window:
 
 
 def _current_slim(
-    spark: SparkSession, store_dir: str, exclude_batch: int | None
+    spark: SparkSession,
+    store_dir: str,
+    exclude_batch: int | None,
+    url_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Current (canon_url, rec_id, qual) per canonical URL — the SLIM
     argmax the per-batch compare runs on: the parquet scan prunes to
     three narrow columns (clean_text and the provenance extras never
     leave their files), so the window exchange stays bytes-cheap no
-    matter how large the accumulated keeper set grows."""
+    matter how large the accumulated keeper set grows.
+
+    ``url_filter`` (r18 — VERDICT r17 item 3) bounds the argmax BY THE
+    BATCH: a single-column ``canon_url`` frame broadcast-semi-joined
+    against the slim scan BELOW the keeper window, so the window's
+    exchange input is O(batch ∩ store) rows instead of O(store) —
+    keepers for URLs not in the arriving batch cannot flip, so the
+    per-batch compare is semantically identical (changed ⊆ arriving).
+    The scan itself stays O(store) — three narrow columns, no shuffle
+    — until compaction folds history. None = unbounded (the full
+    current-keeper read, e.g. :func:`crawl_store_keepers`)."""
     slim = _store_df(spark, store_dir, exclude_batch).select(
         "canon_url", "rec_id", "qual"
     )
+    if url_filter is not None:
+        slim = slim.join(F.broadcast(url_filter), "canon_url", "left_semi")
     return (
         slim.withColumn("__rn", F.row_number().over(_keeper_window()))
         .filter(F.col("__rn") == 1)
@@ -147,7 +162,15 @@ def _checked_extras(
     extra_cols: Mapping[str, Column] | None, caller: str
 ) -> dict[str, Column]:
     extras = dict(extra_cols or {})
-    reserved = {"canon_url", "rec_id", "qual", "clean_text", "batch_id"}
+    # __new/__rn are the changed-rows window's and _current_slim's
+    # internal helper names (ADVICE r17): today they only touch slim
+    # projections, but an extras key with either name works by
+    # accident of that and would break silently if the kernel ever
+    # windows over the full frame — reserve them like the store's own.
+    reserved = {
+        "canon_url", "rec_id", "qual", "clean_text", "batch_id",
+        "__new", "__rn",
+    }
     clash = sorted(reserved & extras.keys())
     if clash:
         # the parse_warc passthrough-collision rule applied here: a
@@ -222,7 +245,16 @@ def _crawl_ingest_batch(
     # re-sightings of seeded keepers, breaking the changed-only
     # invariant and replay byte-idempotence (r17 review finding).
     if _has_keeper_partitions(spark, store_dir, exclude_batch=batch_id):
-        current = _current_slim(spark, store_dir, exclude_batch=batch_id)
+        # BATCH-bounded compare (r18 — VERDICT r17 item 3): only the
+        # arriving batch's canonical URLs can change keepership, so the
+        # store-side argmax semi-joins on them BELOW its window — the
+        # keeper-window exchange is O(batch ∩ store), not O(store),
+        # and the per-batch marginal cost stops growing with total
+        # history size (the store scan stays a 3-column pruned read).
+        current = _current_slim(
+            spark, store_dir, exclude_batch=batch_id,
+            url_filter=slim_arr.select("canon_url").distinct(),
+        )
     else:
         current = spark.createDataFrame([], slim_arr.schema)
     # The compare runs SLIM — (canon_url, rec_id, qual) only: the
@@ -270,10 +302,14 @@ def stream_crawl_ingest(
     value are evaluated on the gated/parsed frame (``rec_id`` is in
     scope) — quality drives keeper selection, extras ride the store as
     provenance (topic, crawl tag, ...). Per-batch cost: projections on
-    the batch + ONE keeper-window shuffle over (current keepers ∪
-    batch arrivals) carrying ONLY (canon_url, rec_id, qual) — the
-    stored keeper set is re-read every batch, so its scan is
-    column-pruned to those three and document text NEVER re-enters an
+    the batch + ONE keeper-window shuffle over (current keepers FOR
+    THE BATCH'S URLS ∪ batch arrivals) carrying ONLY (canon_url,
+    rec_id, qual) — the store side is a 3-column pruned scan
+    broadcast-semi-joined on the batch's canonical URLs BELOW the
+    keeper window (r18, VERDICT r17 item 3: keepers for URLs not in
+    the batch cannot flip, so the window's shuffle is O(batch ∩
+    store) rows, not O(store), and marginal batch cost stops growing
+    with total history size); document text NEVER re-enters an
     exchange (changed rows fetch payload from the arriving frame,
     which always contains them); at 100 TB the store compacts via
     ``compact_ingest_store(..., substores=("url_keepers",))`` on the

@@ -80,13 +80,13 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         .filter(F.col("doc_id") < args.docs)
     )
     crlf = "\r\n"
-    # offset 1_000_001, NOT 1_000_000: source files split on
-    # doc_id % B, and 1e6 ≡ 0 (mod 1/4/16/64/256), so a 1e6 offset put
-    # every re-crawl in the SAME micro-batch as its original — the
-    # replacements never crossed batches and the benchmark measured
-    # inserts only (r17 review finding). 1_000_001 ≡ 1 (mod all swept
-    # B), so each re-crawl arrives one batch AFTER its original and
-    # replaces it against the accumulated store, as claimed.
+    # The 1_000_001 offset only disambiguates re-crawl ids from
+    # originals; batch placement is assigned EXPLICITLY in drain() via
+    # _crawl_file_idx (ADVICE r17: an id-offset placement scheme must
+    # be ≡ 1 mod every swept B, and 1_000_001 ≡ 65 (mod 256) — at
+    # B=256 ~25% of re-crawls landed in an EARLIER file than their
+    # original and degraded to insert-then-losing-re-sight instead of
+    # exercising cross-batch replacement).
     recrawl = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_001).alias("doc_id"),
         F.col("text"),
@@ -126,6 +126,18 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         F.col("rec_id") % 100
     )
 
+    def _crawl_file_idx(doc_id: int, n_batches: int) -> int:
+        """Source-file index: originals split on doc_id mod B;
+        re-crawls are placed in the file AFTER their original's,
+        explicitly (ADVICE r17 — see the offset comment above). The
+        +1 never wraps: originals are multiples of 10 (even), swept
+        Bs are powers of two, so original_batch ≤ B-2 — every
+        re-crawl genuinely arrives in a LATER micro-batch and
+        replaces against the accumulated store."""
+        if doc_id >= 1_000_000:
+            return ((doc_id - 1_000_001) % n_batches + 1) % n_batches
+        return doc_id % n_batches
+
     def drain(n_batches: int) -> float:
         root = tempfile.mkdtemp(prefix="stream_tp_crawl_")
         src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
@@ -134,7 +146,8 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
             with open(os.path.join(src, f"b{i}.warc"), "w", encoding="utf-8",
                       newline="") as fh:
                 fh.write("".join(
-                    r["rec"] for r in all_rows if r["doc_id"] % n_batches == i
+                    r["rec"] for r in all_rows
+                    if _crawl_file_idx(r["doc_id"], n_batches) == i
                 ))
         t0 = time.perf_counter()
         C.stream_crawl_ingest(

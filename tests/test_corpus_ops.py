@@ -313,6 +313,30 @@ def test_quality_gate_edges_and_threshold(spark):
         T.quality_gate(docs, "doc_id", "text", model,
                        keep_label="keep", drop_label="keep")
 
+    # (5) labels absent from the model raise (ADVICE r17): a model
+    # trained 'good'/'bad' scored with the default 'keep'/'drop' would
+    # otherwise score every doc at margin 0 — the whole corpus
+    # silently dropped at the default threshold.
+    gb = T.train_char_ngram_lid(
+        train.select(
+            F.when(F.col("lang") == "keep", "good").otherwise("bad").alias("lang"),
+            "text",
+        ),
+        "text", "lang", n=3, buckets=512,
+    )
+    with pytest.raises(ValueError, match="absent from the model"):
+        T.quality_gate(docs, "doc_id", "text", gb, n=3, buckets=512)
+    # one valid + one absent label names BOTH get reported
+    with pytest.raises(ValueError, match="drop"):
+        T.quality_gate(docs, "doc_id", "text", gb,
+                       keep_label="good", drop_label="drop", n=3, buckets=512)
+    # and the renamed labels work end-to-end when passed explicitly
+    renamed = {r["doc_id"]: r["keep"]
+               for r in T.quality_gate(docs, "doc_id", "text", gb,
+                                       keep_label="good", drop_label="bad",
+                                       n=3, buckets=512).collect()}
+    assert renamed[1] is True and renamed[2] is False
+
 
 def test_quality_gate_form_matches_oracle(spark):
     """The r18/r19 registry candidate verified the way the driver will

