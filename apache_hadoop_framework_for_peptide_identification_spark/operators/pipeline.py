@@ -767,6 +767,7 @@ def dedup_mix_pack(
     target_total: int = 30,
     temperature: float = 0.5,
     budget: int = 128,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The corpus-build DOWNSTREAM as one reusable composition (r17 —
     factored verbatim out of q201 so its batch form and the streaming
@@ -776,6 +777,11 @@ def dedup_mix_pack(
     min-id keeper → MinHash-LSH near-dup keeper pruning — then
     temperature mixing over the topic strata and greedy sequence
     packing. Returns (id_col, topic_col, n_tok, quota, seq_id).
+    ``max_bucket`` passes through to the near-dup stage's LSH
+    candidate join (r18): the 100 TB hot-bucket cap — a boilerplate
+    band bucket larger than this is dropped before the pair join,
+    bounding per-bucket work at max_bucket² (see
+    minhash_lsh_candidates; None = uncapped, the fixture default).
 
     Scale shape (r18 — VERDICT r17 "What's wrong" fix; the q195
     ladder's own discipline applied here): one corpus pass to the
@@ -830,6 +836,7 @@ def dedup_mix_pack(
     pairs = D.minhash_jaccard_pairs(
         keep, "__id", "norm", threshold=neardup_threshold,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        max_bucket=max_bucket,
     )
     losers = pairs.select(F.col("id_b").alias("__id")).distinct()
     corpus = keep.join(losers, "__id", "left_anti").select(

@@ -174,6 +174,18 @@ def _policy_growth_cap(registry_size: int) -> int:
 # the oldest-first rotation.
 _CHANGED_IN_ROUND = 18
 _CHANGED_THIS_ROUND = [
+    # The streaming stores' per-batch reads became batch-bounded this
+    # round (the crawl store's VERDICT r17 item 3 treatment applied to
+    # stream_dedup_ladder's keeper-store read and
+    # _neardup_ingest_batch's posting-store read — both provably
+    # join-result-preserving, but a changed implementation takes a
+    # fresh verdict). The two pins cost q07/q08 their r18 spillover
+    # seats; both hold r15 verdicts inside the age bound and the r19
+    # rotation re-grades them with their cohort. ingest_neardup itself
+    # (q174's registered form) is untouched — the bounding lives in
+    # the streaming wrapper.
+    "q197_stream_dedup_ladder",
+    "q180_stream_neardup_ingest",
     # r18 window = q201 + q202 (the round's two never-verified
     # registrants — the plan of record, docs/COVERAGE.md: growth cap 3
     # at registry 195, two slots spent, one spare kept as headroom for

@@ -2555,8 +2555,7 @@ def q199_ann_ivfpq_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate recall surface is measured by
     tests/test_similarity.py (round-trip, append-equals-build, and
     retrieval_eval at real knobs); its q194/q196-pattern driver row
-    is the recorded r17 registry candidate (this round's last free
-    window slot went to the r12 re-verification cohort). Scale shape:
+    registered as q200 in r17. Scale shape:
     three persisted frames (postings partitioned by cell; centroids
     and codebook tiny collects), per-query-batch cost O(queries ×
     probed postings), corpus never re-encoded."""

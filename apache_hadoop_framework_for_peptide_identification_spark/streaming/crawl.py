@@ -251,9 +251,16 @@ def _crawl_ingest_batch(
         # keeper-window exchange is O(batch ∩ store), not O(store),
         # and the per-batch marginal cost stops growing with total
         # history size (the store scan stays a 3-column pruned read).
+        # EXCEPT for a seed backfill (batch_id=-1): a seed is
+        # archive-sized, so its distinct-URL set can exceed broadcast
+        # reach — the seed path keeps the shuffle-based unbounded
+        # compare, which scales with partitions instead of driver
+        # memory (streaming micro-batches are trigger-bounded, where
+        # the broadcast is always safe).
         current = _current_slim(
             spark, store_dir, exclude_batch=batch_id,
-            url_filter=slim_arr.select("canon_url").distinct(),
+            url_filter=None if batch_id == -1
+            else slim_arr.select("canon_url").distinct(),
         )
     else:
         current = spark.createDataFrame([], slim_arr.schema)

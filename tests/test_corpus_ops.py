@@ -339,7 +339,7 @@ def test_quality_gate_edges_and_threshold(spark):
 
 
 def test_quality_gate_form_matches_oracle(spark):
-    """The r18/r19 registry candidate verified the way the driver will
+    """The q202 gate (registered r18) verified the way the driver will
     verify it (queries/llm.py q202_trained_quality_gate + Q202_ORACLE):
     full SQL retrain + re-score replay, hash-compared at sf0.001 AND
     sf0.01 (the q200/q201 pre-registration discipline), plus the
