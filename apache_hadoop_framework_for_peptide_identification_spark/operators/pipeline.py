@@ -768,6 +768,7 @@ def dedup_mix_pack(
     temperature: float = 0.5,
     budget: int = 128,
     max_bucket: int | None = None,
+    broadcast_keepers: bool = True,
 ) -> DataFrame:
     """The corpus-build DOWNSTREAM as one reusable composition (r17 —
     factored verbatim out of q201 so its batch form and the streaming
@@ -799,7 +800,19 @@ def dedup_mix_pack(
     shard-parallel packing. Normalized text crosses exactly one
     RoundRobin work-spreading repartition (inside minhash signatures)
     and NO keyed exchange — pinned structurally on a multi-partition
-    checkpoint by tests/test_pipeline_ops.py."""
+    checkpoint by tests/test_pipeline_ops.py.
+
+    ``broadcast_keepers`` (r18 review finding): the keeper-id set is
+    one 8-byte long per distinct normalized document — broadcastable
+    to roughly 10^8–10^9 keepers (Spark's 8 GB broadcast-table hard
+    limit / driver memory). Beyond that reach, set False: the
+    semi-join falls back to a co-shuffle, which ships ``norm``
+    through exactly ONE keyed exchange — a deliberate, documented
+    trade (still 3× better than the r17 window form, which keyed-
+    exchanged norm AND re-ran the keeper window per consumer), the
+    same archive-sized-broadcast refusal the crawl store's seed path
+    makes. The text-never-keyed-exchanged pin holds for the default
+    mode only."""
     from . import dedup as D
     from . import text as T
 
@@ -828,8 +841,10 @@ def dedup_mix_pack(
         .localCheckpoint()  # one pandas-UDF execution (the q195 rule)
     )
     keeper_ids = _exact_keeper_ids(keyed)
+    if broadcast_keepers:
+        keeper_ids = F.broadcast(keeper_ids)
     keep = (
-        keyed.join(F.broadcast(keeper_ids), "__id", "left_semi")
+        keyed.join(keeper_ids, "__id", "left_semi")
         .select("__id", "__topic", "n_tok", "norm")
         .localCheckpoint()  # materialize once before the minhash fan-out
     )

@@ -143,12 +143,21 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
         os.makedirs(src)
         for i in range(n_batches):
-            with open(os.path.join(src, f"b{i}.warc"), "w", encoding="utf-8",
-                      newline="") as fh:
+            # Zero-padded names + strictly increasing mtimes: the file
+            # stream source orders by modification time with a
+            # lexicographic tie-break, and a tight write loop produces
+            # same-millisecond mtimes where "b10" sorts before "b9" —
+            # which would silently reorder batches and void the
+            # re-crawl-arrives-later guarantee at larger B (r18 review
+            # finding).
+            path = os.path.join(src, f"b{i:05d}.warc")
+            with open(path, "w", encoding="utf-8", newline="") as fh:
                 fh.write("".join(
                     r["rec"] for r in all_rows
                     if _crawl_file_idx(r["doc_id"], n_batches) == i
                 ))
+            t = 1_700_000_000 + i
+            os.utime(path, (t, t))
         t0 = time.perf_counter()
         C.stream_crawl_ingest(
             W.read_warc_stream(spark, src, max_files_per_trigger=1),

@@ -57,11 +57,19 @@ def exchanges(df):
 
 def keyed_exchange_strings(df, allow=()):
     """(column, partitioning) for every string-typed column riding a
-    KEYED (non-RoundRobin) exchange, minus the ``allow`` names — the
+    non-RoundRobin exchange, minus the ``allow`` names — the
     exchange-payload pins' shared predicate: RoundRobin repartitions
     are the deliberate text-moves-exactly-once work-spreading move;
     keyed shuffles are where payload width multiplies across join/agg
-    stages and heavy strings are banned."""
+    stages and heavy strings are banned. BroadcastExchange nodes are
+    DELIBERATELY in scope too (r18 review): a corpus-branch string on
+    a broadcast is as much a scale bug as on a shuffle — broadcasting
+    corpus text melts the driver before a shuffle would — and the r18
+    minhash finding (raw shingles riding BroadcastPartitioning) was
+    caught exactly because broadcasts are inspected. Legitimate
+    small-frame broadcasts name their columns in ``allow`` ('lang',
+    'topic'), which stays honest because each allowlist is per-pin
+    and tiny."""
     bad = []
     for node in exchanges(df):
         part = node.outputPartitioning().toString()

@@ -507,6 +507,21 @@ def test_dedup_mix_pack_plan_discipline(spark):
         assert len(out) >= 20 and set(out["topic"]) == {"news", "blog", "wiki"}
         grp = out.groupby(["topic", "seq_id"])["n_tok"]
         assert ((grp.sum() <= 128) | (grp.count() == 1)).all()
+        # broadcast_keepers=False (the beyond-broadcast-reach fallback,
+        # r18 review finding: the id broadcast has an 8 GB ceiling the
+        # co-shuffle doesn't) must land the IDENTICAL corpus — the
+        # knob trades exchange shape only, never membership.
+        out2 = (
+            P.dedup_mix_pack(
+                surv, id_col="rec_id", topic_col="topic",
+                text_col="clean_text", target_total=30, budget=128,
+                broadcast_keepers=False,
+            )
+            .toPandas()
+            .sort_values(["rec_id"])
+            .reset_index(drop=True)
+        )
+        assert out.sort_values(["rec_id"]).reset_index(drop=True).equals(out2)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 

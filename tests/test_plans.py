@@ -614,7 +614,6 @@ def test_crawl_keeper_window_exchanges_are_slim(spark, tmp_path):
         # the batch's URLs — the window input is O(batch ∩ store), not
         # O(store). Locate the keyed exchange and assert a LeftSemi
         # broadcast join lives in ITS subtree (below the shuffle).
-        from tests.planwalk import exchanges as walk_exchanges
         from tests.planwalk import iter_plan_nodes
 
         flt = spark.createDataFrame(
