@@ -124,9 +124,74 @@ def _ivfpq_prod_form(spark):
     return run
 
 
+def _minhash_verify_form(hash_postings, high_entropy=False):
+    """md5-vs-raw posting A/B for minhash_jaccard_pairs' verify join
+    (r18 — the q121/q165 measured-bytes treatment applied to the
+    verify whose postings went md5 this round): the FULL pipeline
+    (banded candidates + exact-Jaccard verify) over the sf0.1
+    documents corpus, once with the default 16-byte md5 postings and
+    once through the hash_postings=False hatch. The claim under audit:
+    identical candidate/signature stages, verify posting exchanges
+    bounded at 16 B/shingle vs raw-string width. Broadcast joins are
+    disabled INSIDE the measured window: at this fixture scope the
+    posting sides fit the session's 64 MiB broadcast threshold and
+    the width difference would never touch a shuffle — at corpus
+    scale they cannot broadcast, and the shuffled plan is the shape
+    the md5 claim is about."""
+
+    def form(spark):
+        from pyspark.sql import functions as F
+
+        from apache_hadoop_framework_for_peptide_identification_spark.catalog import (
+            load_table,
+        )
+        from apache_hadoop_framework_for_peptide_identification_spark.operators import (
+            dedup,
+        )
+
+        d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        if high_entropy:
+            # 40 tokens of 32 incompressible hex chars per doc — the
+            # real-text regime where raw shingles neither compress nor
+            # fit under 16 bytes (the q121 A/B's 0.57x direction)
+            d = d.select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(40)),
+                        lambda i: F.md5(F.concat(F.col("doc_id"), i)),
+                    ),
+                ).alias("text"),
+            )
+
+        def run():
+            thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                dedup.minhash_jaccard_pairs(
+                    d, "doc_id", "text", threshold=0.5,
+                    num_hashes=64, bands=16, shingle_n=3,
+                    hash_postings=hash_postings,
+                ).collect()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+            return False
+
+        return run
+
+    return form
+
+
 # Non-registry audit forms: name -> fn(spark) doing any un-audited
 # setup (index builds) and returning the measured-window callable.
-CUSTOM_FORMS = {"ivfpq_query_prod": _ivfpq_prod_form}
+CUSTOM_FORMS = {
+    "ivfpq_query_prod": _ivfpq_prod_form,
+    "minhash_verify_md5": _minhash_verify_form(True),
+    "minhash_verify_raw": _minhash_verify_form(False),
+    "minhash_verify_md5_hient": _minhash_verify_form(True, high_entropy=True),
+    "minhash_verify_raw_hient": _minhash_verify_form(False, high_entropy=True),
+}
 
 FIELDS = (
     "inputBytes",
@@ -259,9 +324,10 @@ def main() -> None:
         args.engine_only = True
     else:
         queries = args.queries.split(",") if args.queries else QUERIES
-        unknown = [q for q in queries if q not in QUERIES]
+        valid = QUERIES + [q for q in CUSTOM_FORMS if q not in QUERIES]
+        unknown = [q for q in queries if q not in valid]
         if unknown:
-            sys.exit(f"shuffle_audit: unknown queries {unknown} — valid: {QUERIES}")
+            sys.exit(f"shuffle_audit: unknown queries {unknown} — valid: {valid}")
 
     results: dict[str, dict[str, dict]] = {q: {} for q in queries}
 
