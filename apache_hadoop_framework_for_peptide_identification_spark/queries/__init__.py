@@ -174,18 +174,16 @@ def _policy_growth_cap(registry_size: int) -> int:
 # the oldest-first rotation.
 _CHANGED_IN_ROUND = 18
 _CHANGED_THIS_ROUND = [
-    # The streaming stores' per-batch reads became batch-bounded this
-    # round (the crawl store's VERDICT r17 item 3 treatment applied to
-    # stream_dedup_ladder's keeper-store read and
-    # _neardup_ingest_batch's posting-store read — both provably
-    # join-result-preserving, but a changed implementation takes a
-    # fresh verdict). The two pins cost q07/q08 their r18 spillover
-    # seats; both hold r15 verdicts inside the age bound and the r19
-    # rotation re-grades them with their cohort. ingest_neardup itself
-    # (q174's registered form) is untouched — the bounding lives in
-    # the streaming wrapper.
-    "q197_stream_dedup_ladder",
-    "q180_stream_neardup_ingest",
+    # No pins. The crawl store's batch-bounding (VERDICT r17 item 3)
+    # was also TRIED on stream_dedup_ladder's keeper read and the
+    # near-dup posting read mid-round — then REVERTED after an A/B
+    # measured it as a regression (those reads are equi-joins the
+    # engine already prunes; BASELINE.md r18 streaming note), so
+    # q197/q180 ship byte-identical to their r16/r15-verdicted
+    # implementations and need no pin. q201/q202 (never-verified) and
+    # the 46-query r14 cohort — including q113/q195, the registered
+    # consumers of this round's md5-posting change — fill the window
+    # by the standing rules.
     # r18 window = q201 + q202 (the round's two never-verified
     # registrants — the plan of record, docs/COVERAGE.md: growth cap 3
     # at registry 195, two slots spent, one spare kept as headroom for

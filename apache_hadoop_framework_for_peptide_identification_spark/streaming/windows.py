@@ -396,27 +396,17 @@ def _neardup_ingest_batch(
         spark.read.parquet(f"{store_dir}/postings")
         .filter(not_self)
         .select("id", "band", "bucket")
-        # BATCH-bounded history read (r18 — the crawl/ladder keeper
-        # stores' VERDICT r17 item 3 treatment): only (band, bucket)
-        # cells the batch posts into can collide, so the history
-        # posting scan semi-joins on the batch's own stored posting
-        # keys BELOW its exchange — provably join-result-preserving
-        # (the candidate join is an equi-join on exactly these keys),
-        # and the per-batch shuffle carries O(batch-colliding) posting
-        # rows instead of the whole accumulated store. The filter
-        # frame re-reads the batch's JUST-WRITTEN posting partition
-        # (a bounded parquet scan — the sign-once rule is untouched)
-        # and is batch_docs × bands rows, always broadcastable for a
-        # trigger-bounded micro-batch.
-        .join(
-            F.broadcast(
-                spark.read.parquet(f"{store_dir}/postings/batch_id={batch_id}")
-                .select("band", "bucket")
-                .distinct()
-            ),
-            ["band", "bucket"],
-            "left_semi",
-        )
+        # NOTE (r18, measured and deliberately NOT batch-bounded):
+        # the crawl store's r18 semi-join treatment was tried here and
+        # on the ladder keeper read, and REJECTED by measurement —
+        # these reads are EQUI-JOINS the engine already prunes
+        # adaptively (small posting/keeper sides broadcast; the join
+        # itself is the bound), so prepending a broadcast semi-join
+        # added a job + broadcast per batch for work the join never
+        # did: neardup B=1 went 4.4 -> 14.9 s, B=16 3.3 -> 4.8 s/batch
+        # (BASELINE.md r18 streaming note). The crawl store keeps its
+        # bounding because its compare is a WINDOW, which always
+        # shuffles the full store without it.
     )
     texts = (
         spark.read.parquet(f"{store_dir}/texts")
@@ -818,18 +808,10 @@ def stream_dedup_ladder(
                 spark.read.parquet(f"{store_dir}/keepers")
                 .filter(F.col("batch_id") != F.lit(batch_id))
                 .select("k_n", "keeper_id", "keeper_kr", "keeper_ku")
-                # BATCH-bounded store read (r18 — the crawl store's
-                # VERDICT r17 item 3 treatment applied here): only the
-                # batch's own k_n groups can survive the LEFT join from
-                # `keyed`, so filtering the store scan to them BELOW its
-                # exchange provably preserves the join result while the
-                # shuffle carries O(batch ∩ store) keeper rows instead
-                # of the whole accumulated store.
-                .join(
-                    F.broadcast(keyed.select("k_n").distinct()),
-                    "k_n",
-                    "left_semi",
-                )
+                # deliberately NOT batch-bounded (r18) — see the
+                # measured rejection note in _neardup_ingest_batch
+                # (same class: an equi-join the engine already prunes;
+                # the tried semi-join cost ~30% at B=16)
             )
         else:
             kst = spark.createDataFrame([], keeper_schema)
