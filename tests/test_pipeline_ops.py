@@ -526,6 +526,47 @@ def test_dedup_mix_pack_plan_discipline(spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
+def test_dedup_mix_pack_layout_invariant(spark):
+    """The registered q201 downstream must be a pure function of the
+    input SET: same survivors under different physical partitionings
+    and row orders land the byte-identical packed mix (every keeper
+    rule is an argmax over values — min id per k_n, id-ordered
+    near-dup losers, id-ranked mixing, id-ordered packing — so no
+    layout may leak into the result). Complements the oracle compare
+    (one layout) the way q86's partitioning-invariance test
+    complements its oracle."""
+    rows = [
+        (
+            i,
+            ["news", "blog", "wiki"][i % 3],
+            " ".join(f"t{i % 40}w{j}" for j in range(6)),
+        )
+        for i in range(200)
+    ]
+    base = spark.createDataFrame(rows, "rec_id long, topic string, clean_text string")
+    layouts = [
+        base.coalesce(1),
+        base.repartition(8),
+        # reversed arrival order, different partitioner
+        base.orderBy(F.col("rec_id").desc()).repartition(3, "topic"),
+    ]
+    outs = []
+    for surv in layouts:
+        outs.append(
+            P.dedup_mix_pack(
+                surv, id_col="rec_id", topic_col="topic",
+                text_col="clean_text", target_total=30, budget=128,
+            )
+            .toPandas()
+            .sort_values(["rec_id"])
+            .reset_index(drop=True)
+        )
+    assert len(outs[0]) >= 20
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2]), (
+        outs[0].head(), outs[1].head(), outs[2].head()
+    )
+
+
 def test_stream_corpus_build_matches_oneshot_oracle(spark):
     """q203_stream_corpus_build — VERDICT r16 item 7; r19 registry
     candidate, verified the way the driver will verify it: the FOUR-
