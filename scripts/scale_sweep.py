@@ -60,6 +60,43 @@ QUERIES = [
 STOCK_NAMES = {  # measure_baseline fn name per query
     "q67_embedding_neardup_lsh": "q67_embedding_neardup",
 }
+
+
+def _dedup_mix_pack_form(spark, data_dir):
+    """Engine-only exponent form for the registered q201 downstream
+    (r18): the full dedup_mix_pack composition — NFC → normalize →
+    exact-hash keeper reduction → MinHash-LSH near-dup → temperature
+    mixing → packing — over the scale fixture's documents table
+    (doc_id mod 3 as the topic strata). target_total is fixed, so the
+    measured growth is the ladder + near-dup cost, which the banded
+    design holds near-linear; there is no stock twin (composition
+    form — the byte/exponent shape IS the claim, the ivfpq_query_prod
+    convention)."""
+    from pyspark.sql import functions as F
+
+    from apache_hadoop_framework_for_peptide_identification_spark.catalog import load_table
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import (
+        pipeline as P,
+    )
+
+    topic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("news"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("blog"))
+        .otherwise(F.lit("wiki"))
+    )
+    d = load_table(spark, data_dir, "documents").select(
+        F.col("doc_id").alias("rec_id"), topic.alias("topic"),
+        F.col("text").alias("clean_text"),
+    )
+    return P.dedup_mix_pack(
+        d, id_col="rec_id", topic_col="topic", text_col="clean_text",
+        target_total=100, budget=512,
+    )
+
+
+# Engine-only composition forms with no registry entry / stock twin:
+# name -> fn(spark, data_dir) -> DataFrame (collected by the sweep).
+CUSTOM_FORMS = {"dedup_mix_pack": _dedup_mix_pack_form}
 SCALE_N = {
     "x03": 0.3, "x1": 1.0, "x3": 3.0, "x10": 10.0,
     # Heaps'-law fixtures (gen_scale_fixtures hx*: vocab ~ N^0.5) —
@@ -107,9 +144,12 @@ def main() -> None:
     args = ap.parse_args()
 
     queries = args.queries.split(",") if args.queries else QUERIES
-    unknown = [q for q in queries if q not in QUERIES]
+    valid = QUERIES + [q for q in CUSTOM_FORMS if q not in QUERIES]
+    unknown = [q for q in queries if q not in valid]
     if unknown:
-        sys.exit(f"scale_sweep: unknown queries {unknown} — valid: {QUERIES}")
+        sys.exit(f"scale_sweep: unknown queries {unknown} — valid: {valid}")
+    if not args.engine_only and any(q in CUSTOM_FORMS for q in queries):
+        sys.exit("scale_sweep: CUSTOM_FORMS are engine-only — pass --engine-only")
     engine_scopes = args.scales.split(",")
     bad = [s for s in engine_scopes if s not in SCALE_N]
     if bad:
@@ -127,10 +167,13 @@ def main() -> None:
 
     spark = get_spark("scale-sweep-engine")
     for q in queries:
-        qd = REGISTRY.get(q) or BENCH_REGISTRY[q]
-        qd.fn(spark, os.path.join(DATA, engine_scopes[0])).collect()  # warm-up
+        if q in CUSTOM_FORMS:
+            fn = CUSTOM_FORMS[q]
+        else:
+            fn = (REGISTRY.get(q) or BENCH_REGISTRY[q]).fn
+        fn(spark, os.path.join(DATA, engine_scopes[0])).collect()  # warm-up
         for scope in engine_scopes:
-            sec = _run(qd.fn, spark, os.path.join(DATA, scope))
+            sec = _run(fn, spark, os.path.join(DATA, scope))
             results[q]["engine"][scope] = round(sec, 3)
             print(f"engine {q} {scope}: {sec:.2f} s", flush=True)
     spark.stop()
