@@ -165,6 +165,12 @@ def _materialize_index(df: DataFrame, materialize: str) -> DataFrame:
       and re-shingles from source (measured ~1.4× wall at sf0.1, 12
       FileScans for the 4-branch containment plan). Right when the
       upstream is itself cached or trivially cheap.
+    - ``"reliable_checkpoint"`` (r19 — the fault-envelope regime,
+      operators/reliability.py): DFS checkpoint via
+      ``sc.setCheckpointDir`` — survives ANY executor loss (the
+      ``local_checkpoint`` mode is job-fatal on loss; ``persist``
+      survives by lineage recompute but keeps the full plan). Right
+      for multi-hour index builds whose recompute is itself expensive.
     """
     if materialize == "local_checkpoint":
         return df.localCheckpoint(eager=False)
@@ -174,8 +180,13 @@ def _materialize_index(df: DataFrame, materialize: str) -> DataFrame:
         return df.persist(StorageLevel.MEMORY_AND_DISK)
     if materialize == "none":
         return df
+    if materialize == "reliable_checkpoint":
+        from .reliability import materialize as _mat
+
+        return _mat(df, "reliable", eager=False)
     raise ValueError(
-        f"materialize must be 'local_checkpoint', 'persist', or 'none'; got {materialize!r}"
+        f"materialize must be 'local_checkpoint', 'persist', 'none', or "
+        f"'reliable_checkpoint'; got {materialize!r}"
     )
 
 
@@ -1137,6 +1148,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Connected components over candidate-pair edges → (id, cluster_id)
     with cluster_id = min node id in the component. This is the step
@@ -1154,26 +1166,35 @@ def connected_components(
     :func:`connected_components_star` (r12 — the promised
     large-star/small-star variant made callable: O(log n) rounds,
     same join shape, pytest-pinned label-equal).
+
+    ``checkpoint_mode`` (r19): the per-round label truncation is
+    unrecoverable under the default ``"local"`` regime on executor
+    loss (the whole propagation restarts); long cluster runs should
+    pass ``"replicated"`` or ``"reliable"`` — labels are (long, long)
+    pairs, so durability is cheap. Regimes: operators/reliability.py
+    + SCALE.md; label parity across modes pinned by
+    tests/test_reliability.py.
     """
+    from .reliability import materialize as _mat
+
     sym = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
     sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
     nodes = sym.select(F.col("s").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = _mat(nodes.select("id", F.col("id").alias("label")), checkpoint_mode)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["d"] == labels["id"])
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left")
-            .select(
+        new_labels = _mat(
+            labels.join(nbr_min, labels["id"] == nbr_min["s"], "left").select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_mode,
         )
         changed = (
             new_labels.alias("n")
@@ -1210,6 +1231,7 @@ def connected_components_star(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 60,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     rounds (r12 — the O(log n)-round variant
@@ -1245,7 +1267,13 @@ def connected_components_star(
     long chains — id-sorted crawl frontiers, temporal link graphs —
     where O(diameter) rounds is the difference between 3 and 300
     shuffles at 100 TB.
+
+    ``checkpoint_mode`` (r19): same fault envelope as the hash-min
+    form — per-round edge-forest truncations are job-fatal on
+    executor loss under ``"local"``; see operators/reliability.py.
     """
+    from .reliability import materialize as _mat
+
     raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -1254,13 +1282,13 @@ def connected_components_star(
     # as its own singleton cluster, exactly like the hash-min form
     # (r12 review finding: deriving nodes after the filter silently
     # dropped self-loop-only nodes).
-    nodes = (
+    nodes = _mat(
         raw.select(F.col("u").alias("id"))
         .union(raw.select(F.col("v").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_mode,
     )
-    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    e = _mat(raw.filter(F.col("u") != F.col("v")).distinct(), checkpoint_mode)
 
     def _stamp(df: DataFrame) -> tuple[int, int]:
         # bit_xor, not sum: order-independent over the DISTINCT edge
@@ -1300,11 +1328,11 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         part_self = smins.select(F.col("u"), F.col("m").alias("v"))
-        e = (
+        e = _mat(
             part_nbrs.union(part_self)
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            checkpoint_mode,
         )
         cur = _stamp(e)
         if cur == prev:

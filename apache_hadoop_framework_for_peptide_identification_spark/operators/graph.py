@@ -44,6 +44,7 @@ def pagerank_int(
     weight: str,
     iters: int = 10,
     checkpoint_every: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, integer-exact.
 
@@ -61,27 +62,40 @@ def pagerank_int(
     connected-components loop, so the plan stays shallow while the
     driver iterates plans, not data.
 
+    ``checkpoint_mode`` (r19 — the localCheckpoint fault envelope,
+    VERDICT r18): every truncation here — the reused edge-factor
+    table, the node set, and each periodic rank truncation — is
+    unrecoverable under the default ``"local"`` regime if an executor
+    dies after it (no lineage left; the whole multi-iteration job
+    fails). For long iterative runs on a real cluster pass
+    ``"replicated"`` or ``"reliable"`` — the rank table is one
+    (node, long) row per node, tiny next to the edge list, so the
+    durability tax is bounded. Regimes priced in
+    operators/reliability.py + SCALE.md; identical ranks under all
+    modes (tests/test_reliability.py).
+
     Returns (node, rank_int, rank) — rank = rank_int/1e9 exact (both
     fit double's 2^53 integer window for any graph this scaling admits).
     """
+    from .reliability import materialize as _mat
+
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    fe = (
-        e.join(outw, "src")
-        .select(
+    fe = _mat(
+        e.join(outw, "src").select(
             "src",
             "dst",
             F.expr(f"CAST(w * {F_SCALE} AS BIGINT) div outw").alias("f"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        checkpoint_mode,
     )
-    nodes = (
+    nodes = _mat(
         fe.select(F.col("src").alias("node"))
         .unionByName(fe.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
     base = round(0.15 * RANK_SCALE)
 
@@ -104,7 +118,7 @@ def pagerank_int(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = _mat(ranks, checkpoint_mode, eager=False)
     return ranks.select(
         "node",
         F.col("pr").alias("rank_int"),

@@ -769,6 +769,7 @@ def dedup_mix_pack(
     budget: int = 128,
     max_bucket: int | None = None,
     broadcast_keepers: bool = True,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """The corpus-build DOWNSTREAM as one reusable composition (r17 —
     factored verbatim out of q201 so its batch form and the streaming
@@ -812,9 +813,31 @@ def dedup_mix_pack(
     exchanged norm AND re-ran the keeper window per consumer), the
     same archive-sized-broadcast refusal the crawl store's seed path
     makes. The text-never-keyed-exchanged pin holds for the default
-    mode only."""
+    mode only.
+
+    ``checkpoint_mode`` (r19 — VERDICT r18 "What's wrong": the
+    localCheckpoint fault envelope): both corpus-sized
+    materializations here — the post-NFC ``keyed`` frame and the
+    ``keep`` keeper set — are lineage truncations, so under the
+    default ``"local"`` regime their blocks live only in executor
+    caches and ANY executor loss after materialization is job-fatal
+    (nothing left to recompute from). On an hours-long 100 TB build
+    pass ``"replicated"`` (2× executor replicas, survives single
+    loss) or ``"reliable"`` (DFS checkpoint via
+    ``sc.setCheckpointDir``, survives any loss — the frames here are
+    the SMALL mid-pipeline survivors, so the DFS tax is bounded).
+    Regime table: operators/reliability.py + SCALE.md; all three
+    modes return identical rows (parity-pinned by
+    tests/test_reliability.py). Block residency (ADVICE r18): the
+    ``keyed`` checkpoint is read only until ``keep`` materializes,
+    but local-checkpoint blocks have no public PySpark release handle
+    — they are freed by the ContextCleaner once the frame is GC'd
+    (end of this call). Sessions running MANY finalization builds
+    back-to-back should prefer ``"reliable"``, whose blocks live on
+    DFS instead of executor memory."""
     from . import dedup as D
     from . import text as T
+    from .reliability import materialize as _mat
 
     norm = F.trim(
         F.regexp_replace(
@@ -838,15 +861,17 @@ def dedup_mix_pack(
             # packed 16-byte binary key, not the 32-char hex (q177)
             F.unhex(F.md5(norm)).alias("k_n"),
         )
-        .localCheckpoint()  # one pandas-UDF execution (the q195 rule)
     )
+    # one pandas-UDF execution (the q195 rule); durability per the knob
+    keyed = _mat(keyed, checkpoint_mode)
     keeper_ids = _exact_keeper_ids(keyed)
     if broadcast_keepers:
         keeper_ids = F.broadcast(keeper_ids)
-    keep = (
-        keyed.join(keeper_ids, "__id", "left_semi")
-        .select("__id", "__topic", "n_tok", "norm")
-        .localCheckpoint()  # materialize once before the minhash fan-out
+    keep = _mat(  # materialize once before the minhash fan-out
+        keyed.join(keeper_ids, "__id", "left_semi").select(
+            "__id", "__topic", "n_tok", "norm"
+        ),
+        checkpoint_mode,
     )
     pairs = D.minhash_jaccard_pairs(
         keep, "__id", "norm", threshold=neardup_threshold,

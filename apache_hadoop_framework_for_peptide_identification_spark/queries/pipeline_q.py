@@ -2430,20 +2430,23 @@ def q201_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# r19 REGISTRY CANDIDATE (written r17 — VERDICT r16 item 7: the
-# streaming twin of the q201 capstone, the q195→q197 treatment applied
-# to the crawl→pack pipeline). NOT yet @query: the registration plan of
-# record (docs/COVERAGE.md) seats q201 + q202 in r18; this targets
-# r19's window. The oracle IS q201's — every keeper rule in the
+# REGISTERED r19 per the plan of record (written r17 — VERDICT r16
+# item 7: the streaming twin of the q201 capstone, the q195→q197
+# treatment applied to the crawl→pack pipeline; registration deferred
+# past r18 while q201+q202 took the round's two slots, docs/
+# COVERAGE.md). The oracle IS q201's — every keeper rule in the
 # composition is an arrival-order-independent argmax, so the staged
 # streaming build provably equals the one-shot build of the same
 # records (see streaming/crawl.py's module docstring for the
-# contract). Verified by tests/test_pipeline_ops.py::
-# test_stream_corpus_build_matches_oneshot_oracle at sf0.001 AND
-# sf0.01 (the q200/q201/q202 pre-registration discipline).
+# contract). Pre-registration verification: tests/test_pipeline_ops.py
+# ::test_stream_corpus_build_matches_oneshot_oracle at sf0.001 AND
+# sf0.01 (the q200/q201/q202 discipline); the first driver verdict
+# lands on the r18 batch-bounded keeper compare — correct sequencing
+# (VERDICT r17 item 3 shipped before the registrant that grades it).
 Q203_ORACLE = Q201_ORACLE
 
 
+@query("q203_stream_corpus_build", oracle=Q203_ORACLE)
 def q203_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING corpus-build capstone (r17 — VERDICT r16 item 7):
     q201's 220 planted WARC records arrive in FOUR staged phases

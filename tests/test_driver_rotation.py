@@ -165,3 +165,46 @@ def test_capacity_policy_two_rounds_out():
             if n in sim and n not in next_window and next_round - sim[n] > MAX_AGE
         }
         assert not stale, f"round +{k}: capacity policy would strand verdicts: {stale}"
+
+
+def test_at_capacity_policy():
+    """AT-CAPACITY rule (r19 — VERDICT r18 item 3, recorded before it
+    binds): after q203 the registry holds 198 of 200 structural slots
+    and the surface is declared complete — growth defaults to zero,
+    the 2 residual slots are repair-only, and any genuinely new row
+    must first execute the pre-approved retirement ladder
+    (q149 → q121 → q105, each keeping an oracle-verified sibling).
+    This test pins the math and keeps the ladder LIVE: a rung that
+    got renamed/deleted, or a sibling that lost its oracle, fails
+    here instead of surprising the round that needs the ladder."""
+    from apache_hadoop_framework_for_peptide_identification_spark.queries import (
+        _CAPACITY,
+        REGISTRY,
+        _policy_growth_cap,
+    )
+
+    # Residual-slot math: at the declared-complete size the structural
+    # cap leaves exactly the repair reserve; at capacity it is zero.
+    assert len(REGISTRY) <= _CAPACITY
+    assert _policy_growth_cap(len(REGISTRY)) == _CAPACITY - len(REGISTRY)
+    assert _policy_growth_cap(_CAPACITY) == 0
+
+    # Retirement ladder: every rung is a live driver query, and every
+    # named sibling that would carry its row is live WITH an oracle.
+    ladder = {
+        "q149_pipe_corpus_scale": ["q148_pipeline_spec_run"],
+        "q121_prefix_jaccard_corpus": [
+            "q107_prefix_jaccard",
+            "q147_containment_pairs",
+            "q165_containment_prefix_corpus",
+        ],
+        "q105_length_histogram": ["q156_histogram_quantile_rollup"],
+    }
+    for rung, siblings in ladder.items():
+        assert rung in REGISTRY, f"retirement-ladder rung vanished: {rung}"
+        for sib in siblings:
+            assert sib in REGISTRY, f"ladder sibling vanished: {sib} (for {rung})"
+            assert REGISTRY[sib].oracle is not None, (
+                f"ladder sibling {sib} lost its oracle — {rung} could no "
+                f"longer retire safely"
+            )
