@@ -755,6 +755,26 @@ def _exact_keeper_ids(keyed: DataFrame) -> DataFrame:
     return keyed.groupBy("k_n").agg(F.min("__id").alias("__id")).select("__id")
 
 
+def _keeper_rows(keyed: DataFrame, broadcast_keepers: bool) -> DataFrame:
+    """The keeper-row subtree of :func:`dedup_mix_pack` — reduction +
+    id semi-join — factored UN-checkpointed so BOTH join modes' plan
+    shapes are pinnable in isolation (r19, VERDICT r18 item 4: the
+    composition checkpoints this frame, so the semi-join never appears
+    in the returned plan). Default: broadcast semi-join, 8-byte longs
+    on the wire, ``norm`` crosses no keyed exchange. Fallback
+    (``broadcast_keepers=False``, beyond the ~10^8–10^9-keeper
+    broadcast reach): co-shuffle semi-join — ``norm`` rides exactly
+    ONE hashpartitioning(__id) exchange, and the keeper reduction
+    still runs exactly once (one k_n exchange), pinned by
+    tests/test_pipeline_ops.py::test_keeper_fallback_plan_discipline."""
+    keeper_ids = _exact_keeper_ids(keyed)
+    if broadcast_keepers:
+        keeper_ids = F.broadcast(keeper_ids)
+    return keyed.join(keeper_ids, "__id", "left_semi").select(
+        "__id", "__topic", "n_tok", "norm"
+    )
+
+
 def dedup_mix_pack(
     surv: DataFrame,
     id_col: str = "rec_id",
@@ -864,15 +884,8 @@ def dedup_mix_pack(
     )
     # one pandas-UDF execution (the q195 rule); durability per the knob
     keyed = _mat(keyed, checkpoint_mode)
-    keeper_ids = _exact_keeper_ids(keyed)
-    if broadcast_keepers:
-        keeper_ids = F.broadcast(keeper_ids)
-    keep = _mat(  # materialize once before the minhash fan-out
-        keyed.join(keeper_ids, "__id", "left_semi").select(
-            "__id", "__topic", "n_tok", "norm"
-        ),
-        checkpoint_mode,
-    )
+    # materialize once before the minhash fan-out
+    keep = _mat(_keeper_rows(keyed, broadcast_keepers), checkpoint_mode)
     pairs = D.minhash_jaccard_pairs(
         keep, "__id", "norm", threshold=neardup_threshold,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,

@@ -8,6 +8,8 @@ normalizer, the same deliberate boundary as the repetition filter."""
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -260,6 +262,12 @@ def char_ngram_lid(
 # to a single exact BIGINT margin per document.
 
 
+# Distinct-label sets per model frame for quality_gate's existence
+# guard (ADVICE r18): weak keys so a discarded model's entry dies with
+# it rather than pinning the DataFrame for the session's lifetime.
+_MODEL_LABELS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def quality_gate(
     df,
     id_col: str,
@@ -305,8 +313,16 @@ def quality_gate(
     # every doc lands at margin 0 and the whole corpus is silently
     # dropped at the default threshold. The model is a tiny
     # broadcastable frame, so the distinct-label probe is one cheap
-    # driver-side collect, mirroring the keep==drop guard.
-    labels = {r["lang"] for r in model.select("lang").distinct().collect()}
+    # driver-side collect — memoized per model FRAME (ADVICE r18:
+    # sweeps/calibration loops call this repeatedly with the same
+    # model; DataFrames are immutable, so identity-keyed caching is
+    # sound, and the weak keys let discarded models free their entry).
+    labels = _MODEL_LABELS.get(model)
+    if labels is None:
+        labels = frozenset(
+            r["lang"] for r in model.select("lang").distinct().collect()
+        )
+        _MODEL_LABELS[model] = labels
     missing = sorted({keep_label, drop_label} - labels)
     if missing:
         raise ValueError(

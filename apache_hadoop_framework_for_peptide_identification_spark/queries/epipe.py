@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.pipe import ChainSpec, run_chain
 from . import query
+from ._scratch import _scratch_dir
 
 # Two-stage chain sharing %TMP_FILE_1% (the argFileMap memoization
 # semantics of ExecutorMapper.java:197-203): stage 1 reads the staged
@@ -110,14 +111,13 @@ def q148_pipeline_spec_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     READ-BACK sink contents — so a hash match verifies the full
     spec → select → stage → chain → sink → scan loop, not just the
     in-flight rows. Zero shuffle until the presentation sort."""
-    import tempfile
 
     from ..plans.spec import run_algorithm
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     _assert_tsv_stageable(d)
-    in_dir = tempfile.mkdtemp(prefix="q148_in_")
-    out_dir = tempfile.mkdtemp(prefix="q148_out_")
+    in_dir = _scratch_dir("q148_in_")
+    out_dir = _scratch_dir("q148_out_")
     d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
     ).write.mode("overwrite").text(in_dir)

@@ -22,21 +22,9 @@ from ..operators import urls as _U
 from . import query
 
 
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp + atexit rmtree — the q201/q203 fixture-dir discipline
-    applied uniformly (VERDICT r17 item 5 / ADVICE r16 item 4's leak
-    class): every query that materializes a planted WARC/maps fixture
-    per invocation must tear it down at interpreter exit, or a full
-    suite + driver sweep leaks one dir per invocation. A with-scoped
-    TemporaryDirectory is wrong here — the returned DataFrames read
-    the dir lazily, so it must outlive the builder call."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+# shared since r19 (VERDICT r18 item 5) — one implementation for every
+# fixture-materializing query module
+from ._scratch import _scratch_dir  # noqa: F401
 
 
 def _t(spark, sf_dir, name):

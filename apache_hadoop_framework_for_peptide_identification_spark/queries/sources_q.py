@@ -6,7 +6,6 @@ roundtrip that loses or mangles rows cannot match.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -15,6 +14,7 @@ from ..catalog import load_table
 from ..operators import multimodal
 from ..sources import readers
 from . import query
+from ._scratch import _scratch_dir
 
 
 def _t(spark, sf_dir, name):
@@ -33,7 +33,7 @@ def q70_parquet_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED BY o_orderpriority, read back, re-aggregated. At scale
     partitionBy is what makes `WHERE o_orderpriority = ...` a
     partition-pruned scan instead of a full read."""
-    out = tempfile.mkdtemp(prefix="sink_parquet_")
+    out = _scratch_dir("sink_parquet_")
     orders = _t(spark, sf_dir, "orders")
     readers.write_parquet(orders, out, partition_by=["o_orderpriority"])
     back = readers.read_parquet(spark, out)
@@ -54,7 +54,7 @@ FROM customer GROUP BY 1 ORDER BY 1
 def q71_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Headered CSV sink + schema'd scan-back (the typed replacement
     for the reference's DATA_HEADER text contract, Driver.java:91-108)."""
-    out = tempfile.mkdtemp(prefix="sink_csv_")
+    out = _scratch_dir("sink_csv_")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
     readers.write_csv(cust, out)
     back = readers.read_csv(
@@ -77,7 +77,7 @@ FROM nation GROUP BY 1 ORDER BY 1
 )
 def q72_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newline-delimited JSON sink + schema'd scan-back."""
-    out = tempfile.mkdtemp(prefix="sink_json_")
+    out = _scratch_dir("sink_json_")
     nation = _t(spark, sf_dir, "nation")
     readers.write_json(nation, out)
     back = readers.read_json(
@@ -103,7 +103,7 @@ def q73_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, ExecutorMapper.java:38): one `value: string` column,
     one row per line. Newlines flattened on write so line count ==
     doc count."""
-    out = tempfile.mkdtemp(prefix="sink_text_")
+    out = _scratch_dir("sink_text_")
     docs = _t(spark, sf_dir, "documents").select(
         F.regexp_replace("text", "\n", " ").alias("value")
     )
@@ -128,7 +128,7 @@ def q109_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hive-ecosystem interchange format): lineitem written partitioned by
     return flag, read back, re-aggregated; sum in DECIMAL so the
     roundtrip check is order-independent."""
-    out = tempfile.mkdtemp(prefix="sink_orc_")
+    out = _scratch_dir("sink_orc_")
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     readers.write_orc(li, out, partition_by=["l_returnflag"])
     back = readers.read_orc(spark, out)
@@ -164,7 +164,7 @@ def q122_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     FILE at plan time — enable it per-read (as here), not globally;
     with a catalog (Delta/Iceberg) the log supplies the merged schema
     instead."""
-    src = tempfile.mkdtemp(prefix="schema_evo_")
+    src = _scratch_dir("schema_evo_")
     o = _t(spark, sf_dir, "orders")
     o.select("o_orderkey", "o_totalprice").write.mode("append").parquet(src)
     o.select("o_orderkey", "o_orderstatus").write.mode("append").parquet(src)
@@ -190,7 +190,7 @@ def q128_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a row-framed text format — scans split by rowTag exactly like
     csv/json lines, so the 100 TB story matches the other text
     sources."""
-    out = tempfile.mkdtemp(prefix="sink_xml_")
+    out = _scratch_dir("sink_xml_")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     n.write.format("xml").option("rowTag", "nation").mode("overwrite").save(out)
     back = spark.read.format("xml").option("rowTag", "nation").load(out)
@@ -305,7 +305,7 @@ def q151_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # External tables at fresh temp locations: a MANAGED location can
     # outlive the in-memory catalog entry across sessions and fail the
     # next create with LOCATION_ALREADY_EXISTS.
-    base = tempfile.mkdtemp(prefix="q151_bkt_")
+    base = _scratch_dir("q151_bkt_")
     write_bucketed(
         li, "q151_li_bkt", ["l_orderkey"], 8,
         sort_cols=["l_orderkey"], path=os.path.join(base, "li"),
@@ -368,7 +368,7 @@ def q157_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="q157_z_"), "li")
+    path = os.path.join(_scratch_dir("q157_z_"), "li")
     write_zordered(li, path, "l_partkey", "l_suppkey", num_files=16)
     back = spark.read.parquet(path)
     return (
@@ -417,7 +417,6 @@ def q169_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
     raw-line preservation together. Scale shape: the permissive scan
     is a normal parallel file read; the split into clean/quarantine is
     a narrow filter each way, no shuffle."""
-    import tempfile
 
     d = _t(spark, sf_dir, "documents")
     # Loud fixture-contract guard (the q148/q119 pattern): the oracle
@@ -462,7 +461,7 @@ def q169_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("value")
         )
     )
-    out = tempfile.mkdtemp(prefix="q169_jsonl_")
+    out = _scratch_dir("q169_jsonl_")
     staged.write.mode("overwrite").text(out)
     back = (
         spark.read.schema(
@@ -501,13 +500,12 @@ def q170_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the classic scan killer's remediation: thousands
     of KB-scale streaming-sink files become one task + one footer read
     per ~128 MB, paid once with a single round-robin exchange."""
-    import tempfile
 
     from ..sources.compaction import compact_parquet
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    src = tempfile.mkdtemp(prefix="q170_small_")
-    dst = tempfile.mkdtemp(prefix="q170_compact_")
+    src = _scratch_dir("q170_small_")
+    dst = _scratch_dir("q170_compact_")
     d.repartition(64).write.mode("overwrite").parquet(src)
     back = compact_parquet(spark, src, dst, target_bytes=4 * 1024 * 1024)
     return (

@@ -26,6 +26,7 @@ from ..streaming.windows import (
     tumbling_agg,
 )
 from . import query
+from ._scratch import _scratch_dir
 
 
 @query(
@@ -159,11 +160,10 @@ def q57_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the batch rollup — proves no rows lost or duplicated
     across the sink boundary."""
     import shutil
-    import tempfile
 
     ev = events_stream(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="fb_out_")
-    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    out_dir = _scratch_dir("fb_out_")
+    ckpt = _scratch_dir("fb_ckpt_")
     shutil.rmtree(out_dir)  # writer creates it
     run_foreach_batch(ev, out_dir, ckpt)
     return (
@@ -301,7 +301,6 @@ def q119_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     pass-through dedup."""
     import datetime as dt
     import shutil
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     # Guard (round-6 ADVICE item 3): the horizon-rule oracle predicts
@@ -322,9 +321,9 @@ def q119_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     sentinel_ts = mx_ts + dt.timedelta(hours=1)
     dup_ts = sentinel_ts + dt.timedelta(hours=1)
 
-    src = tempfile.mkdtemp(prefix="q119_src_")
-    ckpt = tempfile.mkdtemp(prefix="q119_ckpt_")
-    out = tempfile.mkdtemp(prefix="q119_out_")
+    src = _scratch_dir("q119_src_")
+    ckpt = _scratch_dir("q119_ckpt_")
+    out = _scratch_dir("q119_out_")
     shutil.rmtree(out)  # foreachBatch writer creates it
 
     def run_once() -> None:
@@ -411,7 +410,6 @@ def q141_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by exactly. A sink that missed an update, re-emitted a
     stale count, or dropped the cross-batch window would
     hash-mismatch."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     # Exact median epoch-micros as the split point — deterministic
@@ -422,9 +420,9 @@ def q141_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     split_us = int(split_row["p"])
 
-    src = tempfile.mkdtemp(prefix="q141_src_")
-    ckpt = tempfile.mkdtemp(prefix="q141_ckpt_")
-    out = tempfile.mkdtemp(prefix="q141_out_")
+    src = _scratch_dir("q141_src_")
+    ckpt = _scratch_dir("q141_ckpt_")
+    out = _scratch_dir("q141_out_")
 
     first = ev.filter(F.unix_micros(F.col("ts")) <= split_us)
     second = ev.filter(F.unix_micros(F.col("ts")) > split_us)
@@ -493,14 +491,13 @@ def q153_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     no data-arrival races), so n_batch = id // 200 exactly, which the
     oracle reproduces in closed form."""
     import shutil
-    import tempfile
     import time
 
     from ..sources.pyds import register
 
     register(spark)
-    out = tempfile.mkdtemp(prefix="q153_out_")
-    ckpt = tempfile.mkdtemp(prefix="q153_ckpt_")
+    out = _scratch_dir("q153_out_")
+    ckpt = _scratch_dir("q153_ckpt_")
     shutil.rmtree(out)  # first foreachBatch write creates it
 
     stream = (
@@ -633,16 +630,15 @@ def q160_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     deterministic."""
     import datetime as dt
     import shutil
-    import tempfile
 
     from ..streaming.windows import stateful_totals_on_timeout
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     mx_ts = ev.agg(F.max("ts")).first()[0]
 
-    src = tempfile.mkdtemp(prefix="q160_src_")
-    ckpt = tempfile.mkdtemp(prefix="q160_ckpt_")
-    out = tempfile.mkdtemp(prefix="q160_out_")
+    src = _scratch_dir("q160_src_")
+    ckpt = _scratch_dir("q160_ckpt_")
+    out = _scratch_dir("q160_out_")
     shutil.rmtree(out)  # first foreachBatch write creates it
 
     def run_once() -> None:
@@ -717,14 +713,13 @@ def q161_stream_session_finalized(spark: SparkSession, sf_dir: str) -> DataFrame
     bounded by the gap horizon at any volume."""
     import datetime as dt
     import shutil
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     mx_ts = ev.agg(F.max("ts")).first()[0]
 
-    src = tempfile.mkdtemp(prefix="q161_src_")
-    ckpt = tempfile.mkdtemp(prefix="q161_ckpt_")
-    out = tempfile.mkdtemp(prefix="q161_out_")
+    src = _scratch_dir("q161_src_")
+    ckpt = _scratch_dir("q161_ckpt_")
+    out = _scratch_dir("q161_out_")
     shutil.rmtree(out)
 
     def run_once() -> None:
@@ -792,14 +787,13 @@ def q162_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is excluded by the window_start ≤ max(ts) filter."""
     import datetime as dt
     import shutil
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     mn_ts, mx_ts = ev.agg(F.min("ts"), F.max("ts")).first()
 
-    src = tempfile.mkdtemp(prefix="q162_src_")
-    ckpt = tempfile.mkdtemp(prefix="q162_ckpt_")
-    out = tempfile.mkdtemp(prefix="q162_out_")
+    src = _scratch_dir("q162_src_")
+    ckpt = _scratch_dir("q162_ckpt_")
+    out = _scratch_dir("q162_out_")
     shutil.rmtree(out)
 
     def run_once() -> None:
@@ -942,7 +936,6 @@ def q172_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_ids. The refreshed dimension broadcasts per batch; the
     stream side never shuffles."""
     import shutil
-    import tempfile
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -961,10 +954,10 @@ def q172_stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dim_name"),
     )
 
-    src = tempfile.mkdtemp(prefix="q172_src_")
-    ckpt = tempfile.mkdtemp(prefix="q172_ckpt_")
-    out = tempfile.mkdtemp(prefix="q172_out_")
-    dim_dir = tempfile.mkdtemp(prefix="q172_dim_")
+    src = _scratch_dir("q172_src_")
+    ckpt = _scratch_dir("q172_ckpt_")
+    out = _scratch_dir("q172_out_")
+    dim_dir = _scratch_dir("q172_dim_")
     shutil.rmtree(out)
 
     def run_once() -> None:
@@ -1049,7 +1042,6 @@ def q180_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of everything at once, which is exactly the incremental-view
     contract. Per-batch cost is q174's (batch signatures + banded
     collisions only); the store is parquet partitions by batch_id."""
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents")
     history = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
@@ -1067,9 +1059,9 @@ def q180_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.filter(F.col("doc_id") >= 125)
     )
 
-    src = tempfile.mkdtemp(prefix="q180_src_")
-    ckpt = tempfile.mkdtemp(prefix="q180_ckpt_")
-    store = tempfile.mkdtemp(prefix="q180_store_")
+    src = _scratch_dir("q180_src_")
+    ckpt = _scratch_dir("q180_ckpt_")
+    store = _scratch_dir("q180_store_")
 
     seed_neardup_store(history, store, "doc_id", "text")
 
@@ -1178,7 +1170,6 @@ def q197_stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keeper store, q180's incremental near-dup over new keepers
     only; document bytes never enter a store exchange (keepers store
     hashes, postings 16-byte keys, texts only keeper norms)."""
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents")
     grid = d.filter(F.col("doc_id") < 200).select("doc_id")
@@ -1201,9 +1192,9 @@ def q197_stream_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raws = j.select("doc_id", F.concat(body, suffix).alias("text"))
 
-    src = tempfile.mkdtemp(prefix="q197_src_")
-    ckpt = tempfile.mkdtemp(prefix="q197_ckpt_")
-    store = tempfile.mkdtemp(prefix="q197_store_")
+    src = _scratch_dir("q197_src_")
+    ckpt = _scratch_dir("q197_ckpt_")
+    store = _scratch_dir("q197_store_")
 
     def run_once() -> None:
         stream = spark.readStream.schema("doc_id long, text string").parquet(src)

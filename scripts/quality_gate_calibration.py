@@ -9,14 +9,22 @@ MARGIN DISTRIBUTIONS — the treatment the LSH knobs
 Protocol: train the q202-shape binary model (clean fixture docs as
 'keep', the subscribe/cookie/rights boilerplate string as 'drop' —
 TRAIN_N docs per class, disjoint from scoring) and score every
-remaining document twice — once as-is ('clean' class) and once with
-the boilerplate prepended to a 40-char stub ('boiler' class, the q202
-injection). Report per-class margin percentiles and the keep/drop
-confusion at candidate thresholds: the fail-open/fail-closed
-extremes (-1, 0) plus the empirical midpoint between the class
-medians. What a user reads off the table: where the two margin
-clouds sit, how wide the overlap is, and what keep-rate each
-threshold buys on each class.
+remaining document THREE ways — as-is ('clean'), boilerplate
+prepended to a 40-char stub ('boiler', the q202 injection), and
+boilerplate prepended to a PER-DOC-VARYING amount of clean text
+('mixed', r19 — VERDICT r18 item 7: the clean/boiler clouds are
+fully separated on this fixture, so without an overlapping class the
+confusion table never shows a real trade; the mixed class's
+keep-signal grows with doc_id while its drop-signal stays fixed, so
+its margins SPAN zero and every threshold choice visibly trades
+mixed-kept against mixed-dropped — the operating-point decision a
+production user actually faces with partially-boilerplated pages).
+Report per-class margin percentiles and the keep/drop confusion at
+candidate thresholds: the fail-open/fail-closed extremes (-1, 0)
+plus the empirical midpoint between the clean/boiler class medians.
+What a user reads off the table: where the three margin clouds sit,
+how wide the overlap is, and what keep-rate each threshold buys on
+each class.
 
 The margins are exact BIGINTs (q198/q202 contract), so the table is
 machine-reproducible bit-for-bit on any engine with the same fixture.
@@ -79,15 +87,30 @@ def main() -> None:
         ),
         "doc_id", "text", model, n=N, buckets=BUCKETS,
     )
+    # mixed: fixed drop-signal (one BOILER), keep-signal varying
+    # per doc — clean prefix from ~0 to ~15× the boilerplate's length,
+    # so the class's margins span zero and overlap BOTH pure clouds
+    mixed = T.quality_gate(
+        held.select(
+            "doc_id",
+            F.concat(
+                F.lit(BOILER),
+                F.substring("text", 1, (F.col("doc_id") % 16).cast("int") * 90),
+            ).alias("text"),
+        ),
+        "doc_id", "text", model, n=N, buckets=BUCKETS,
+    )
     cm = clean.select("margin").toPandas()["margin"]
     bm = boiler.select("margin").toPandas()["margin"]
+    mm = mixed.select("margin").toPandas()["margin"]
 
     print(f"\ncorpus: {n_docs} docs ({sf_dir}), {len(cm)} held-out per class, "
           f"train {TRAIN_N}/class, n={N}, buckets={BUCKETS}")
     print("\n| class | n | p1 | p25 | median | p75 | p99 | frac > 0 |")
     print("|---|---|---|---|---|---|---|---|")
     rows = {}
-    for label, m in (("clean", cm), ("boiler-injected", bm)):
+    for label, m in (("clean", cm), ("boiler-injected", bm),
+                     ("mixed-contaminated", mm)):
         p = _pcts(m)
         frac = float((m > 0).mean())
         rows[label] = {"pcts": p, "frac_pos": round(frac, 4)}
@@ -95,15 +118,18 @@ def main() -> None:
               f"{p[4]} | {frac:.3f} |")
 
     mid = int((cm.median() + bm.median()) // 2)
-    print("\n| threshold | clean kept | boiler kept (leak) | note |")
-    print("|---|---|---|---|")
+    print("\n| threshold | clean kept | boiler kept (leak) | mixed kept | note |")
+    print("|---|---|---|---|---|")
     sweep = {}
     for thr, note in ((-1, "fail-open"), (0, "default fail-closed"),
                       (mid, "class-median midpoint")):
         ck = float((cm > thr).mean())
         bk = float((bm > thr).mean())
-        sweep[str(thr)] = {"clean_kept": round(ck, 4), "boiler_kept": round(bk, 4)}
-        print(f"| {thr} | {ck:.3f} | {bk:.3f} | {note} |")
+        mk = float((mm > thr).mean())
+        sweep[str(thr)] = {"clean_kept": round(ck, 4),
+                           "boiler_kept": round(bk, 4),
+                           "mixed_kept": round(mk, 4)}
+        print(f"| {thr} | {ck:.3f} | {bk:.3f} | {mk:.3f} | {note} |")
 
     print(json.dumps({
         "metric": "quality_gate_calibration", "sf_dir": sf_dir,

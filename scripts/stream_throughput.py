@@ -37,7 +37,9 @@ draining the first half, compacting the store through batch B/2-2,
 then draining the rest — and reports the wall delta. The benefit is
 the avoided O(B²) partition reads in the second half; it grows with
 stream lifetime, so the probe's B should be large (256+) for a
-quotable number.
+quotable number. With --crawl (r19 — VERDICT r18 item 6) the same
+probe runs against stream_crawl_ingest's url_keepers store,
+completing the payback-table parity with the neardup store.
 Prints a markdown table + one JSON line (recorded in BASELINE.md).
 """
 
@@ -130,49 +132,106 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         """Source-file index: originals split on doc_id mod B;
         re-crawls are placed in the file AFTER their original's,
         explicitly (ADVICE r17 — see the offset comment above). The
-        +1 never wraps: originals are multiples of 10 (even), swept
-        Bs are powers of two, so original_batch ≤ B-2 — every
-        re-crawl genuinely arrives in a LATER micro-batch and
-        replaces against the accumulated store."""
+        +1 never wraps FOR THE SWEPT B ≥ 2 (ADVICE r18 qualifier):
+        originals are multiples of 10 (even), swept Bs are powers of
+        two ≥ 2, so original_batch ≤ B-2 and every re-crawl genuinely
+        arrives in a LATER micro-batch, replacing against the
+        accumulated store. At B=1 the +1 trivially wraps to file 0 —
+        re-crawl and original co-batch, which is also the only
+        placement B=1 admits, so a unit-batch sweep measures
+        within-batch keeper resolution, not cross-batch replacement."""
         if doc_id >= 1_000_000:
             return ((doc_id - 1_000_001) % n_batches + 1) % n_batches
         return doc_id % n_batches
 
-    def drain(n_batches: int) -> float:
+    def drain(n_batches: int, compact_at: int | None = None) -> float:
+        """With ``compact_at`` (r19 — VERDICT r18 item 6, the
+        compaction payback row the neardup store's table already
+        has): drain the first half, stop-compact the url_keepers
+        store through compact_at-2 (the replay-safe horizon, the
+        q203 cadence), then drain the rest through the SAME
+        checkpoint — compaction wall INCLUDED in the reading."""
+        from apache_hadoop_framework_for_peptide_identification_spark.streaming.windows import (
+            compact_ingest_store,
+        )
+
         root = tempfile.mkdtemp(prefix="stream_tp_crawl_")
         src, ckpt, store = (os.path.join(root, d) for d in ("src", "ckpt", "store"))
         os.makedirs(src)
-        for i in range(n_batches):
-            # Zero-padded names + strictly increasing mtimes: the file
-            # stream source orders by modification time with a
-            # lexicographic tie-break, and a tight write loop produces
-            # same-millisecond mtimes where "b10" sorts before "b9" —
-            # which would silently reorder batches and void the
-            # re-crawl-arrives-later guarantee at larger B (r18 review
-            # finding).
-            path = os.path.join(src, f"b{i:05d}.warc")
-            with open(path, "w", encoding="utf-8", newline="") as fh:
-                fh.write("".join(
-                    r["rec"] for r in all_rows
-                    if _crawl_file_idx(r["doc_id"], n_batches) == i
-                ))
-            t = 1_700_000_000 + i
-            os.utime(path, (t, t))
-        t0 = time.perf_counter()
-        C.stream_crawl_ingest(
-            W.read_warc_stream(spark, src, max_files_per_trigger=1),
-            store, ckpt, id_expr=id_expr, quality_expr=qual,
-        )
-        wall = time.perf_counter() - t0
+
+        def _write(lo: int, hi: int) -> None:
+            for i in range(lo, hi):
+                # Zero-padded names + strictly increasing mtimes: the
+                # file stream source orders by modification time with
+                # a lexicographic tie-break, and a tight write loop
+                # produces same-millisecond mtimes where "b10" sorts
+                # before "b9" — which would silently reorder batches
+                # and void the re-crawl-arrives-later guarantee at
+                # larger B (r18 review finding).
+                path = os.path.join(src, f"b{i:05d}.warc")
+                with open(path, "w", encoding="utf-8", newline="") as fh:
+                    fh.write("".join(
+                        r["rec"] for r in all_rows
+                        if _crawl_file_idx(r["doc_id"], n_batches) == i
+                    ))
+                t = 1_700_000_000 + i
+                os.utime(path, (t, t))
+
+        def _drain() -> None:
+            C.stream_crawl_ingest(
+                W.read_warc_stream(spark, src, max_files_per_trigger=1),
+                store, ckpt, id_expr=id_expr, quality_expr=qual,
+            )
+
+        if compact_at is None:
+            _write(0, n_batches)
+            t0 = time.perf_counter()
+            _drain()
+            wall = time.perf_counter() - t0
+        else:
+            _write(0, compact_at)
+            t0 = time.perf_counter()
+            _drain()
+            compact_ingest_store(
+                spark, store, through_batch=compact_at - 2,
+                substores=("url_keepers",),
+            )
+            wall = time.perf_counter() - t0
+            _write(compact_at, n_batches)
+            t0 = time.perf_counter()
+            _drain()
+            wall += time.perf_counter() - t0
         n_parts = len(
             [d for d in os.listdir(os.path.join(store, "url_keepers"))
              if d.startswith("batch_id=")]
         )
-        if n_parts != n_batches:
-            print(f"WARNING: {n_parts} store partitions for {n_batches} files",
-                  flush=True)
+        expect = n_batches if compact_at is None else n_batches - compact_at + 2
+        if n_parts != expect:
+            print(f"WARNING: {n_parts} store partitions for {n_batches} files "
+                  f"(expected {expect})", flush=True)
         shutil.rmtree(root, ignore_errors=True)
         return wall
+
+    if args.compact_probe is not None:
+        b = args.compact_probe
+        if b < 8:
+            sys.exit(
+                f"stream_throughput: --compact-probe {b} is degenerate — the "
+                "mid-stream horizon (B/2 - 2) needs B >= 8 to merge anything; "
+                "a quotable tax number wants 256+"
+            )
+        drain(min(8, b))  # session warm-up, untimed
+        plain = drain(b)
+        print(f"crawl compact-probe B={b} uncompacted: {plain:.1f} s", flush=True)
+        compacted = drain(b, compact_at=b // 2)
+        print(f"crawl compact-probe B={b} compact@B/2: {compacted:.1f} s", flush=True)
+        spark.stop()
+        print(json.dumps({
+            "metric": "crawl_compact_probe", "sf_dir": SF_DIR, "docs": n_rows,
+            "batches": b, "uncompacted_s": round(plain, 1),
+            "compacted_s": round(compacted, 1),
+        }))
+        return
 
     drain(batch_counts[0])  # session warm-up, untimed
     results: dict[int, float] = {}

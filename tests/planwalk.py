@@ -23,7 +23,19 @@ def iter_plan_nodes(root):
     ``AdaptiveSparkPlanExec`` (both the current physical plan and the
     pre-AQE input plan — exchanges must be caught in whichever tree
     holds them at inspection time), ``*QueryStageExec.plan()``, and
-    ``ReusedExchangeExec.child()``."""
+    ``ReusedExchangeExec.child()``.
+
+    Walking ``inputPlan()`` alongside ``executedPlan()`` is DELIBERATE
+    conservatism (ADVICE r18): the pre-AQE input tree can hold
+    exchanges AQE later replaced (e.g. a sort-merge shuffle converted
+    to broadcast), so a ban-pin may flag a node that never executed —
+    a false-POSITIVE risk only, never a missed bug. That is the right
+    default for these pins: a payload the optimizer happened to
+    rescue this run is still a latent scale bug (AQE's runtime stats
+    differ at 100 TB), and the plan-discipline tests additionally run
+    with AQE off, where the two trees coincide and the question is
+    moot. A pin that legitimately needs executed-only semantics
+    should filter on the stage tree itself, not weaken this walker."""
     stack, seen = [root], set()
     while stack:
         node = stack.pop()

@@ -337,6 +337,22 @@ def test_quality_gate_edges_and_threshold(spark):
                                        n=3, buckets=512).collect()}
     assert renamed[1] is True and renamed[2] is False
 
+    # (6) the label probe is memoized per model frame (ADVICE r18:
+    # calibration sweeps call the gate repeatedly with the same
+    # model — the distinct-label collect must run once, not per
+    # call). Proven by USE: poison the cache entry with a label the
+    # model does not contain; if the second call re-probed Spark it
+    # would raise "absent from the model", so not raising means the
+    # guard read the cache.
+    assert T._MODEL_LABELS.get(model) == frozenset({"keep", "drop"})
+    T._MODEL_LABELS[model] = frozenset({"keep", "drop", "ghost"})
+    try:
+        T.quality_gate(docs, "doc_id", "text", model,
+                       keep_label="ghost", drop_label="drop",
+                       n=3, buckets=512)
+    finally:
+        del T._MODEL_LABELS[model]
+
 
 def test_quality_gate_form_matches_oracle(spark):
     """The q202 gate (registered r18) verified the way the driver will

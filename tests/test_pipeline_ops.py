@@ -526,6 +526,65 @@ def test_dedup_mix_pack_plan_discipline(spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
+def test_keeper_fallback_plan_discipline(spark):
+    """broadcast_keepers=False plan pin (r19 — VERDICT r18 item 4):
+    the fallback's docstring claims the co-shuffle semi-join ships
+    ``norm`` through exactly ONE keyed exchange and leaves the keeper
+    reduction at exactly one k_n exchange; result parity was already
+    pinned (test_dedup_mix_pack_plan_discipline), the plan shape was
+    not. Pinned on the factored _keeper_rows subtree because the
+    composition checkpoints it — the semi-join never appears in
+    dedup_mix_pack's returned plan. AQE off, multi-partition input
+    (the r18 pin discipline)."""
+    from tests.planwalk import exchanges
+
+    keyed = spark.createDataFrame(
+        [(i, "t", 5, f"some normalized text {i % 7}", bytes([i % 7]))
+         for i in range(64)],
+        "__id long, __topic string, n_tok long, norm string, k_n binary",
+    ).repartition(8)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # default mode first: norm rides NO keyed exchange at all (the
+        # broadcast ships only 8-byte keeper ids)
+        bdf = P._keeper_rows(keyed, broadcast_keepers=True)
+        def keyed_with_norm(df):
+            out = []
+            for n in exchanges(df):
+                part = n.outputPartitioning().toString()
+                if "RoundRobin" in part:
+                    continue
+                cols = [n.output().apply(j).name() for j in range(n.output().size())]
+                if "norm" in cols:
+                    out.append(part[:60])
+            return out
+        assert keyed_with_norm(bdf) == [], keyed_with_norm(bdf)
+        # fallback: norm rides EXACTLY ONE keyed exchange, and it is
+        # the __id co-shuffle (never the k_n reduction)
+        fdf = P._keeper_rows(keyed, broadcast_keepers=False)
+        norm_ex = keyed_with_norm(fdf)
+        assert len(norm_ex) == 1, norm_ex
+        assert "__id" in norm_ex[0] and "k_n" not in norm_ex[0], norm_ex
+        # keeper-reduction count unchanged by the knob: exactly one
+        # hashpartitioning(k_n) exchange in either mode
+        for df, mode in ((bdf, "broadcast"), (fdf, "fallback")):
+            kex = [
+                n for n in exchanges(df)
+                if "k_n" in n.outputPartitioning().toString()
+            ]
+            assert len(kex) == 1, (mode, [
+                n.outputPartitioning().toString()[:60] for n in kex
+            ])
+        # and the two modes agree on the rows (subtree-level parity —
+        # the composition-level parity is pinned above)
+        rows_b = sorted(tuple(r) for r in bdf.collect())
+        rows_f = sorted(tuple(r) for r in fdf.collect())
+        assert rows_b == rows_f and len(rows_b) > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
 def test_dedup_mix_pack_layout_invariant(spark):
     """The registered q201 downstream must be a pure function of the
     input SET: same survivors under different physical partitionings
@@ -568,8 +627,8 @@ def test_dedup_mix_pack_layout_invariant(spark):
 
 
 def test_stream_corpus_build_matches_oneshot_oracle(spark):
-    """q203_stream_corpus_build — VERDICT r16 item 7; r19 registry
-    candidate, verified the way the driver will verify it: the FOUR-
+    """q203_stream_corpus_build — VERDICT r16 item 7; registered r19,
+    verified the way the driver will verify it: the FOUR-
     phase staged streaming build (incremental URL-keeper store with
     genuine cross-phase quality replacements + a mid-stream
     stop-compact-resume of the store) hash-matches q201's one-shot
