@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput quality-gate-calibration
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput crawl-compact-probe quality-gate-calibration
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:
@@ -65,9 +65,16 @@ stream-throughput:
 crawl-throughput:
 	$(PY) scripts/stream_throughput.py --crawl
 
-# The BASELINE.md r18 quality-gate calibration row: measured margin
-# distributions (clean vs boilerplate-injected) on the sf0.1 corpus,
-# plus the keep/leak rates at candidate thresholds — how a production
-# user picks the q202 gate's threshold (VERDICT r17 item 7).
+# The BASELINE.md r19 crawl-store compaction payback row: the
+# neardup store's --compact-probe run against the url_keepers store
+# (VERDICT r18 item 6).
+crawl-compact-probe:
+	$(PY) scripts/stream_throughput.py --crawl --compact-probe 256
+
+# The BASELINE.md quality-gate calibration rows (r18 + the r19 mixed
+# class): measured margin distributions (clean / boilerplate-injected
+# / mixed-contaminated) on the sf0.1 corpus, plus the keep/leak rates
+# at candidate thresholds — how a production user picks the q202
+# gate's threshold (VERDICT r17 item 7, r18 item 7).
 quality-gate-calibration:
 	$(PY) scripts/quality_gate_calibration.py
