@@ -543,7 +543,12 @@ def cap_per_group(df: DataFrame, group_col: str, order_col: str, n: int) -> Data
 
 # ------------------------------------------------------------- ranking
 
-def global_sort_rank(df: DataFrame, key_col: str, n_partitions: int | None = None) -> DataFrame:
+def global_sort_rank(
+    df: DataFrame,
+    key_col: str,
+    n_partitions: int | None = None,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
     """Distributed global 1-based rank by ``key_col`` — WITHOUT the
     single-partition collapse of a bare ``Window.orderBy`` (Spark
     funnels a partitionBy-less window through ONE task; at 100 TB that
@@ -569,15 +574,27 @@ def global_sort_rank(df: DataFrame, key_col: str, n_partitions: int | None = Non
     sees (observed as wrong ranks at sf0.1). The checkpoint holds only
     the projected columns — project narrow before ranking and join the
     result back by id if the full row is needed.
+
+    ``checkpoint_mode`` (r19 — the localCheckpoint fault envelope,
+    operators/reliability.py): unlike the keeper-sized sites, THIS
+    checkpoint holds the whole projected corpus, so under the default
+    ``"local"`` regime an executor loss during an hours-long ranked
+    pass (epoch_shuffle over 100 TB) is job-fatal with the full
+    range-exchange bill to re-pay. ``"replicated"`` doubles the
+    residency of the projected bytes; ``"reliable"`` writes them
+    through the DFS once — both priced in SCALE.md. All three modes
+    return identical rows (tests/test_reliability.py).
     """
     import numpy as np
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+    from .reliability import materialize as _mat
+
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(n, key_col)
-        .sortWithinPartitions(key_col)
-        .localCheckpoint(eager=False)
+    parts = _mat(
+        df.repartitionByRange(n, key_col).sortWithinPartitions(key_col),
+        checkpoint_mode,
+        eager=False,
     )
 
     # Local positions via a NARROW mapInPandas pass (TaskContext gives
@@ -626,16 +643,22 @@ def global_sort_rank(df: DataFrame, key_col: str, n_partitions: int | None = Non
     )
 
 
-def epoch_shuffle(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, checkpoint_mode: str = "local"
+) -> DataFrame:
     """Deterministic epoch-reproducible global shuffle: rank rows by
     md5(epoch:id). Every run, any cluster, any partitioning produces
     the SAME permutation for a given epoch (unlike orderBy(rand)), and
     each epoch is a fresh permutation — the training-data ordering
-    contract. Adds ``pos`` (1-based)."""
+    contract. Adds ``pos`` (1-based). ``checkpoint_mode`` passes
+    through to global_sort_rank's corpus-sized checkpoint (its
+    docstring prices the fault envelope — this is the canonical
+    hours-long-100-TB-pass caller)."""
     key = F.md5(F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string")))
-    return global_sort_rank(df.withColumn("__shuffle_key", key), "__shuffle_key").drop(
-        "__shuffle_key"
-    )
+    return global_sort_rank(
+        df.withColumn("__shuffle_key", key), "__shuffle_key",
+        checkpoint_mode=checkpoint_mode,
+    ).drop("__shuffle_key")
 
 
 # --------------------------------------------------------- quantization

@@ -327,6 +327,7 @@ def sitemap_frontier(
     fetched_url_col: str = "url",
     xml_col: str = "xml",
     max_depth: int = 3,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Bounded-depth sitemap frontier walk (r13 — VERDICT r12 item 4):
     resolve a seed set of sitemap URLs (e.g. :func:`robots_sitemaps`
@@ -356,7 +357,15 @@ def sitemap_frontier(
     visited are localCheckpointed per level so the lineage stays
     shallow and the per-level isEmpty probe is a bounded action. Page
     entries accumulate as a UNION of per-level frames — at most
-    ``max_depth`` branches, each output-proportional."""
+    ``max_depth`` branches, each output-proportional.
+
+    ``checkpoint_mode`` (r19): the per-level frontier/visited
+    truncations share the iterative-loop fault envelope priced in
+    operators/reliability.py — job-fatal on executor loss under the
+    default ``"local"``; pass ``"replicated"``/``"reliable"`` for
+    long walks on a real cluster (both frames are URL-sized)."""
+    from .reliability import materialize as _mat
+
     if max_depth < 1:
         raise ValueError(f"max_depth must be >= 1, got {max_depth}")
     clash = {"kind", "loc", "lastmod", "changefreq", "priority", "depth"} & {
@@ -365,11 +374,11 @@ def sitemap_frontier(
     }
     if clash:
         raise ValueError(f"fetched column names collide with output: {sorted(clash)}")
-    frontier = (
+    frontier = _mat(
         seeds.select(F.trim(F.col(url_col)).alias(fetched_url_col))
         .filter(F.col(fetched_url_col) != "")
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_mode,
     )
     visited = frontier
     pages = None
@@ -396,10 +405,10 @@ def sitemap_frontier(
             .select(F.col("loc").alias(fetched_url_col))
             .distinct()
         )
-        frontier = children.join(visited, fetched_url_col, "left_anti").localCheckpoint(
-            eager=True
+        frontier = _mat(
+            children.join(visited, fetched_url_col, "left_anti"), checkpoint_mode
         )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = _mat(visited.unionByName(frontier), checkpoint_mode)
     if pages is None:  # empty seed set: empty frame, same schema
         return fetched.sparkSession.createDataFrame(
             [],
