@@ -217,3 +217,55 @@ def test_reliable_mode_actually_writes_to_checkpoint_dir(spark, ckpt_dir):
     assert df.count() == 100
     after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
     assert after > before, "reliable mode wrote nothing under the checkpoint dir"
+
+
+def _purge_new_rdd_blocks(spark, fn):
+    """Fault injection: run ``fn`` (which materializes a frame), then
+    remove every executor-cache block of the RDDs it pinned — the
+    closest local[*] analogue of losing the executors that held a
+    truncated frame's blocks. Uses the JVM BlockManagerMaster through
+    the private gateway (test-only; there is no public purge API)."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = fn()
+    new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    bmm = spark.sparkContext._jvm.org.apache.spark.SparkEnv.get().blockManager().master()
+    for rid in new:
+        bmm.removeRdd(int(rid), True)
+    return out, new
+
+
+def test_executor_block_loss_is_fatal_local_but_survivable_reliable(spark, ckpt_dir):
+    """The durability claim itself, not just row parity (r19): after
+    the materialized blocks vanish (simulated executor loss), a
+    ``local`` frame is UNRECOVERABLE — Spark raises its
+    checkpoint-block-not-found error because the lineage is gone —
+    while a ``reliable`` frame re-reads from the checkpoint dir and
+    still answers. This is the exact failure SCALE.md prices for an
+    hours-long 100 TB build; the test makes it observable at
+    fixture scale."""
+    from py4j.protocol import Py4JJavaError
+
+    def build(mode):
+        return materialize(
+            spark.range(0, 500, 1, 4).withColumn("x", F.col("id") * 7), mode
+        )
+
+    lost, new_local = _purge_new_rdd_blocks(spark, lambda: build("local"))
+    assert new_local, "local mode pinned no executor blocks to lose"
+    with pytest.raises(Py4JJavaError, match="[Cc]heckpoint block"):
+        lost.count()
+
+    saved, new_rel = _purge_new_rdd_blocks(spark, lambda: build("reliable"))
+    # reliable mode holds NOTHING in executor caches — its blocks are
+    # DFS files, so there is nothing to lose and the count survives
+    assert new_rel == set()
+    assert saved.count() == 500
+
+    # replicated survives SINGLE-executor loss via the second replica;
+    # local[*] has one block manager, so losing "all executors" kills
+    # both copies — the documented limit of the middle regime
+    repl, new_repl = _purge_new_rdd_blocks(spark, lambda: build("replicated"))
+    assert new_repl, "replicated mode pinned no executor blocks"
+    with pytest.raises(Py4JJavaError, match="[Cc]heckpoint block"):
+        repl.count()
