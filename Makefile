@@ -78,3 +78,11 @@ crawl-compact-probe:
 # gate's threshold (VERDICT r17 item 7, r18 item 7).
 quality-gate-calibration:
 	$(PY) scripts/quality_gate_calibration.py
+
+# The BASELINE.md r19 durability-tax row: wall time of the
+# checkpoint_mode regimes (local / replicated / reliable) on
+# dedup_mix_pack (keeper-sized checkpoints) and epoch_shuffle (the
+# corpus-sized one) at sf0.1 — prices the fault envelope SCALE.md
+# documents and tests/test_reliability.py fault-injects.
+checkpoint-tax:
+	$(PY) scripts/checkpoint_tax.py
