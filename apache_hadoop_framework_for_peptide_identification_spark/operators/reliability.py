@@ -43,7 +43,20 @@ Three regimes, cost vs. what survives:
 Parity contract: the regimes change WHERE blocks live, never what any
 query returns — pinned by tests/test_reliability.py running
 dedup_mix_pack and pagerank_int under all three regimes against the
-default-mode output.
+default-mode output. The envelope itself is fault-injection-tested
+there too (purge the materialized blocks: local dies with Spark's
+checkpoint-block-not-found, reliable re-reads from the DFS), and the
+wall-clock tax is measured in BASELINE.md (`make checkpoint-tax`:
+2–4% at sf0.1 — proportional to the CHECKPOINTED bytes, not the
+corpus).
+
+Housekeeping under ``"reliable"``: checkpoint files stay on the DFS
+until the application exits. A long-lived session running MANY
+finalization builds should set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so files
+whose frames are GC'd are reaped, or point ``setCheckpointDir`` at a
+per-job path it removes afterwards — otherwise the checkpoint dir
+grows by one materialized frame per build.
 """
 
 from __future__ import annotations
