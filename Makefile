@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput crawl-compact-probe quality-gate-calibration
+.PHONY: test sweep-sf01 bench baseline ann-curves scale-data scale-sweep heaps-sweep shuffle-audit stream-throughput crawl-throughput crawl-compact-probe quality-gate-calibration checkpoint-tax
 
 # Full unit + oracle suite at the fast fixtures (sf0.001 oracle dir).
 test:

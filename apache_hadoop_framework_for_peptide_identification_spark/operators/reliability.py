@@ -63,14 +63,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_MODES = ("local", "replicated", "reliable")
+#: The three durability regimes, in cheapest-first order. Public so
+#: tests and measurement scripts iterate THIS tuple instead of
+#: hand-copying it — a fourth regime added here is automatically
+#: parity-tested and priced.
+MODES = ("local", "replicated", "reliable")
+_MODES = MODES  # backward-compat alias
 
 
 def materialize(df: DataFrame, mode: str = "local", eager: bool = True) -> DataFrame:
     """Materialize ``df`` and truncate its lineage under the chosen
     durability regime (module doc). ``"reliable"`` requires a
     checkpoint directory; failing loudly here beats Spark's late
-    executor-side error after the upstream work already ran."""
+    executor-side error after the upstream work already ran.
+
+    Lazy reliable checkpoints persist first: a bare
+    ``checkpoint(eager=False)`` leaves the blocks unpersisted, so the
+    subtree re-executes once PER CONSUMER plus once for the
+    checkpoint-write job (accumulator-verified: 2x executions on a
+    2-consumer fan-out) — silently forfeiting the materialize-once
+    guarantee every call site exists to provide. With the persist,
+    the first action computes the frame once into cache, the
+    checkpoint-write job and every later consumer read it back
+    (verified 1x), and durability still comes from the DFS copy."""
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if mode == "replicated":
@@ -86,7 +101,11 @@ def materialize(df: DataFrame, mode: str = "local", eager: bool = True) -> DataF
                 "path>) first (an executor-local path silently gives NO "
                 "durability on a real cluster — use HDFS/S3/shared storage)"
             )
-        return df.checkpoint(eager=eager)
+        if eager:
+            return df.checkpoint(eager=True)
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
     raise ValueError(
-        f"checkpoint_mode must be one of {_MODES}; got {mode!r}"
+        f"checkpoint_mode must be one of {MODES}; got {mode!r}"
     )

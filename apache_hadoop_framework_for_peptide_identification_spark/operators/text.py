@@ -315,8 +315,12 @@ def quality_gate(
     # broadcastable frame, so the distinct-label probe is one cheap
     # driver-side collect — memoized per model FRAME (ADVICE r18:
     # sweeps/calibration loops call this repeatedly with the same
-    # model; DataFrames are immutable, so identity-keyed caching is
-    # sound, and the weak keys let discarded models free their entry).
+    # model; the PLAN behind a DataFrame is immutable, so identity-
+    # keyed caching is sound as long as the backing storage is not
+    # rewritten — a loop that overwrites the model's parquet path and
+    # re-scores through the SAME DataFrame object would serve stale
+    # labels here; build a fresh model frame per retrain instead. The
+    # weak keys let discarded models free their entry).
     labels = _MODEL_LABELS.get(model)
     if labels is None:
         labels = frozenset(

@@ -32,17 +32,16 @@ Prints a markdown table + one JSON line (recorded in BASELINE.md).
 from __future__ import annotations
 
 import argparse
-import atexit
 import json
 import os
-import shutil
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = ("local", "replicated", "reliable")
+from apache_hadoop_framework_for_peptide_identification_spark.operators.reliability import (  # noqa: E402
+    MODES,
+)
 
 
 def _docs(spark, sf_dir):
@@ -110,10 +109,12 @@ def main() -> None:
         get_spark,
     )
 
+    from apache_hadoop_framework_for_peptide_identification_spark.queries._scratch import (
+        _scratch_dir,
+    )
+
     spark = get_spark("checkpoint-tax")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_tax_")
-    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
-    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.sparkContext.setCheckpointDir(_scratch_dir("ckpt_tax_"))
 
     results: dict[str, dict[str, float]] = {}
     for name, fn in FORMS.items():

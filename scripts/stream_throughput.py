@@ -220,7 +220,7 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
                 "mid-stream horizon (B/2 - 2) needs B >= 8 to merge anything; "
                 "a quotable tax number wants 256+"
             )
-        drain(min(8, b))  # session warm-up, untimed
+        drain(8)  # session warm-up, untimed (b >= 8 guarded above)
         plain = drain(b)
         print(f"crawl compact-probe B={b} uncompacted: {plain:.1f} s", flush=True)
         compacted = drain(b, compact_at=b // 2)

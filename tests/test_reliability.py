@@ -32,10 +32,9 @@ from apache_hadoop_framework_for_peptide_identification_spark.operators.pipeline
     dedup_mix_pack,
 )
 from apache_hadoop_framework_for_peptide_identification_spark.operators.reliability import (
+    MODES,
     materialize,
 )
-
-MODES = ("local", "replicated", "reliable")
 
 
 @pytest.fixture(scope="module")
@@ -217,6 +216,37 @@ def test_reliable_mode_actually_writes_to_checkpoint_dir(spark, ckpt_dir):
     assert df.count() == 100
     after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
     assert after > before, "reliable mode wrote nothing under the checkpoint dir"
+
+
+def test_materialize_once_across_modes_and_eagerness(spark, ckpt_dir):
+    """The guarantee every call site exists for: the subtree executes
+    EXACTLY ONCE no matter the regime or eagerness. A bare
+    checkpoint(eager=False) silently broke this — unpersisted lazy
+    reliable checkpoints re-execute once per consumer plus once for
+    the checkpoint-write job (2x observed) — which is why
+    materialize() persists before a lazy reliable checkpoint."""
+    from pyspark.sql.types import LongType
+
+    for mode in MODES:
+        for eager in (True, False):
+            acc = spark.sparkContext.accumulator(0)
+
+            @F.udf(LongType())
+            def tick(x, _acc=acc):
+                _acc.add(1)
+                return x
+
+            df = materialize(
+                spark.range(0, 200, 1, 4).select(tick("id").alias("v")),
+                mode,
+                eager=eager,
+            )
+            df.count()
+            df.agg(F.sum("v")).collect()  # second consumer
+            assert acc.value == 200, (
+                f"mode={mode} eager={eager}: subtree executed "
+                f"{acc.value / 200:.1f}x, want exactly 1x"
+            )
 
 
 def _purge_new_rdd_blocks(spark, fn):
