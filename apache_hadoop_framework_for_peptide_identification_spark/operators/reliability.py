@@ -46,9 +46,10 @@ dedup_mix_pack and pagerank_int under all three regimes against the
 default-mode output. The envelope itself is fault-injection-tested
 there too (purge the materialized blocks: local dies with Spark's
 checkpoint-block-not-found, reliable re-reads from the DFS), and the
-wall-clock tax is measured in BASELINE.md (`make checkpoint-tax`:
-2–4% at sf0.1 — proportional to the CHECKPOINTED bytes, not the
-corpus).
+wall-clock tax is measured in BASELINE.md (`make checkpoint-tax`,
+sf0.1: no measurable tax at the keeper-sized sites, 1.33x reliable
+at the one corpus-sized site — proportional to the CHECKPOINTED
+bytes, not the corpus).
 
 Housekeeping under ``"reliable"``: checkpoint files stay on the DFS
 until the application exits. A long-lived session running MANY
@@ -68,7 +69,6 @@ from pyspark.sql import DataFrame
 #: hand-copying it — a fourth regime added here is automatically
 #: parity-tested and priced.
 MODES = ("local", "replicated", "reliable")
-_MODES = MODES  # backward-compat alias
 
 
 def materialize(df: DataFrame, mode: str = "local", eager: bool = True) -> DataFrame:
@@ -77,15 +77,26 @@ def materialize(df: DataFrame, mode: str = "local", eager: bool = True) -> DataF
     checkpoint directory; failing loudly here beats Spark's late
     executor-side error after the upstream work already ran.
 
-    Lazy reliable checkpoints persist first: a bare
-    ``checkpoint(eager=False)`` leaves the blocks unpersisted, so the
-    subtree re-executes once PER CONSUMER plus once for the
-    checkpoint-write job (accumulator-verified: 2x executions on a
-    2-consumer fan-out) — silently forfeiting the materialize-once
-    guarantee every call site exists to provide. With the persist,
-    the first action computes the frame once into cache, the
-    checkpoint-write job and every later consumer read it back
-    (verified 1x), and durability still comes from the DFS copy."""
+    ``"reliable"`` deliberately IGNORES ``eager=False`` and always
+    checkpoints eagerly — both lazy variants were
+    accumulator-measured as strictly worse:
+
+    - bare ``checkpoint(eager=False)`` leaves the blocks unpersisted,
+      so the subtree executes TWICE (the first consumer's job, then
+      again for the checkpoint-write job) — forfeiting the
+      materialize-once guarantee every call site exists to provide;
+    - ``persist()`` before the lazy checkpoint restores 1x compute
+      but registers a plan-keyed CacheManager entry that nothing ever
+      unpersists — a session-lifetime memory/disk leak per call, and
+      the cached plan is silently substituted (InMemoryTableScan)
+      into LATER identical plans, serving stale rows if the backing
+      files were rewritten.
+
+    Eager reliable is 1x compute for any number of consumers with no
+    cache residue (verified), so the only cost of overriding is the
+    materialization happening at call time instead of first action —
+    a scheduling shift, not extra work, for a caller who already
+    chose the durable regime."""
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if mode == "replicated":
@@ -101,11 +112,7 @@ def materialize(df: DataFrame, mode: str = "local", eager: bool = True) -> DataF
                 "path>) first (an executor-local path silently gives NO "
                 "durability on a real cluster — use HDFS/S3/shared storage)"
             )
-        if eager:
-            return df.checkpoint(eager=True)
-        from pyspark import StorageLevel
-
-        return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=False)
+        return df.checkpoint(eager=True)  # docstring: why never lazy
     raise ValueError(
         f"checkpoint_mode must be one of {MODES}; got {mode!r}"
     )

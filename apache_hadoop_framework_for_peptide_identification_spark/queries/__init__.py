@@ -205,7 +205,7 @@ _CHANGED_THIS_ROUND = [
     # localCheckpoint fault envelope) DEFAULTS OFF at every site, so
     # every registered query executes the byte-identical r18 plan;
     # the reliable mode is parity-tested by pytest
-    # (tests/test_pipeline_ops.py::test_reliable_checkpoint_parity)
+    # (tests/test_reliability.py, the *_parity_across_modes tests)
     # rather than pinned — a storage-mode knob changes WHERE blocks
     # live, not what any query returns. The broadcast_keepers=False
     # fallback gained a plan PIN only (no code change). The

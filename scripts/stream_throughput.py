@@ -58,6 +58,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _run_compact_probe(drain_fn, b, metric, n_rows, spark, label=""):
+    """Shared compact-probe harness (crawl + neardup stores share the
+    exact protocol; only the drain callable and metric name differ):
+    warm-up, an uncompacted B-batch drain, then the same drain
+    stop-compacting once at B/2, one JSON line out. ``drain_fn(b,
+    compact_at=None)`` must return the timed wall seconds."""
+    if b < 8:
+        sys.exit(
+            f"stream_throughput: --compact-probe {b} is degenerate — the "
+            "mid-stream horizon (B/2 - 2) needs B >= 8 to merge anything; "
+            "a quotable tax number wants 256+"
+        )
+    drain_fn(8)  # session warm-up, untimed (b >= 8 guarded above)
+    plain = drain_fn(b)
+    print(f"{label}compact-probe B={b} uncompacted: {plain:.1f} s", flush=True)
+    compacted = drain_fn(b, compact_at=b // 2)
+    print(f"{label}compact-probe B={b} compact@B/2: {compacted:.1f} s", flush=True)
+    spark.stop()
+    print(json.dumps({
+        "metric": metric, "sf_dir": SF_DIR, "docs": n_rows,
+        "batches": b, "uncompacted_s": round(plain, 1),
+        "compacted_s": round(compacted, 1),
+    }))
+
+
 def _crawl_mode(args, batch_counts: list[int]) -> None:
     """stream_crawl_ingest throughput (r17 — the crawl store's own
     per-batch floor and fragmentation reading, the treatment the
@@ -213,24 +238,10 @@ def _crawl_mode(args, batch_counts: list[int]) -> None:
         return wall
 
     if args.compact_probe is not None:
-        b = args.compact_probe
-        if b < 8:
-            sys.exit(
-                f"stream_throughput: --compact-probe {b} is degenerate — the "
-                "mid-stream horizon (B/2 - 2) needs B >= 8 to merge anything; "
-                "a quotable tax number wants 256+"
-            )
-        drain(8)  # session warm-up, untimed (b >= 8 guarded above)
-        plain = drain(b)
-        print(f"crawl compact-probe B={b} uncompacted: {plain:.1f} s", flush=True)
-        compacted = drain(b, compact_at=b // 2)
-        print(f"crawl compact-probe B={b} compact@B/2: {compacted:.1f} s", flush=True)
-        spark.stop()
-        print(json.dumps({
-            "metric": "crawl_compact_probe", "sf_dir": SF_DIR, "docs": n_rows,
-            "batches": b, "uncompacted_s": round(plain, 1),
-            "compacted_s": round(compacted, 1),
-        }))
+        _run_compact_probe(
+            drain, args.compact_probe, "crawl_compact_probe",
+            n_rows, spark, label="crawl ",
+        )
         return
 
     drain(batch_counts[0])  # session warm-up, untimed
@@ -366,25 +377,11 @@ def main() -> None:
         return wall
 
     if args.compact_probe is not None:
-        b = args.compact_probe
-        if b < 8:
-            sys.exit(
-                f"stream_throughput: --compact-probe {b} is degenerate — the "
-                "mid-stream horizon (B/2 - 2) needs B >= 8 to merge anything; "
-                "a quotable tax number wants 256+"
-            )
         op = ops["neardup_ingest"]
-        drain(op, min(8, b))  # session warm-up, untimed
-        plain = drain(op, b)
-        print(f"compact-probe B={b} uncompacted: {plain:.1f} s", flush=True)
-        compacted = drain(op, b, compact_at=b // 2)
-        print(f"compact-probe B={b} compact@B/2: {compacted:.1f} s", flush=True)
-        spark.stop()
-        print(json.dumps({
-            "metric": "stream_compact_probe", "sf_dir": SF_DIR, "docs": n_rows,
-            "batches": b, "uncompacted_s": round(plain, 1),
-            "compacted_s": round(compacted, 1),
-        }))
+        _run_compact_probe(
+            lambda b, **kw: drain(op, b, **kw),
+            args.compact_probe, "stream_compact_probe", n_rows, spark,
+        )
         return
 
     results: dict[str, dict[int, float]] = {}

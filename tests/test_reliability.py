@@ -220,13 +220,16 @@ def test_reliable_mode_actually_writes_to_checkpoint_dir(spark, ckpt_dir):
 
 def test_materialize_once_across_modes_and_eagerness(spark, ckpt_dir):
     """The guarantee every call site exists for: the subtree executes
-    EXACTLY ONCE no matter the regime or eagerness. A bare
-    checkpoint(eager=False) silently broke this — unpersisted lazy
-    reliable checkpoints re-execute once per consumer plus once for
-    the checkpoint-write job (2x observed) — which is why
-    materialize() persists before a lazy reliable checkpoint."""
+    EXACTLY ONCE no matter the regime or eagerness, and NOTHING is
+    left in the Dataset CacheManager. Both pins guard measured
+    regressions: a bare checkpoint(eager=False) executes the subtree
+    twice (consumer job + checkpoint-write job), and persist-before-
+    lazy-checkpoint restores 1x but leaks a plan-keyed cache entry
+    that substitutes stale data into later identical plans — which is
+    why reliable mode always checkpoints eagerly."""
     from pyspark.sql.types import LongType
 
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     for mode in MODES:
         for eager in (True, False):
             acc = spark.sparkContext.accumulator(0)
@@ -246,6 +249,10 @@ def test_materialize_once_across_modes_and_eagerness(spark, ckpt_dir):
             assert acc.value == 200, (
                 f"mode={mode} eager={eager}: subtree executed "
                 f"{acc.value / 200:.1f}x, want exactly 1x"
+            )
+            assert cache_mgr.isEmpty(), (
+                f"mode={mode} eager={eager}: left a CacheManager entry — "
+                "later identical plans would silently read it"
             )
 
 
