@@ -51,6 +51,13 @@ sf0.1: no measurable tax at the keeper-sized sites, 1.33x reliable
 at the one corpus-sized site — proportional to the CHECKPOINTED
 bytes, not the corpus).
 
+Compression: the engine session (session.get_spark) sets
+``spark.checkpoint.compress=true`` — A/B-measured 0.52x checkpoint
+bytes on the corpus-sized ranked frame at flat wall, halving the DFS
+round-trip the reliable regime pays. It is a CORE conf read at
+context start, so an externally built session must set it in ITS
+builder; configure() cannot retrofit it.
+
 Housekeeping under ``"reliable"``: checkpoint files stay on the DFS
 until the application exits. A long-lived session running MANY
 finalization builds should set

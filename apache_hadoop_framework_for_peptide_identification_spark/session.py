@@ -111,6 +111,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Core conf (context-start only, so NOT in RUNTIME_CONFS): lz4
+        # the reliable-checkpoint writes. A/B at sf0.1: 0.52x
+        # checkpoint bytes on epoch_shuffle's ranked frame, wall flat
+        # — on a real DFS this halves the corpus-sized round-trip the
+        # checkpoint-tax table prices (BASELINE.md r19). No effect on
+        # default paths: localCheckpoint blocks don't read this conf.
+        .config("spark.checkpoint.compress", "true")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
