@@ -170,7 +170,12 @@ def _materialize_index(df: DataFrame, materialize: str) -> DataFrame:
       ``sc.setCheckpointDir`` — survives ANY executor loss (the
       ``local_checkpoint`` mode is job-fatal on loss; ``persist``
       survives by lineage recompute but keeps the full plan). Right
-      for multi-hour index builds whose recompute is itself expensive.
+      for multi-hour index builds whose recompute is itself
+      expensive. Unlike the other modes this one is EAGER: the index
+      computes and checkpoint-writes inside this call, before any
+      consumer action (reliable checkpoints are never lazy — the
+      lazy variants were measured to either recompute the subtree or
+      leak a cache entry; reliability.materialize's docstring).
     """
     if materialize == "local_checkpoint":
         return df.localCheckpoint(eager=False)
@@ -183,7 +188,7 @@ def _materialize_index(df: DataFrame, materialize: str) -> DataFrame:
     if materialize == "reliable_checkpoint":
         from .reliability import materialize as _mat
 
-        return _mat(df, "reliable", eager=False)
+        return _mat(df, "reliable")
     raise ValueError(
         f"materialize must be 'local_checkpoint', 'persist', 'none', or "
         f"'reliable_checkpoint'; got {materialize!r}"

@@ -118,6 +118,9 @@ def pagerank_int(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            # eager=False applies to local/replicated only; reliable
+            # mode materializes HERE, mid-loop (never lazy — see
+            # reliability.materialize)
             ranks = _mat(ranks, checkpoint_mode, eager=False)
     return ranks.select(
         "node",

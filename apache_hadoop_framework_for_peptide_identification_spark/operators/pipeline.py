@@ -582,8 +582,11 @@ def global_sort_rank(
     pass (epoch_shuffle over 100 TB) is job-fatal with the full
     range-exchange bill to re-pay. ``"replicated"`` doubles the
     residency of the projected bytes; ``"reliable"`` writes them
-    through the DFS once — both priced in SCALE.md. All three modes
-    return identical rows (tests/test_reliability.py).
+    through the DFS once AND materializes eagerly inside this call
+    (reliable checkpoints are never lazy — reliability.materialize;
+    the local/replicated regimes keep the lazy construction below) —
+    both priced in SCALE.md. All three modes return identical rows
+    (tests/test_reliability.py).
     """
     import numpy as np
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType

@@ -100,10 +100,17 @@ def materialize(df: DataFrame, mode: str = "local", eager: bool = True) -> DataF
       files were rewritten.
 
     Eager reliable is 1x compute for any number of consumers with no
-    cache residue (verified), so the only cost of overriding is the
-    materialization happening at call time instead of first action —
-    a scheduling shift, not extra work, for a caller who already
-    chose the durable regime."""
+    cache residue (verified). What the override costs: (a) the
+    materialization happens at call time instead of first action — a
+    scheduling shift; and (b) each consumer re-reads the checkpoint
+    FILES from the DFS rather than an executor cache — that re-read
+    is the durable regime's defining behavior (it is what survives
+    executor loss; SCALE.md's table row) and is included in the
+    measured 1.33x corpus-sized tax. A caller fanning a reliable
+    frame into MANY consumers who wants cache-speed reads on top of
+    durability should ``.persist()`` the RETURNED frame and
+    ``.unpersist()`` it when done — caller-owned lifecycle, so
+    nothing leaks."""
     if mode == "local":
         return df.localCheckpoint(eager=eager)
     if mode == "replicated":

@@ -230,6 +230,10 @@ def test_materialize_once_across_modes_and_eagerness(spark, ckpt_dir):
     from pyspark.sql.types import LongType
 
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    # start from a known-empty cache so the per-mode isEmpty asserts
+    # blame materialize() and not some earlier test's leftover cache
+    # (the session is shared module-to-module)
+    spark.catalog.clearCache()
     for mode in MODES:
         for eager in (True, False):
             acc = spark.sparkContext.accumulator(0)
