@@ -216,6 +216,12 @@ def test_reliable_mode_actually_writes_to_checkpoint_dir(spark, ckpt_dir):
     assert df.count() == 100
     after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
     assert after > before, "reliable mode wrote nothing under the checkpoint dir"
+    # and those writes are lz4'd: the engine session sets the core
+    # conf (0.52x bytes A/B, BASELINE.md r19) — pin it so a builder
+    # refactor can't silently drop it
+    assert (
+        spark.sparkContext.getConf().get("spark.checkpoint.compress") == "true"
+    ), "engine session lost spark.checkpoint.compress"
 
 
 def test_materialize_once_across_modes_and_eagerness(spark, ckpt_dir):
