@@ -323,7 +323,7 @@ def embedding_neardup_lsh(
         "embedding_neardup_lsh",
     )
     bits_per_band = _validate_banding(bits, bands, "embedding_neardup_lsh")
-    sig_schema = f"{id_col} long, embedding array<float>, lsh_sig long"
+    sig_schema = f"{id_col} long, lsh_sig long"
     sig = df.select(F.col(id_col), F.col(vec_col).alias("embedding")).mapInPandas(
         _hyperplane_signature_udf(dim, bits, seed), sig_schema
     )
@@ -348,6 +348,17 @@ def embedding_neardup_lsh(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # Materialize the postings once: the self-join below consumes
+    # `banded` TWICE (plus the hot-bucket path when capped), and Spark
+    # has no cross-branch CSE — before this checkpoint the executed
+    # plan ran the mapInPandas signature pass once PER CONSUMER (the
+    # broadcast side of the candidate join defeats exchange reuse;
+    # measured 4 MapInPandas nodes / 14 scans in q67's r19 executed
+    # plan). Lazy localCheckpoint: no extra job, first action
+    # materializes, every branch reads the cached (id, band, bucket)
+    # rows — 20 bytes/row × bands, the operator's working set. Same
+    # policy as dedup._materialize_index (ADVICE r8 item 4).
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "bucket")
@@ -928,13 +939,19 @@ def _hyperplane_signature_udf(dim: int, bits: int, seed: int):
         planes = np.random.RandomState(seed).standard_normal((dim, bits))
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(lsh_sig=pd.Series([], dtype="int64"))
+                yield pdf.drop(columns=["embedding"]).assign(
+                    lsh_sig=pd.Series([], dtype="int64")
+                )
                 continue
             mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
             signs = (mat @ planes) > 0  # (n, bits)
             weights = (1 << np.arange(bits, dtype=np.uint64))
             sig = (signs.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-            yield pdf.assign(lsh_sig=sig)
+            # (id, lsh_sig) only — the banding consumers never read the
+            # vector again, and echoing a 64-float array back across
+            # the Arrow boundary doubles the Python-exchange bytes for
+            # nothing (guide §4.1: control how many columns cross).
+            yield pdf.drop(columns=["embedding"]).assign(lsh_sig=sig)
 
     return fn
 
@@ -979,7 +996,7 @@ def lsh_ann_topk(
 
     def with_sig(df: DataFrame) -> DataFrame:
         cols = df.select(F.col(id_col), F.col(vec_col).alias("embedding"))
-        schema = f"{id_col} long, embedding array<float>, lsh_sig long"
+        schema = f"{id_col} long, lsh_sig long"
         return cols.mapInPandas(_hyperplane_signature_udf(dim, bits, seed), schema)
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:

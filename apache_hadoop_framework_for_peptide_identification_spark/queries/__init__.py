@@ -71,6 +71,35 @@ def bench_query(name: str, doc: str = ""):
     return deco
 
 
+def materialized_sort(df: DataFrame, *cols) -> DataFrame:
+    """Final deterministic ordering for a batch query's OUTPUT.
+
+    A global ``orderBy`` plans as an Exchange(rangepartitioning), and
+    range partitioning needs bounds: Spark first runs a separate
+    SAMPLING job over the sort's child, then the real shuffle. With
+    AQE the sampler re-reads earlier shuffle stages cheaply, but
+    every operator between the last exchange and the sort — final
+    aggregates, broadcast-join tails, explodes, Python stages —
+    executes TWICE (r19 measurement: q67's post-LSH verify tail paid
+    ~0.7 s of its 3.1 s wall to the sampler; guide §1.2 "don't
+    compute things you throw away"). Lazily localCheckpointing the
+    sort input materializes it once, so the sampler and the sort both
+    read cached partitions — no extra job, and storage is
+    OUTPUT-proportional (the same rows the caller is about to
+    collect/write), so the pattern is scale-safe at 100 TB where the
+    double-computed tail would be a full extra pass over the result.
+
+    Batch only: localCheckpoint is illegal on streaming frames.
+
+    Most query tails apply this pattern IN-CHAIN as
+    ``.localCheckpoint(eager=False)`` immediately before the final
+    ``.orderBy`` (marked ``# materialized_sort, in-chain``) — same
+    semantics, kept inside the existing method chain; this function is
+    the canonical documented form for new call sites.
+    """
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def spark_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.fn for q in REGISTRY.values()}
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.asof import asof_join
-from . import query
+from . import materialized_sort, query
 
 
 def _t(spark, sf_dir, name):
@@ -299,6 +299,7 @@ def q135_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed.join(days, "win_end")
         .groupBy(F.col("win_end").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("day")
     )
 
@@ -416,6 +417,7 @@ def q137_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy(F.col("support").desc(), "part_a", "part_b")
     )
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import dedup, similarity
 from ..operators import text as T
-from . import bench_query, query
+from . import bench_query, materialized_sort, query
 
 
 def _t(spark, sf_dir, name):
@@ -48,6 +48,7 @@ def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy(F.md5("text").alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("keeper_doc_id")
     )
 
@@ -146,6 +147,7 @@ def q107_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dedup.prefix_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("id_a", "id_b")
     )
 
@@ -199,6 +201,7 @@ def q121_prefix_jaccard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _plant_text_twins(_t(spark, sf_dir, "documents"))
     return (
         dedup.prefix_jaccard_pairs(d, "doc_id", "text", n=4, threshold=0.6)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("id_a", "id_b")
     )
 
@@ -259,7 +262,7 @@ def q42_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=False).orderBy("id_a", "id_b")  # materialized_sort, in-chain (queries/__init__)
 
 
 @bench_query("q43_dedup_simhash")
@@ -341,7 +344,7 @@ def q44_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
     return out.select(
         "q_id", "n_id", "cos_sim", F.col("rn").cast("bigint").alias("rn")
-    ).orderBy("q_id", "rn")
+    ).localCheckpoint(eager=False).orderBy("q_id", "rn")  # materialized_sort, in-chain (queries/__init__)
 
 
 @query(
@@ -881,7 +884,7 @@ def q67_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _plant_embedding_twins(emb)
     return similarity.embedding_neardup_lsh(
         corpus, "vec_id", "embedding", threshold=0.9, bits=64, bands=8
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=False).orderBy("id_a", "id_b")  # materialized_sort, in-chain (queries/__init__)
 
 
 def _plant_embedding_twins(emb: DataFrame) -> DataFrame:
@@ -1345,7 +1348,7 @@ def q140_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the length banding loses no pair and the distances agree
     exactly."""
     d = _t(spark, sf_dir, "part")
-    return dedup.fuzzy_name_pairs(d, "p_name", max_dist=3).orderBy("name_a", "name_b")
+    return dedup.fuzzy_name_pairs(d, "p_name", max_dist=3).localCheckpoint(eager=False).orderBy("name_a", "name_b")  # materialized_sort, in-chain (queries/__init__)
 
 
 @query(
@@ -1773,6 +1776,7 @@ def q147_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", (F.col("inter") / F.col("n_a")).alias("containment")
         )
         .filter(F.col("containment") >= 0.9)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("id_a", "id_b")
     )
 
@@ -1971,6 +1975,7 @@ def q164_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         runs.groupBy("doc_a", "doc_b")
         .agg(F.max("run_len").alias("longest_run"))
         .filter(F.col("longest_run") >= 2)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -2032,6 +2037,7 @@ def q165_containment_prefix_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     corpus = d.select("doc_id", "text").unionByName(crops)
     return (
         dedup.containment_prefix_pairs(corpus, "doc_id", "text", n=4, threshold=0.9)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("id_a", "id_b")
     )
 
@@ -2093,7 +2099,7 @@ def q166_fuzzy_title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(name, 1, length(name) - 2)").alias("name")
     )
     corpus = titles.unionByName(twins)
-    return dedup.fuzzy_name_pairs(corpus, "name", max_dist=3).orderBy(
+    return dedup.fuzzy_name_pairs(corpus, "name", max_dist=3).localCheckpoint(eager=False).orderBy(  # materialized_sort, in-chain (queries/__init__)
         "name_a", "name_b"
     )
 
@@ -2331,6 +2337,7 @@ def q177_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dedup.exact_substring_dedup(d, "doc_id", "text", chunk_tokens=8, min_run=2)
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("doc_id")
     )
 
@@ -2437,6 +2444,7 @@ def q182_sliding_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.sliding_substring_dedup(
             d, "doc_id", "text", window_tokens=8, min_span_tokens=16
         )
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("doc_id")
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import pipeline as P
 from ..operators import urls as _U
-from . import query
+from . import materialized_sort, query
 
 
 # shared since r19 (VERDICT r18 item 5) — one implementation for every
@@ -77,7 +77,7 @@ def q83_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_tok_frac"),
         dup_frac.alias("dup_tri_frac"),
         ((top_frac <= 0.125) & (dup_frac <= 0.05)).alias("keep"),
-    ).orderBy("doc_id")
+    ).localCheckpoint(eager=False).orderBy("doc_id")  # materialized_sort, in-chain (queries/__init__)
 
 
 _PLANT_PII_SQL = """
@@ -484,7 +484,7 @@ def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return P.pack_sequences(
         sized, group_col="lang", order_col="doc_id", size_col="n_tok", budget=_PACK_BUDGET
-    ).orderBy("lang", "doc_id")
+    ).localCheckpoint(eager=False).orderBy("lang", "doc_id")  # materialized_sort, in-chain (queries/__init__)
 
 
 @query(

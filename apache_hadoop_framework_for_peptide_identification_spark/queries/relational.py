@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.topk import top_k_per_group
-from . import query
+from . import materialized_sort, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,6 +59,7 @@ def q01_scan_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -121,7 +122,7 @@ def q03_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         group=["o_custkey"],
         order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
         k=3,
-    ).orderBy("o_custkey", "rn")
+    ).localCheckpoint(eager=False).orderBy("o_custkey", "rn")  # materialized_sort, in-chain (queries/__init__)
 
 
 # ---------------------------------------------------------------- B4
@@ -143,6 +144,7 @@ def q04_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "user_id", "n_events", "sum_value")
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("window_start", "user_id")
     )
 
@@ -918,6 +920,7 @@ def q168_skew_adversarial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("sum_qty", F.col("sum_qty").cast("double"))
         .select("skew_key", "n_li", "sum_qty", "n_orders_mod")
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("skew_key")
     )
 
@@ -1004,5 +1007,6 @@ def q173_hot_key_two_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_orders_mod").alias("n_orders_mod"),
         )
         .select("skew_key", "n_li", "sum_qty", "n_orders_mod")
+        .localCheckpoint(eager=False)  # materialized_sort, in-chain (queries/__init__)
         .orderBy("skew_key")
     )
