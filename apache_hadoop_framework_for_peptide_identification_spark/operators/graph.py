@@ -81,7 +81,11 @@ def pagerank_int(
 
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    )
+    # Lazy-materialized: `e` feeds BOTH the out-weight aggregate and
+    # the factor join below; without it the caller's edge build (an
+    # Arrow bigram pass in q106) executes twice before fe's eager
+    # checkpoint ever lands.
+    ).localCheckpoint(eager=False)
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     fe = _mat(
         e.join(outw, "src").select(
@@ -101,19 +105,30 @@ def pagerank_int(
 
     ranks = nodes.select("node", F.lit(RANK_SCALE).cast("long").alias("pr"))
     for i in range(iters):
-        acc = (
+        # One shuffle per iteration: per-edge contributions UNION a
+        # zero row per node, summed in a single map-side-combinable
+        # groupBy. Numerically identical to the former
+        # nodes-LEFT-JOIN-acc form (sum(contribs ∪ {0}) ==
+        # coalesce(sum(contribs), 0) — long addition, no float) but
+        # drops one join (and its per-iteration broadcast job) from
+        # every iteration: 10 iterations ran 39 Spark jobs before,
+        # ~26 after (r19 job-count profile).
+        contribs = (
             fe.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr(f"(pr * f) div {F_SCALE}").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("acc"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(pr * f) div {F_SCALE}").alias("contrib"),
+            )
+            .unionByName(nodes.select("node", F.lit(0).cast("long").alias("contrib")))
         )
         ranks = (
-            nodes.join(acc.withColumnRenamed("dst", "node"), "node", "left")
+            contribs.groupBy("node")
+            .agg(F.sum("contrib").alias("acc"))
             .select(
                 "node",
                 (
                     F.lit(base).cast("long")
-                    + F.expr(f"({DAMP_NUM} * coalesce(acc, CAST(0 AS BIGINT))) div {DAMP_DEN}")
+                    + F.expr(f"({DAMP_NUM} * acc) div {DAMP_DEN}")
                 ).alias("pr"),
             )
         )
@@ -191,6 +206,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # Materialized once: `und` fans out to 6 consumers (both deg
+        # union sides, the orientation join, the closing-edge side and
+        # the n_edges/n_nodes stats) and Spark has no cross-branch CSE
+        # — unmaterialized, the r19 executed plan re-ran the upstream
+        # edge build (an Arrow bigram pass in q133) NINETEEN times
+        # (19 scans / 81 exchanges, 12 reused). Lazy localCheckpoint:
+        # no extra job; storage is one (a, b) pair per distinct edge —
+        # the operator's working set.
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -210,6 +234,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(ka < kb, kb).otherwise(ka).alias("kv"),
         )
+        # Same rationale: 3 consumers (both wedge sides + the closing
+        # join) would otherwise each re-run the two degree joins.
+        .localCheckpoint(eager=False)
     )
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
     o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("kv").alias("k2"))
