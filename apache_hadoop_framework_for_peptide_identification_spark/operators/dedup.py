@@ -525,6 +525,14 @@ def minhash_lsh_candidates(
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = _band_postings(sig, num_hashes, bands)
+    # Materialized once: the self-join below consumes `banded` twice
+    # (plus the hot-bucket cap path), and when the planner broadcasts
+    # one side the signature subtree above the groupBy exchange (the
+    # 64-way min merge + band explode) executes once per consumer —
+    # measured 1.92 → 1.55 s at sf0.1 (q42). 20 bytes/row × bands,
+    # the operator's working set; same policy as embedding_neardup_lsh
+    # and _materialize_index (ADVICE r8 item 4).
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "bucket")
@@ -745,6 +753,12 @@ def minhash_jaccard_pairs(
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if hash_postings:
         sh = sh.select("id", F.unhex(F.md5("sh")).alias("sh"))
+    # Materialized once: the verify consumes `sh` three times (the
+    # per-doc sizes and both posting sides), each consumer otherwise
+    # re-running the corpus shingle explode + md5 (r19; the
+    # _materialize_index policy, ADVICE r8 item 4 — 16-byte posting
+    # rows, the verify's working set).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
     sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))
@@ -1508,6 +1522,7 @@ def exact_substring_dedup(
     text_col: str,
     chunk_tokens: int = 8,
     min_run: int = 2,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """EXACT SUBSTRING dedup at span granularity (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
@@ -1583,6 +1598,11 @@ def exact_substring_dedup(
         F.col("pos").cast("long").alias("pos"),
         F.unhex(F.md5("chunk")).alias("chunk_h"),
     )
+    # The posting frame feeds the firsts aggregate AND the duplicate-
+    # probe join (r19 — the sliding form has materialized since r11;
+    # this one re-ran the chunk explode + md5 once per consumer).
+    # Trade-offs documented at _materialize_index (ADVICE r8 item 4).
+    posted = _materialize_index(posted, materialize)
     # Keeper + island + run rules live in _duplicate_runs (shared with
     # the sliding form so the two can never diverge). One row per
     # qualifying run (r12): the removal join carries (start, end)
