@@ -45,6 +45,7 @@ def pagerank_int(
     iters: int = 10,
     checkpoint_every: int = 3,
     checkpoint_mode: str = "local",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, integer-exact.
 
@@ -73,6 +74,20 @@ def pagerank_int(
     durability tax is bounded. Regimes priced in
     operators/reliability.py + SCALE.md; identical ranks under all
     modes (tests/test_reliability.py).
+
+    ``broadcast_ranks`` (r19): hint the per-iteration rank side as a
+    broadcast. The checkpointed rank frame carries NO size statistics
+    (a LogicalRDD defaults to unknown), so without the hint the
+    planner starts every iteration's join as sort-merge — shuffling
+    the EDGE LIST by src each iteration until AQE converts it at
+    runtime. With the hint the edge list never shuffles in the loop:
+    each iteration is one broadcast of the (node, long) rank table +
+    one map-side-combinable groupBy. Only safe when the rank table
+    fits the broadcast ceiling (one row per NODE — true for
+    vocabulary-bounded token graphs like q106; leave False for
+    open-world graphs such as URL frontiers, where ranks scale with
+    the crawl). Results identical either way (join strategy never
+    changes rows). Measured on q106 at sf0.1: 2.30 → 1.92 s.
 
     Returns (node, rank_int, rank) — rank = rank_int/1e9 exact (both
     fit double's 2^53 integer window for any graph this scaling admits).
@@ -113,8 +128,11 @@ def pagerank_int(
         # drops one join (and its per-iteration broadcast job) from
         # every iteration: 10 iterations ran 39 Spark jobs before,
         # ~26 after (r19 job-count profile).
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            fe.join(ranks.withColumnRenamed("node", "src"), "src")
+            fe.join(rank_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(pr * f) div {F_SCALE}").alias("contrib"),

@@ -52,7 +52,11 @@ def q106_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
         )
     )
-    ranks = G.pagerank_int(edges, "src", "dst", "w", iters=_ITERS)
+    # broadcast_ranks: the rank table here is one row per DISTINCT
+    # TOKEN — vocabulary-bounded, far under the broadcast ceiling at
+    # any corpus size — so the edge list never re-shuffles across the
+    # 10 iterations (operators/graph.py rationale + measurement).
+    ranks = G.pagerank_int(edges, "src", "dst", "w", iters=_ITERS, broadcast_ranks=True)
     return ranks.orderBy(F.col("rank_int").desc(), "node").limit(_TOPK)
 
 

@@ -1949,7 +1949,11 @@ def q164_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side and the string column is dropped before the join.
     hashed = chunks.select(
         "doc_id", "pos", F.unhex(F.md5("chunk")).alias("chunk_h")
-    )
+    # Materialized once: both self-join sides consume `hashed`, and a
+    # broadcast side defeats exchange reuse — without this the chunk
+    # explode + md5 pass runs once per side (r19; the
+    # _materialize_index policy).
+    ).localCheckpoint(eager=False)
     a, b = hashed.alias("a"), hashed.alias("b")
     pairs = (
         a.join(b, (F.col("a.chunk_h") == F.col("b.chunk_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
