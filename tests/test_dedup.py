@@ -794,3 +794,46 @@ def test_substring_dedup_pathological_doc_compresses_to_one_run(spark):
     }
     assert got_aligned[0] == (text, 0)
     assert got_aligned[1] == ("", n // C)  # n_removed counts chunks here
+
+
+def test_prefix_index_window_df_matches_join_form(spark):
+    """r19: the posting index's document frequency moved from a
+    groupBy+join-back to a count window over the shingle key (one
+    posting exchange instead of two corpus passes + a join). The
+    window must reproduce the join form's (id, sh, __df, __pos, __n)
+    EXACTLY — same frequencies, same total prefix order — or the
+    prefix theorem's no-false-negative guarantee silently breaks."""
+    from pyspark.sql import Window, functions as F
+    from apache_hadoop_framework_for_peptide_identification_spark.operators.dedup import (
+        exploded_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w x y z w x"),
+            (2, "w x y z q r"),
+            (3, "a b c d e f g"),
+            (4, "a b c d e f g"),  # exact twin: every shingle df >= 2
+            (5, "q r"),  # below shingle width: whole-text fallback row
+        ],
+        "doc_id long, text string",
+    )
+    sh = exploded_shingles(docs, "doc_id", "text", 3).select(
+        "id", F.unhex(F.md5("sh")).alias("sh")
+    )
+    w = Window.partitionBy("id").orderBy("__df", "sh")
+    window_form = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    join_form = (
+        sh.join(freq, "sh")
+        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    cols = ["id", "sh", "__df", "__pos", "__n"]
+    got = sorted(tuple(r) for r in window_form.select(*cols).collect())
+    want = sorted(tuple(r) for r in join_form.select(*cols).collect())
+    assert got == want

@@ -80,3 +80,29 @@ def test_triangle_count_known_graph(spark):
     assert row["n_triangles"] == 4 + 2
     assert row["n_edges"] == 6 + 5 + 1  # dups/self-loop dropped, pendant kept
     assert row["n_nodes"] == 4 + 4 + 1
+
+
+def test_pagerank_broadcast_ranks_parity(spark):
+    """r19: broadcast_ranks is a join-STRATEGY hint (pins the edge list
+    in place across iterations when the rank table is known small) —
+    it must never change a single rank unit. Weighted multi-component
+    graph with a dangling node so the zero-contribution union path is
+    exercised under both strategies."""
+    from apache_hadoop_framework_for_peptide_identification_spark.operators import graph as G
+
+    edges = [
+        ("a", "b", 3), ("b", "a", 1), ("a", "c", 2), ("c", "d", 5),
+        ("d", "a", 1), ("e", "f", 7),  # f is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    plain = {
+        r["node"]: r["rank_int"]
+        for r in G.pagerank_int(df, "src", "dst", "w", iters=6).collect()
+    }
+    hinted = {
+        r["node"]: r["rank_int"]
+        for r in G.pagerank_int(
+            df, "src", "dst", "w", iters=6, broadcast_ranks=True
+        ).collect()
+    }
+    assert plain == hinted
