@@ -13,8 +13,35 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = (REGISTRY.get(name) or BENCH_REGISTRY[name]).fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Full physical plan of a query as ONE text blob: the input plan
+    of every materialization stage plus the final plan.
+
+    r19 materializes multi-consumer frames (and the final-sort input)
+    with lazy ``localCheckpoint``, which swaps the logical plan for a
+    LogicalRDD at BUILD time — a plain executedPlan() of the returned
+    frame would show only `Scan ExistingRDD` above each truncation and
+    every pin below it would assert against nothing. Intercepting the
+    checkpoint calls recovers each stage's real plan (each stage
+    executes exactly once), so the assertions keep covering the whole
+    computation."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    stages: list[str] = []
+    orig = _CDF.localCheckpoint
+
+    def recording(self, eager=True, storageLevel=None):
+        stages.append(self._jdf.queryExecution().executedPlan().toString())
+        if storageLevel is None:
+            return orig(self, eager=eager)
+        return orig(self, eager=eager, storageLevel=storageLevel)
+
+    _CDF.localCheckpoint = recording
+    try:
+        df = (REGISTRY.get(name) or BENCH_REGISTRY[name]).fn(spark, SF)
+    finally:
+        _CDF.localCheckpoint = orig
+    stages.append(df._jdf.queryExecution().executedPlan().toString())
+    return "\n".join(stages)
 
 
 def test_q02_joins_are_broadcast(spark):
