@@ -508,6 +508,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -530,9 +531,10 @@ def minhash_lsh_candidates(
     # one side the signature subtree above the groupBy exchange (the
     # 64-way min merge + band explode) executes once per consumer —
     # measured 1.92 → 1.55 s at sf0.1 (q42). 20 bytes/row × bands,
-    # the operator's working set; same policy as embedding_neardup_lsh
-    # and _materialize_index (ADVICE r8 item 4).
-    banded = banded.localCheckpoint(eager=False)
+    # the operator's working set; policy + regimes (including the
+    # fault-tolerant 'reliable_checkpoint') via _materialize_index
+    # (ADVICE r8 item 4 / r19 knob-consistency item).
+    banded = _materialize_index(banded, materialize)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "bucket")
@@ -719,6 +721,7 @@ def minhash_jaccard_pairs(
     shingle_n: int = 3,
     max_bucket: int | None = None,
     hash_postings: bool = True,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """The full MinHash-LSH dedup PIPELINE: banded candidates (see
     minhash_lsh_candidates) followed by an exact n-gram Jaccard verify
@@ -748,7 +751,7 @@ def minhash_jaccard_pairs(
     wins on high-entropy real text, and bounds exchange width either
     way)."""
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, materialize
     )
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if hash_postings:
@@ -756,9 +759,9 @@ def minhash_jaccard_pairs(
     # Materialized once: the verify consumes `sh` three times (the
     # per-doc sizes and both posting sides), each consumer otherwise
     # re-running the corpus shingle explode + md5 (r19; the
-    # _materialize_index policy, ADVICE r8 item 4 — 16-byte posting
-    # rows, the verify's working set).
-    sh = sh.localCheckpoint(eager=False)
+    # _materialize_index policy + regimes, ADVICE r8 item 4 — 16-byte
+    # posting rows, the verify's working set).
+    sh = _materialize_index(sh, materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("s_a"))
     sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("s_b"))

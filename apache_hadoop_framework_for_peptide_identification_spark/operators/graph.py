@@ -94,22 +94,48 @@ def pagerank_int(
     """
     from .reliability import materialize as _mat
 
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     # Lazy-materialized: `e` feeds BOTH the out-weight aggregate and
     # the factor join below; without it the caller's edge build (an
     # Arrow bigram pass in q106) executes twice before fe's eager
-    # checkpoint ever lands.
-    ).localCheckpoint(eager=False)
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    fe = _mat(
-        e.join(outw, "src").select(
-            "src",
-            "dst",
-            F.expr(f"CAST(w * {F_SCALE} AS BIGINT) div outw").alias("f"),
+    # checkpoint ever lands. Routed through the durability knob like
+    # every other truncation in this function (ADVICE r19: a hardcoded
+    # localCheckpoint here re-opened the exact fault envelope the knob
+    # closed — under "reliable" an executor loss during the fe/nodes
+    # build must stay recoverable).
+    e = _mat(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
         ),
         checkpoint_mode,
+        eager=False,
     )
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    fe_cols = e.join(outw, "src").select(
+        "src",
+        "dst",
+        F.expr(f"CAST(w * {F_SCALE} AS BIGINT) div outw").alias("f"),
+    )
+    if not broadcast_ranks:
+        # Non-broadcast regime (r20, VERDICT r19 item 2): hash-partition
+        # the edge-factor table by ``src`` ONCE and sort it within
+        # partitions before the checkpoint. localCheckpoint preserves the
+        # physical plan's outputPartitioning AND outputOrdering on the
+        # LogicalRDD it leaves behind, so every iteration's sort-merge
+        # join sees an edge side that already satisfies both its
+        # distribution and its ordering requirement: the loop shuffles
+        # and sorts ONLY the (node, long) rank table, never the edge
+        # list. Before this, `fe` inherited the arbitrary layout of the
+        # factor join (outw broadcasts, so no src partitioning existed)
+        # and each of the `iters` iterations re-shuffled the full edge
+        # list — the dominant cost of an open-world graph (URL
+        # frontiers, q190 regime) where ranks cannot broadcast. One
+        # explicit-N shuffle up front replaces `iters` of them; N is
+        # the cluster's defaultParallelism (scale-adaptive, not a
+        # local[32] constant — at 100 TB pass a session with the
+        # cluster's real parallelism and the layout sizes with it).
+        p = edges.sparkSession.sparkContext.defaultParallelism
+        fe_cols = fe_cols.repartition(p, "src").sortWithinPartitions("src")
+    fe = _mat(fe_cols, checkpoint_mode)
     nodes = _mat(
         fe.select(F.col("src").alias("node"))
         .unionByName(fe.select(F.col("dst").alias("node")))
@@ -200,10 +226,21 @@ FROM pr{iters}"""
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_mode: str = "local",
+) -> DataFrame:
     """Exact triangle count over the UNDIRECTED simple graph induced by
     ``edges`` (direction and multiplicity dropped, self-loops removed)
     → one row (n_nodes, n_edges, n_triangles).
+
+    ``checkpoint_mode`` (r20, ADVICE r19): the two working-set
+    truncations below (``und``, ``oriented``) route through
+    reliability.materialize — same regimes and fault envelope as
+    pagerank_int. Default ``"local"`` keeps the bench plan identical
+    to the hardcoded r19 form.
 
     Degree-oriented enumeration (the standard distributed algorithm):
     every undirected edge is directed from its lower-(degree, node)
@@ -217,22 +254,25 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Two self-equi-joins on node keys; shuffle carries (node, node,
     key) triples, never adjacency lists.
     """
-    und = (
+    from .reliability import materialize as _mat
+
+    und = _mat(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
         # Materialized once: `und` fans out to 6 consumers (both deg
         # union sides, the orientation join, the closing-edge side and
         # the n_edges/n_nodes stats) and Spark has no cross-branch CSE
         # — unmaterialized, the r19 executed plan re-ran the upstream
         # edge build (an Arrow bigram pass in q133) NINETEEN times
-        # (19 scans / 81 exchanges, 12 reused). Lazy localCheckpoint:
-        # no extra job; storage is one (a, b) pair per distinct edge —
-        # the operator's working set.
-        .localCheckpoint(eager=False)
+        # (19 scans / 81 exchanges, 12 reused). Lazy under
+        # local/replicated: no extra job; storage is one (a, b) pair
+        # per distinct edge — the operator's working set.
+        checkpoint_mode,
+        eager=False,
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -244,17 +284,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     ka = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
     kb = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
-    oriented = (
+    oriented = _mat(
         und.join(da, "a")
         .join(db, "b")
         .select(
             F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
             F.when(ka < kb, kb).otherwise(ka).alias("kv"),
-        )
+        ),
         # Same rationale: 3 consumers (both wedge sides + the closing
         # join) would otherwise each re-run the two degree joins.
-        .localCheckpoint(eager=False)
+        checkpoint_mode,
+        eager=False,
     )
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
     o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("kv").alias("k2"))

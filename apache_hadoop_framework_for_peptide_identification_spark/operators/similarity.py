@@ -281,6 +281,7 @@ def embedding_neardup_lsh(
     n_rows: int | None = None,
     recall_target: float = 0.9,
     sizing_cos: float | None = None,
+    materialize: str = "local_checkpoint",
 ) -> DataFrame:
     """Embedding near-dup at scale: hyperplane-LSH banding generates
     candidate pairs (equi-join on (band, bucket) — shuffle bounded by
@@ -356,9 +357,14 @@ def embedding_neardup_lsh(
     # measured 4 MapInPandas nodes / 14 scans in q67's r19 executed
     # plan). Lazy localCheckpoint: no extra job, first action
     # materializes, every branch reads the cached (id, band, bucket)
-    # rows — 20 bytes/row × bands, the operator's working set. Same
-    # policy as dedup._materialize_index (ADVICE r8 item 4).
-    banded = banded.localCheckpoint(eager=False)
+    # rows — 20 bytes/row × bands, the operator's working set. The
+    # ``materialize`` knob routes through dedup._materialize_index
+    # (ADVICE r8 item 4 / r19 knob-consistency item) — default
+    # 'local_checkpoint' is the r19 plan verbatim; 'reliable_checkpoint'
+    # buys executor-loss recovery for multi-hour cluster runs.
+    from .dedup import _materialize_index
+
+    banded = _materialize_index(banded, materialize)
     if max_bucket is not None:
         hot = (
             banded.groupBy("band", "bucket")

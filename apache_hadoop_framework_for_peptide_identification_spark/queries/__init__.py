@@ -91,6 +91,17 @@ def materialized_sort(df: DataFrame, *cols) -> DataFrame:
 
     Batch only: localCheckpoint is illegal on streaming frames.
 
+    Block lifetime (ADVICE r19): each call pins its OUTPUT rows as
+    executor-cache blocks for the session's lifetime — there is no
+    unpersist handle on a checkpointed frame. A long-lived session
+    sweeping many queries (bench.py's ~34, or profile_bench's
+    warm-up + timed + noop triple per query) accumulates one
+    output-sized block set per *built DataFrame*; at sf0.1 that is a
+    few hundred MB total across the whole sweep (outputs are small by
+    construction), but a service-style session should rebuild the
+    SparkSession between sweeps — which bench.py effectively does by
+    being a fresh process per invocation.
+
     Most query tails apply this pattern IN-CHAIN as
     ``.localCheckpoint(eager=False)`` immediately before the final
     ``.orderBy`` (marked ``# materialized_sort, in-chain``) — same

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.asof import asof_join
-from . import materialized_sort, query
+from . import query
 
 
 def _t(spark, sf_dir, name):

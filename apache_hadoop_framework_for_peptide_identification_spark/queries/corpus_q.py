@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import corpus as C
-from . import materialized_sort, query
+from . import query
 
 
 def _t(spark, sf_dir, name):

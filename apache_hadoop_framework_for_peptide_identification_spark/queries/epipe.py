@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.pipe import ChainSpec, run_chain
-from . import materialized_sort, query
+from . import query
 from ._scratch import _scratch_dir
 
 # Two-stage chain sharing %TMP_FILE_1% (the argFileMap memoization

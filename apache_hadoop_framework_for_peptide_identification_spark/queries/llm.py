@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import dedup, similarity
 from ..operators import text as T
-from . import bench_query, materialized_sort, query
+from . import bench_query, query
 
 
 def _t(spark, sf_dir, name):

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import pipeline as P
 from ..operators import urls as _U
-from . import materialized_sort, query
+from . import query
 
 
 # shared since r19 (VERDICT r18 item 5) — one implementation for every

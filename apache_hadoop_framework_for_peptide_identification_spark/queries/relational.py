@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.asof import asof_join
 from ..operators.topk import top_k_per_group
-from . import materialized_sort, query
+from . import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

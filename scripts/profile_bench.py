@@ -37,20 +37,26 @@ def main() -> None:
     out = {}
     for name in names:
         fn = (REGISTRY.get(name) or BENCH_REGISTRY[name]).fn
-        sc.setJobDescription(f"profile:{name}")
+        sc.setJobGroup(f"profile:{name}:warmup", f"profile:{name} warm-up")
         fn(spark, sf_dir).collect()  # warm-up
-        jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+        # Count jobs in a per-query group (ADVICE r19): the default
+        # group's id list is shared by every query in the sweep and
+        # capped by spark.ui.retainedJobs, so a global-delta count
+        # undercounts late queries on long runs.
+        group = f"profile:{name}:timed"
+        sc.setJobGroup(group, f"profile:{name}")
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         t_collect = time.perf_counter() - t0
-        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+        n_jobs = len(tracker.getJobIdsForGroup(group) or [])
+        sc.setJobGroup(f"profile:{name}:noop", f"profile:{name} noop")
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t_noop = time.perf_counter() - t0
         out[name] = {
             "collect_s": round(t_collect, 4),
             "noop_s": round(t_noop, 4),
-            "jobs": jobs_after - jobs_before,
+            "jobs": n_jobs,
         }
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out, indent=1))
