@@ -117,25 +117,42 @@ def pagerank_int(
     )
     if not broadcast_ranks:
         # Non-broadcast regime (r20, VERDICT r19 item 2): hash-partition
-        # the edge-factor table by ``src`` ONCE and sort it within
-        # partitions before the checkpoint. localCheckpoint preserves the
-        # physical plan's outputPartitioning AND outputOrdering on the
-        # LogicalRDD it leaves behind, so every iteration's sort-merge
-        # join sees an edge side that already satisfies both its
-        # distribution and its ordering requirement: the loop shuffles
-        # and sorts ONLY the (node, long) rank table, never the edge
-        # list. Before this, `fe` inherited the arbitrary layout of the
-        # factor join (outw broadcasts, so no src partitioning existed)
-        # and each of the `iters` iterations re-shuffled the full edge
-        # list — the dominant cost of an open-world graph (URL
-        # frontiers, q190 regime) where ranks cannot broadcast. One
-        # explicit-N shuffle up front replaces `iters` of them; N is
-        # the cluster's defaultParallelism (scale-adaptive, not a
-        # local[32] constant — at 100 TB pass a session with the
-        # cluster's real parallelism and the layout sizes with it).
+        # the edge-factor table by ``src`` ONCE, sort it within
+        # partitions, and PERSIST it — not checkpoint it. A checkpoint
+        # leaf (LogicalRDD) reports UnknownPartitioning in this Spark
+        # build (measured r20), so the r19 form re-shuffled the edge
+        # list inside the loop (canonical-plan exchange reuse recovered
+        # the middle iterations, but the first and last iterations'
+        # edge sides differ by a pushed isnotnull filter, and every
+        # rank truncation resets reuse — measured 2 edge shuffles per
+        # checkpoint segment). An InMemoryRelation DOES preserve the
+        # cached plan's outputPartitioning and outputOrdering, so every
+        # iteration's sort-merge join sees an edge side that already
+        # satisfies both its distribution and its ordering requirement:
+        # the loop shuffles and sorts ONLY the (node, long) rank table.
+        # One explicit-N shuffle at cache fill replaces `iters` of them;
+        # N is the cluster's defaultParallelism (scale-adaptive, not a
+        # local[32] constant). The usual persist objection
+        # (reliability.materialize: a plan-keyed CacheManager entry can
+        # be substituted into later identical plans) cannot bite here —
+        # fe's lineage contains this call's unique checkpoint RDD (`e`),
+        # so no other query's plan can equal it; the entry does live
+        # until the session ends or the caller clearCache()s, the same
+        # session-bound lifetime every checkpointed frame already has.
+        # Durability under checkpoint_mode='reliable' is INHERITED, not
+        # lost: cached partitions keep their lineage, which roots at
+        # `e`'s DFS blocks — an executor loss recomputes the lost cache
+        # partitions from the DFS instead of failing the job.
+        from pyspark import StorageLevel
+
         p = edges.sparkSession.sparkContext.defaultParallelism
-        fe_cols = fe_cols.repartition(p, "src").sortWithinPartitions("src")
-    fe = _mat(fe_cols, checkpoint_mode)
+        fe = (
+            fe_cols.repartition(p, "src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        fe = _mat(fe_cols, checkpoint_mode)
     nodes = _mat(
         fe.select(F.col("src").alias("node"))
         .unionByName(fe.select(F.col("dst").alias("node")))
